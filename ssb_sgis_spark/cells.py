@@ -80,6 +80,30 @@ def cell_parent(cell: np.ndarray | int, steps: int = 1):
 
 
 # --------------------------------------------------------- morton as Column
+def _spread_col(v: Column) -> Column:
+    v = v.bitwiseOR(F.shiftleft(v, 16)).bitwiseAND(F.lit(0x0000FFFF0000FFFF))
+    v = v.bitwiseOR(F.shiftleft(v, 8)).bitwiseAND(F.lit(0x00FF00FF00FF00FF))
+    v = v.bitwiseOR(F.shiftleft(v, 4)).bitwiseAND(F.lit(0x0F0F0F0F0F0F0F0F))
+    v = v.bitwiseOR(F.shiftleft(v, 2)).bitwiseAND(F.lit(0x3333333333333333))
+    v = v.bitwiseOR(F.shiftleft(v, 1)).bitwiseAND(F.lit(0x5555555555555555))
+    return v
+
+
+def cell_index_col(v: Column, res: int, axis: str) -> Column:
+    """Clamped integer cell index along one axis — native column."""
+    s = F.lit(cell_size(res))
+    n = (1 << res) - 1
+    origin = DOMAIN_X0 if axis == "x" else DOMAIN_Y0
+    return F.least(
+        F.greatest(F.floor((v - F.lit(origin)) / s), F.lit(0)), F.lit(n)
+    ).cast("long")
+
+
+def morton_from_ixy_col(ix: Column, iy: Column) -> Column:
+    """Morton interleave of integer cell indices — native column."""
+    return _spread_col(ix).bitwiseOR(F.shiftleft(_spread_col(iy), 1))
+
+
 def cell_of_xy_col(x: Column, y: Column, res: int) -> Column:
     """Morton cell id as a native Spark column expression (stays in
     whole-stage codegen — the page-side indexing never leaves the JVM).
@@ -87,24 +111,9 @@ def cell_of_xy_col(x: Column, y: Column, res: int) -> Column:
     Bit-interleaving via the same magic-mask spread used in the numpy
     kernel, written with Spark bitwise ops.
     """
-    s = F.lit(cell_size(res))
-    n = (1 << res) - 1
-    ix = F.least(F.greatest(F.floor((x - F.lit(DOMAIN_X0)) / s), F.lit(0)), F.lit(n)).cast(
-        "long"
-    )
-    iy = F.least(F.greatest(F.floor((y - F.lit(DOMAIN_Y0)) / s), F.lit(0)), F.lit(n)).cast(
-        "long"
-    )
-
-    def spread(v: Column) -> Column:
-        v = v.bitwiseOR(F.shiftleft(v, 16)).bitwiseAND(F.lit(0x0000FFFF0000FFFF))
-        v = v.bitwiseOR(F.shiftleft(v, 8)).bitwiseAND(F.lit(0x00FF00FF00FF00FF))
-        v = v.bitwiseOR(F.shiftleft(v, 4)).bitwiseAND(F.lit(0x0F0F0F0F0F0F0F0F))
-        v = v.bitwiseOR(F.shiftleft(v, 2)).bitwiseAND(F.lit(0x3333333333333333))
-        v = v.bitwiseOR(F.shiftleft(v, 1)).bitwiseAND(F.lit(0x5555555555555555))
-        return v
-
-    return spread(ix).bitwiseOR(F.shiftleft(spread(iy), 1))
+    ix = cell_index_col(x, res, "x")
+    iy = cell_index_col(y, res, "y")
+    return morton_from_ixy_col(ix, iy)
 
 
 def morton_sql(x_expr: str, y_expr: str, res: int) -> str:

@@ -464,6 +464,41 @@ def _assemble_polygons(rings: list[np.ndarray]) -> list[list[np.ndarray]]:
     return parts
 
 
+def parts_intersect(a: list[list[np.ndarray]], b: list[list[np.ndarray]]) -> bool:
+    """Cheap exact polygon-intersects predicate (no arrangement): true iff
+    any boundary edges cross, or one polygon's vertex lies inside the other.
+    The predicate behind get_polygon_clusters / get_intersections
+    (reference STRtree query ``duplicates.py:276-277``)."""
+    ea = _poly_edges([r for rings in a for r in rings])
+    eb = _poly_edges([r for rings in b for r in rings])
+    if len(ea[0]) == 0 or len(eb[0]) == 0:
+        return False
+    ba = _edge_bboxes(*ea)
+    bb = _edge_bboxes(*eb)
+    ii, jj = _candidate_pairs(ba, bb)
+    if len(ii):
+        ta, tb, ca, ca2, cb, cb2 = _seg_intersections(
+            ea[0][ii], ea[1][ii], ea[2][ii], ea[3][ii],
+            eb[0][jj], eb[1][jj], eb[2][jj], eb[3][jj],
+        )
+        if (~np.isnan(ta)).any() or (~np.isnan(ca)).any():
+            return True
+    # containment: test one vertex of each against the other's full edge set
+    for rings_a in a:
+        px = np.array([rings_a[0][0, 0]])
+        py = np.array([rings_a[0][0, 1]])
+        for rings_b in b:
+            if _pip_many(px, py, _poly_edges(rings_b))[0]:
+                return True
+    for rings_b in b:
+        px = np.array([rings_b[0][0, 0]])
+        py = np.array([rings_b[0][0, 1]])
+        for rings_a in a:
+            if _pip_many(px, py, _poly_edges(rings_a))[0]:
+                return True
+    return False
+
+
 # ---------------------------------------------------------- convenience ops
 def union_all(polys: list[list[list[np.ndarray]]]) -> list[list[np.ndarray]]:
     """Unary union of many multipolygons (the dissolve kernel —
