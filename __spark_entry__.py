@@ -16,8 +16,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ssb_sgis_spark.cells import morton_sql, ssb_grid_id_sql
+from ssb_sgis_spark.operators.clusters import cluster_points_within_distance
+from ssb_sgis_spark.operators.dissolve import buffdissexp_by_cluster
+from ssb_sgis_spark.operators.geomtable import with_area, xy_to_point_wkb
 from ssb_sgis_spark.operators.grid import add_grid_id
 from ssb_sgis_spark.operators.knn import get_all_distances, get_k_nearest_neighbors
+from ssb_sgis_spark.operators.overlay import clean_overlay
 from ssb_sgis_spark.operators.sjoin import (
     points_in_polygons_join,
     sfilter,
@@ -27,10 +31,20 @@ from ssb_sgis_spark.cells import cell_of_xy_col
 from ssb_sgis_spark.sources.municipalities import muni_df, muni_edges_sql_values
 from ssb_sgis_spark.sources.pages import pages_df, pages_sql
 from ssb_sgis_spark.sources.points import points_df, points_sql
+from ssb_sgis_spark.sources.sites import (
+    sites_bounds_sql,
+    sites_df,
+    tiles_bounds_sql,
+    tiles_df,
+)
 
 KNN_K = 8
 KNN_LEFT_MOD = 20  # kNN correctness query uses pages with uid % 20 == 0
 CELL_RES = 13
+CLUSTER_MOD = 100  # page subsample for the cluster query
+CLUSTER_DIST = 3000.0
+BLOB_MOD = 500  # page subsample for the buffer-dissolve blob query
+BLOB_RADIUS = 500.0
 
 _PIP_ORACLE_CORE = """
 WITH pages AS ({pages}),
@@ -116,6 +130,51 @@ def q_all_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return get_all_distances(left, right).select("uid", "neighbor_id", "distance")
 
 
+def q_box_overlay_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clean_overlay(sites, tiles, "intersection") pair ids — SURVEY §2.4
+    (overlay.py:31-151); boxes are the SQL-checkable polygon subclass."""
+    return clean_overlay(
+        sites_df(spark, sf_dir), tiles_df(spark), "intersection"
+    ).select("uid", "tile_id")
+
+
+def q_box_overlay_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile intersection-area rollup of the overlay result (area via
+    the shoelace kernel on the arrangement output; rounded to the
+    reference's own 3-decimal tolerance, test_overlay.py:80-88)."""
+    inter = clean_overlay(sites_df(spark, sf_dir), tiles_df(spark), "intersection")
+    return (
+        with_area(inter)
+        .groupBy("tile_id")
+        .agg(F.round(F.sum("area"), 0).alias("area_sum"))
+    )
+
+
+def q_page_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_polygon_clusters on r=D/2 page buffers ≡ distance-D point
+    clustering (SURVEY §2.6, polygon_operations.py:31-188) — distributed
+    connected components (hash-min + pointer jumping)."""
+    pts = pages_df(spark, sf_dir).filter(F.col("uid") % CLUSTER_MOD == 0)
+    return cluster_points_within_distance(
+        pts, CLUSTER_DIST, id_col="uid"
+    ).select("uid", "cluster")
+
+
+def q_buffdissexp_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """buffdissexp_by_cluster summary (SURVEY §2.6,
+    buffer_dissolve_explode.py:269-300).  Union areas have no closed SQL
+    form -> no oracle entry (weaker rows-only check); exact-area parity is
+    covered by pytest closed-form tests instead."""
+    pts = xy_to_point_wkb(
+        pages_df(spark, sf_dir).filter(F.col("uid") % BLOB_MOD == 0)
+    )
+    blobs = buffdissexp_by_cluster(pts, BLOB_RADIUS, quad_segs=8)
+    return with_area(blobs).agg(
+        F.count("*").alias("n_blobs"),
+        F.round(F.sum("area"), 0).alias("blob_area"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the municipality PIP spatial join at sf0.001."""
     return q_pip_join(spark, "/root/testdata/sf0.001")
@@ -131,6 +190,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sfilter": q_sfilter,
         "sfilter_inverse": q_sfilter_inverse,
         "all_distances": q_all_distances,
+        "box_overlay_pairs": q_box_overlay_pairs,
+        "box_overlay_area": q_box_overlay_area,
+        "page_clusters": q_page_clusters,
+        "buffdissexp_blobs": q_buffdissexp_blobs,
     }
 
 
@@ -178,5 +241,42 @@ def oracle_sql() -> dict[str, str]:
                    sqrt((p.x - c.px) * (p.x - c.px) + (p.y - c.py) * (p.y - c.py)) AS distance
             FROM pages p CROSS JOIN pts c
             WHERE p.uid % 500 = 0 AND c.vid % 10 = 0
+        """,
+        "box_overlay_pairs": f"""
+            WITH sites AS ({sites_bounds_sql()}), tiles AS ({tiles_bounds_sql()})
+            SELECT s.uid, t.tile_id
+            FROM sites s JOIN tiles t
+              ON s.minx < t.maxx AND s.maxx > t.minx
+             AND s.miny < t.maxy AND s.maxy > t.miny
+        """,
+        "box_overlay_area": f"""
+            WITH sites AS ({sites_bounds_sql()}), tiles AS ({tiles_bounds_sql()})
+            SELECT t.tile_id,
+                   round(sum(
+                     (least(s.maxx, t.maxx) - greatest(s.minx, t.minx)) *
+                     (least(s.maxy, t.maxy) - greatest(s.miny, t.miny))
+                   ), 0) AS area_sum
+            FROM sites s JOIN tiles t
+              ON s.minx < t.maxx AND s.maxx > t.minx
+             AND s.miny < t.maxy AND s.maxy > t.miny
+            GROUP BY t.tile_id
+        """,
+        "page_clusters": f"""
+            WITH RECURSIVE pts AS (
+              SELECT uid, x, y FROM ({pages}) WHERE uid % {CLUSTER_MOD} = 0
+            ),
+            edges AS (
+              SELECT a.uid AS u, b.uid AS v
+              FROM pts a JOIN pts b
+                ON a.uid <> b.uid
+               AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+                   < {CLUSTER_DIST!r} * {CLUSTER_DIST!r}
+            ),
+            cc(uid, lbl) AS (
+              SELECT uid, uid FROM pts
+              UNION
+              SELECT e.u, c.lbl FROM edges e JOIN cc c ON c.uid = e.v
+            )
+            SELECT uid, CAST(min(lbl) AS BIGINT) AS cluster FROM cc GROUP BY uid
         """,
     }

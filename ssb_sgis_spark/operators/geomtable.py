@@ -76,6 +76,25 @@ def with_length(df: DataFrame, geometry_col: str = "geometry", out: str = "lengt
     return df.mapInPandas(kernel, schema=T.StructType(fields))
 
 
+def xy_to_point_wkb(
+    df: DataFrame, x_col: str = "x", y_col: str = "y", out: str = "geometry"
+) -> DataFrame:
+    """Encode (x, y) columns as WKB points — the bridge from the native
+    point table to the WKB operator surface."""
+    fields = df.schema.fields + [T.StructField(out, T.BinaryType())]
+
+    def kernel(it):
+        for pdf in it:
+            o = pdf.copy()
+            o[out] = [
+                wkb.encode_point(float(x), float(y))
+                for x, y in zip(pdf[x_col], pdf[y_col])
+            ]
+            yield o
+
+    return df.mapInPandas(kernel, schema=T.StructType(fields))
+
+
 def make_all_singlepart(df: DataFrame, geometry_col: str = "geometry") -> DataFrame:
     """Explode multi-geometries to single parts (reference
     ``geometry_types.py:10-22``); other columns are repeated."""
