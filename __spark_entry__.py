@@ -16,7 +16,36 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ssb_sgis_spark.cells import morton_sql, ssb_grid_id_sql
+from ssb_sgis_spark.functions.text import (
+    avg_token_len_col,
+    avg_token_len_sql,
+    char_count_col,
+    char_count_sql,
+    fingerprint_col,
+    fingerprint_sql,
+    lang_guess_col,
+    lang_guess_sql,
+    stopword_count_col,
+    stopword_count_sql,
+    token_count_col,
+    token_count_sql,
+)
+from ssb_sgis_spark.operators.ann import ann_lsh_topk, cosine_topk, cosine_topk_sql
 from ssb_sgis_spark.operators.clusters import cluster_points_within_distance
+from ssb_sgis_spark.operators.dedup import (
+    dedupe_exact,
+    dedupe_exact_sql,
+    near_dup_pairs,
+    near_dup_pairs_sql,
+    simhash_df,
+    simhash_sql,
+)
+from ssb_sgis_spark.operators.textops import extract_text
+from ssb_sgis_spark.sources.documents import (
+    docs_df,
+    docs_with_dups_df,
+    docs_with_dups_sql,
+)
 from ssb_sgis_spark.operators.dissolve import buffdissexp_by_cluster
 from ssb_sgis_spark.operators.geomtable import with_area, xy_to_point_wkb
 from ssb_sgis_spark.operators.grid import add_grid_id
@@ -175,6 +204,66 @@ def q_buffdissexp_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANN_K = 5
+ANN_QUERY_MOD = 20
+
+
+def q_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched html→text extraction; the input_hint invariant
+    (byte-identical extracted text per url) IS the oracle compare."""
+    pages = pages_df(spark, sf_dir, with_payload=True)
+    return extract_text(pages).select("uid", "extracted_text")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy (SURVEY training-data ops)."""
+    return dedupe_exact(docs_with_dups_df(spark, sf_dir))
+
+
+def q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup: shingle→minhash→band→bucket-join→exact
+    Jaccard verify, integer outputs."""
+    return near_dup_pairs(docs_with_dups_df(spark, sf_dir))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document, all native expressions."""
+    return simhash_df(docs_df(spark, sf_dir))
+
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality / language-ID / fingerprint column functions."""
+    t = F.col("text")
+    return docs_df(spark, sf_dir).select(
+        "doc_id",
+        token_count_col(t).alias("n_tokens"),
+        char_count_col(t).alias("n_chars2"),
+        avg_token_len_col(t).alias("avg_tok_x1000"),
+        stopword_count_col(t).alias("stopword_n"),
+        lang_guess_col(t).alias("lang_guess"),
+        fingerprint_col(t).alias("fingerprint"),
+    )
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (the ANN exactness baseline)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % ANN_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return cosine_topk(queries, emb, ANN_K, corpus_id="vec_id")
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN (scale path; approximate by design ->
+    no SQL oracle; recall vs brute force is pytest-verified)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % ANN_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return ann_lsh_topk(queries, emb, ANN_K, corpus_id="vec_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the municipality PIP spatial join at sf0.001."""
     return q_pip_join(spark, "/root/testdata/sf0.001")
@@ -194,6 +283,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "box_overlay_area": q_box_overlay_area,
         "page_clusters": q_page_clusters,
         "buffdissexp_blobs": q_buffdissexp_blobs,
+        "text_extract": q_text_extract,
+        "dedup_exact": q_dedup_exact,
+        "near_dup": q_near_dup,
+        "simhash": q_simhash,
+        "doc_stats": q_doc_stats,
+        "ann_topk": q_ann_topk,
+        "ann_lsh": q_ann_lsh,
     }
 
 
@@ -279,4 +375,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT uid, CAST(min(lbl) AS BIGINT) AS cluster FROM cc GROUP BY uid
         """,
+        "text_extract": f"""
+            WITH pages AS ({pages})
+            SELECT uid,
+                   'page ' || CAST(uid AS VARCHAR) || ' located at E' ||
+                   printf('%.3f', x) || ' N' || printf('%.3f', y) AS extracted_text
+            FROM pages
+        """,
+        "dedup_exact": dedupe_exact_sql(f"({docs_with_dups_sql()})"),
+        "near_dup": near_dup_pairs_sql(f"({docs_with_dups_sql()})"),
+        "simhash": simhash_sql("documents"),
+        "doc_stats": f"""
+            SELECT doc_id,
+                   {token_count_sql()} AS n_tokens,
+                   {char_count_sql()} AS n_chars2,
+                   {avg_token_len_sql()} AS avg_tok_x1000,
+                   {stopword_count_sql()} AS stopword_n,
+                   {lang_guess_sql()} AS lang_guess,
+                   {fingerprint_sql()} AS fingerprint
+            FROM documents
+        """,
+        "ann_topk": cosine_topk_sql(
+            f"(SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id % {ANN_QUERY_MOD} = 0)",
+            "embeddings",
+            ANN_K,
+            corpus_id="vec_id",
+        ),
     }

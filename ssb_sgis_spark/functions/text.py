@@ -1,0 +1,126 @@
+"""Text-analysis column functions for the web-page / documents tables.
+
+Everything here is a NATIVE Spark column expression (JVM-side, whole-stage
+codegen) with a DuckDB SQL mirror — the training-data-pipeline analogue of
+the engine's grid-id arithmetic: token counting, quality scoring,
+stopword-profile language ID, and document fingerprinting.
+
+These operate on the ``documents`` table (doc_id, text, lang, source,
+n_chars) and the pages payload (input_hint shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+STOPWORDS = ("a", "the", "and", "of", "to")
+# deterministic per-language profile words for the language-ID heuristic
+LANG_PROFILES = {
+    "en": ("the", "a", "and", "value", "fast"),
+    "no": ("og", "i", "det", "en", "som"),
+    "nn": ("og", "ein", "ikkje", "som", "av"),
+}
+LANG_ORDER = ("en", "no", "nn")
+
+
+def tokens_col(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def token_count_col(text: Column) -> Column:
+    return F.size(tokens_col(text)).cast("long")
+
+
+def char_count_col(text: Column) -> Column:
+    return F.length(text).cast("long")
+
+
+def avg_token_len_col(text: Column) -> Column:
+    """Mean token length ×1000, floored — integer output avoids float
+    summation-order hazards in the oracle compare."""
+    toks = tokens_col(text)
+    total = F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+    return F.floor(total * 1000 / F.size(toks)).cast("long")
+
+
+def stopword_count_col(text: Column) -> Column:
+    toks = tokens_col(text)
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    return F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).cast("long")
+
+
+def lang_score_col(text: Column, lang: str) -> Column:
+    toks = tokens_col(text)
+    prof = F.array(*[F.lit(s) for s in LANG_PROFILES[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(prof, t))).cast("long")
+
+
+def lang_guess_col(text: Column) -> Column:
+    """argmax of profile-word hit counts, first-listed language wins ties —
+    the stopword-profile language-ID heuristic."""
+    scores = {lang: lang_score_col(text, lang) for lang in LANG_ORDER}
+    best = F.lit(LANG_ORDER[-1])
+    # fold right-to-left so earlier languages win ties (>= keeps earlier)
+    for lang in reversed(LANG_ORDER[:-1]):
+        later_max = None
+        for other in LANG_ORDER[LANG_ORDER.index(lang) + 1 :]:
+            later_max = scores[other] if later_max is None else F.greatest(later_max, scores[other])
+        best = F.when(scores[lang] >= later_max, F.lit(lang)).otherwise(best)
+    return best
+
+
+def fingerprint_col(text: Column) -> Column:
+    """Document fingerprint: md5 of the sorted distinct token set (a
+    set-based content fingerprint — order-insensitive, whitespace-stable)."""
+    toks = F.array_sort(F.array_distinct(tokens_col(text)))
+    return F.md5(F.array_join(toks, " "))
+
+
+# -------------------------------------------------------------- SQL mirrors
+def token_count_sql(t: str = "text") -> str:
+    return f"CAST(len(string_split({t}, ' ')) AS BIGINT)"
+
+
+def char_count_sql(t: str = "text") -> str:
+    return f"CAST(length({t}) AS BIGINT)"
+
+
+def avg_token_len_sql(t: str = "text") -> str:
+    return (
+        f"CAST(floor(list_sum(list_transform(string_split({t}, ' '), x -> length(x)))"
+        f" * 1000 / len(string_split({t}, ' '))) AS BIGINT)"
+    )
+
+
+def _in_list_sql(word: str, words: tuple) -> str:
+    lits = ", ".join(f"'{w}'" for w in words)
+    return f"list_contains([{lits}], {word})"
+
+
+def stopword_count_sql(t: str = "text") -> str:
+    return (
+        f"CAST(len(list_filter(string_split({t}, ' '), "
+        f"x -> {_in_list_sql('x', STOPWORDS)})) AS BIGINT)"
+    )
+
+
+def lang_score_sql(lang: str, t: str = "text") -> str:
+    return (
+        f"CAST(len(list_filter(string_split({t}, ' '), "
+        f"x -> {_in_list_sql('x', LANG_PROFILES[lang])})) AS BIGINT)"
+    )
+
+
+def lang_guess_sql(t: str = "text") -> str:
+    s = {lang: lang_score_sql(lang, t) for lang in LANG_ORDER}
+    expr = f"'{LANG_ORDER[-1]}'"
+    for lang in reversed(LANG_ORDER[:-1]):
+        later = LANG_ORDER[LANG_ORDER.index(lang) + 1 :]
+        later_max = "greatest(" + ", ".join(s[o] for o in later) + ")" if len(later) > 1 else s[later[0]]
+        expr = f"CASE WHEN {s[lang]} >= {later_max} THEN '{lang}' ELSE {expr} END"
+    return expr
+
+
+def fingerprint_sql(t: str = "text") -> str:
+    return f"md5(array_to_string(list_sort(list_distinct(string_split({t}, ' '))), ' '))"

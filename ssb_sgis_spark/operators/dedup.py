@@ -1,0 +1,256 @@
+"""Deduplication operators for web-scale text corpora.
+
+The training-data-pipeline layer of the engine (BASELINE.json payload =
+webtext): exact dedup, MinHash + LSH near-dup, and SimHash — all as
+NATIVE Spark column expressions (md5 / array lambdas, whole-stage
+codegen; zero Python in the row path) with exact DuckDB SQL mirrors.
+
+Scale design:
+* exact dedup       — one groupBy(md5(text)) shuffle with map-side combine
+* minhash signature — computed per row with NO shuffle (array_min over the
+  shingle array per hash seed); only the band-bucket self-join shuffles,
+  on short band-key strings
+* simhash           — explode(tokens) + one groupBy(doc) sum per bit
+* banding           — a doc with B bands emits B rows; candidate pairs are
+  an equi-join on the band key.  Hot buckets (boilerplate text) are the
+  skew case — cap bucket width or salt, same policy as hot cells.
+
+MinHash values are md5 hex strings compared lexicographically — identical
+total order in Spark and DuckDB, so signatures match byte-for-byte with
+no integer-conversion trickery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_N_HASHES = 16
+DEFAULT_SHINGLE_K = 3
+DEFAULT_BANDS = 4  # 4 bands x 4 rows
+
+
+# ------------------------------------------------------------- exact dedup
+def dedupe_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups: (text_hash, doc_id_kept = min id, n_copies).
+    Hash-groupBy with map-side partial agg — one shuffle on the hash."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min(id_col).alias("doc_id_kept"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def dedupe_exact_sql(rel: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+    return f"""
+    SELECT md5({text_col}) AS text_hash,
+           min({id_col}) AS doc_id_kept,
+           count(*) AS n_copies
+    FROM {rel} GROUP BY md5({text_col})
+    """
+
+
+# ----------------------------------------------------------------- minhash
+def shingles_col(text: Column, k: int = DEFAULT_SHINGLE_K) -> Column:
+    toks = F.split(text, " ")
+    n = F.size(toks)
+    sh = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    # guard: Spark's sequence(1, m) COUNTS DOWN when m < 1
+    return F.when(n >= k, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingles_sql(t: str = "text", k: int = DEFAULT_SHINGLE_K) -> str:
+    toks = f"string_split({t}, ' ')"
+    return (
+        f"list_distinct(list_transform(range(1, len({toks}) - {k - 2}), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {k - 1}), ' ')))"
+    )
+
+
+def minhash_cols(text: Column, n_hashes: int = DEFAULT_N_HASHES, k: int = DEFAULT_SHINGLE_K) -> list[Column]:
+    """One md5-hex minimum per seed — the MinHash signature, shuffle-free."""
+    sh = shingles_col(text, k)
+    return [
+        F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s)))
+        ).alias(f"mh{seed}")
+        for seed in range(n_hashes)
+    ]
+
+
+def minhash_sql_exprs(t: str = "text", n_hashes: int = DEFAULT_N_HASHES, k: int = DEFAULT_SHINGLE_K) -> list[str]:
+    sh = shingles_sql(t, k)
+    return [
+        f"list_min(list_transform({sh}, s -> md5('{seed}:' || s))) AS mh{seed}"
+        for seed in range(n_hashes)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = DEFAULT_N_HASHES,
+    k: int = DEFAULT_SHINGLE_K,
+) -> DataFrame:
+    return df.select(F.col(id_col), F.col(text_col), *minhash_cols(F.col(text_col), n_hashes, k))
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = DEFAULT_N_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Distinct (a < b) pairs sharing at least one LSH band."""
+    rows = n_hashes // bands
+    band_keys = [
+        F.concat_ws(
+            "|", F.lit(str(b)), *[F.col(f"mh{b * rows + r}") for r in range(rows)]
+        ).alias("band_key")
+        for b in range(bands)
+    ]
+    banded = sig_df.select(
+        F.col(id_col), F.explode(F.array(*band_keys)).alias("band_key")
+    )
+    other = banded.select(F.col(id_col).alias("_b"), "band_key")
+    return (
+        banded.join(other, "band_key")
+        .filter(F.col(id_col) < F.col("_b"))
+        .select(F.col(id_col).alias("a"), F.col("_b").alias("b"))
+        .distinct()
+    )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = DEFAULT_N_HASHES,
+    bands: int = DEFAULT_BANDS,
+    k: int = DEFAULT_SHINGLE_K,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs with exact shingle-Jaccard verify:
+    (a, b, inter_n, union_n) — integer counts, so the oracle compare is
+    exact.  shingle→minhash→band→bucket-join→verify, the canonical
+    pipeline."""
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, k)
+    pairs = lsh_candidate_pairs(sig, id_col, n_hashes, bands)
+    sh = df.select(
+        F.col(id_col), shingles_col(F.col(text_col), k).alias("_sh")
+    )
+    a_sh = sh.select(F.col(id_col).alias("a"), F.col("_sh").alias("_sha"))
+    b_sh = sh.select(F.col(id_col).alias("b"), F.col("_sh").alias("_shb"))
+    return (
+        pairs.join(a_sh, "a")
+        .join(b_sh, "b")
+        .select(
+            "a",
+            "b",
+            F.size(F.array_intersect("_sha", "_shb")).cast("long").alias("inter_n"),
+            F.size(F.array_union("_sha", "_shb")).cast("long").alias("union_n"),
+        )
+    )
+
+
+def near_dup_pairs_sql(
+    rel: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = DEFAULT_N_HASHES,
+    bands: int = DEFAULT_BANDS,
+    k: int = DEFAULT_SHINGLE_K,
+) -> str:
+    rows = n_hashes // bands
+    mh = ", ".join(minhash_sql_exprs(text_col, n_hashes, k))
+    band_exprs = ", ".join(
+        "concat_ws('|', '%d', %s)" % (b, ", ".join(f"mh{b * rows + r}" for r in range(rows)))
+        for b in range(bands)
+    )
+    sh = shingles_sql(text_col, k)
+    return f"""
+    WITH sig AS (SELECT {id_col}, {mh} FROM {rel}),
+    banded AS (
+      SELECT {id_col}, unnest([{band_exprs}]) AS band_key FROM sig
+    ),
+    pairs AS (
+      SELECT DISTINCT x.{id_col} AS a, y.{id_col} AS b
+      FROM banded x JOIN banded y ON x.band_key = y.band_key
+      WHERE x.{id_col} < y.{id_col}
+    ),
+    sh AS (SELECT {id_col}, {sh} AS shset FROM {rel})
+    SELECT p.a, p.b,
+           CAST(len(list_intersect(sa.shset, sb.shset)) AS BIGINT) AS inter_n,
+           CAST(len(list_distinct(list_concat(sa.shset, sb.shset))) AS BIGINT) AS union_n
+    FROM pairs p
+    JOIN sh sa ON sa.{id_col} = p.a
+    JOIN sh sb ON sb.{id_col} = p.b
+    """
+
+
+# ----------------------------------------------------------------- simhash
+def simhash_df(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash per document as two bigints (hi = bits 63..32,
+    lo = 31..0).  explode(tokens) → md5 hex → per-hex-digit bit sums →
+    one groupBy(doc) — all native expressions."""
+    tok = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("_t")
+    ).select(F.col(id_col), F.md5(F.col("_t")).alias("_h"))
+    digit_cols = []
+    for p in range(16):
+        # hex digit -> 0..15 (conv parses the hex char; DuckDB mirror uses
+        # strpos in a lookup string — same integers)
+        d = F.conv(F.substring("_h", p + 1, 1), 16, 10).cast("int")
+        digit_cols.append(d.alias(f"_d{p}"))
+    tok = tok.select(id_col, *digit_cols)
+    aggs = []
+    for bit in range(64):
+        p, shift = divmod(bit, 4)
+        b = F.shiftright(F.col(f"_d{p}"), 3 - shift).bitwiseAND(F.lit(1))
+        aggs.append(F.sum(b * 2 - 1).alias(f"_s{bit}"))
+    sums = tok.groupBy(id_col).agg(*aggs)
+    hi = F.lit(0).cast("long")
+    lo = F.lit(0).cast("long")
+    for bit in range(64):
+        one = F.when(F.col(f"_s{bit}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        if bit < 32:
+            lo = lo + F.shiftleft(one, bit)
+        else:
+            hi = hi + F.shiftleft(one, bit - 32)
+    return sums.select(F.col(id_col), hi.alias("simhash_hi"), lo.alias("simhash_lo"))
+
+
+def simhash_sql(rel: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+    digits = ", ".join(
+        f"strpos('0123456789abcdef', substr(h, {p + 1}, 1)) - 1 AS d{p}"
+        for p in range(16)
+    )
+    sums = ", ".join(
+        "sum(((d%d >> %d) & 1) * 2 - 1) AS s%d" % (divmod(bit, 4)[0], 3 - divmod(bit, 4)[1], bit)
+        for bit in range(64)
+    )
+    lo = " + ".join(
+        f"(CASE WHEN s{bit} > 0 THEN CAST(1 AS BIGINT) << {bit} ELSE 0 END)"
+        for bit in range(32)
+    )
+    hi = " + ".join(
+        f"(CASE WHEN s{bit} > 0 THEN CAST(1 AS BIGINT) << {bit - 32} ELSE 0 END)"
+        for bit in range(32, 64)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT {id_col}, md5(unnest(string_split({text_col}, ' '))) AS h FROM {rel}
+    ),
+    dig AS (SELECT {id_col}, {digits} FROM tok),
+    sums AS (SELECT {id_col}, {sums} FROM dig GROUP BY {id_col})
+    SELECT {id_col}, {hi} AS simhash_hi, {lo} AS simhash_lo FROM sums
+    """

