@@ -60,17 +60,33 @@ def dissolve(
     df: DataFrame,
     by: list[str] | str | None = None,
     geometry_col: str = "geometry",
+    salt: int | None = None,
 ) -> DataFrame:
     """Group-wise unary union (reference dissolve,
     ``buffer_dissolve_explode.py:158``); non-`by` columns are dropped
     except the geometry (reference keeps aggfunc="first" of others —
-    callers needing that select it into `by`)."""
+    callers needing that select it into `by`).
+
+    ``salt``: explicit two-stage skew-salted shuffle (the north rule's
+    hot-cell policy).  Geometry union has no map-side partial aggregation
+    (it runs in applyInPandas), so a hot group (an Oslo-dense cell with
+    10^6 members) lands on ONE task.  With salt=N: stage 1 unions each
+    ``(by, hash(geometry) % N)`` sub-group in parallel, stage 2 unions the
+    ≤N partials per group.  Union is associative/commutative, so the
+    result is identical (tested)."""
     if by is None:
         bycols: list[str] = []
     elif isinstance(by, str):
         bycols = [by]
     else:
         bycols = list(by)
+
+    if salt is not None and salt > 1:
+        salted = df.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(geometry_col)), F.lit(salt))
+        )
+        stage1 = dissolve(salted, bycols + ["_salt"], geometry_col, salt=None)
+        return dissolve(stage1, bycols, geometry_col, salt=None)
 
     fields = [df.schema[c] for c in bycols] + [T.StructField("geometry", T.BinaryType())]
     schema = T.StructType(fields)

@@ -1,0 +1,149 @@
+"""gridloop tiled≡global invariant, salted dissolve equivalence, and
+checkpoint-resume via the tile manifest."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ssb_sgis_spark.kernels import wkb
+from ssb_sgis_spark.kernels.boolean import polygon_area
+from ssb_sgis_spark.operators.dissolve import dissexp, dissolve
+from ssb_sgis_spark.operators.gridloop import gridloop
+from ssb_sgis_spark.plans.manifest import TiledRun, partition_metrics
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    rng = np.random.RandomState(9)
+    n = 400
+    xs = 250000.0 + rng.rand(n) * 30000
+    ys = 6600000.0 + rng.rand(n) * 30000
+    df = spark.createDataFrame(
+        [(int(i), float(xs[i]), float(ys[i])) for i in range(n)],
+        "uid long, x double, y double",
+    )
+    return xs, ys, df
+
+
+def test_gridloop_with_halo_equals_global(spark, points):
+    """Per-point neighbor count within r: cellwise with halo == global —
+    the reference's gridloop invariant (tests/test_bounds.py:33-89)."""
+    xs, ys, df = points
+    r = 900.0
+
+    out_schema = T.StructType(
+        [T.StructField("uid", T.LongType()), T.StructField("n_nbr", T.LongType())]
+    )
+
+    def func(pdf):
+        own = pdf[~pdf["_is_halo"]]
+        allp = pdf
+        counts = []
+        for _, row in own.iterrows():
+            d2 = (allp["x"] - row["x"]) ** 2 + (allp["y"] - row["y"]) ** 2
+            counts.append(int((d2 < r * r).sum() - 1))
+        import pandas as pd
+
+        return pd.DataFrame({"uid": own["uid"].values, "n_nbr": counts})
+
+    got = {
+        r_["uid"]: r_["n_nbr"]
+        for r_ in gridloop(df, func, out_schema, gridsize=5000.0, halo=r).collect()
+    }
+    # global oracle
+    d2 = (xs[:, None] - xs[None, :]) ** 2 + (ys[:, None] - ys[None, :]) ** 2
+    exp = ((d2 < r * r).sum(axis=1) - 1).astype(int)
+    assert got == {i: int(exp[i]) for i in range(len(xs))}
+
+
+def test_salted_dissolve_equals_plain(spark):
+    """Two-stage salted union ≡ one-stage union (hot-cell skew policy)."""
+    rng = np.random.RandomState(4)
+    rows = []
+    for i in range(60):
+        x0 = 250000.0 + rng.rand() * 8000
+        y0 = 6600000.0 + rng.rand() * 8000
+        ring = np.array(
+            [
+                (x0, y0),
+                (x0 + 500 + rng.rand() * 1500, y0),
+                (x0 + 500 + rng.rand() * 1500, y0 + 500 + rng.rand() * 1500),
+                (x0, y0 + 500 + rng.rand() * 1500),
+                (x0, y0),
+            ]
+        )
+        rows.append((i % 3, bytearray(wkb.encode_polygon([ring]))))
+    df = spark.createDataFrame(rows, "grp int, geometry binary")
+    plain = {
+        r["grp"]: polygon_area(wkb.decode([r["geometry"]]).geom_parts(0))
+        for r in dissolve(df, "grp").collect()
+    }
+    salted = {
+        r["grp"]: polygon_area(wkb.decode([r["geometry"]]).geom_parts(0))
+        for r in dissolve(df, "grp", salt=4).collect()
+    }
+    assert set(plain) == set(salted)
+    for k in plain:
+        assert salted[k] == pytest.approx(plain[k], rel=1e-9)
+
+
+def test_tiled_run_resume(spark, points, tmp_path):
+    """Half the batches 'crash'; resume completes only the missing ones and
+    the final output equals the one-shot run."""
+    _, _, df = points
+    df = df.withColumn("tile", (F.col("uid") % 10).cast("long"))
+    out1 = str(tmp_path / "run1")
+
+    def job(tiles):
+        return (
+            df.filter(F.col("tile").isin(tiles))
+            .groupBy("tile")
+            .agg(F.count("*").alias("n"), F.sum("uid").alias("uid_sum"))
+        )
+
+    tiles = list(range(10))
+    run = TiledRun(spark, out1)
+    # first attempt: process only 2 of 4 batches, then "crash"
+    processed = 0
+    for b, batch_tiles, done in run.batches(tiles, n_batches=4):
+        if processed == 2:
+            break
+        with run.record(b) as rec:
+            rec.write(job(batch_tiles))
+        processed += 1
+    assert len(run.done_batches()) == 2
+
+    # resume: a fresh TiledRun over the same dir completes the rest
+    run2 = TiledRun(spark, out1)
+    skipped = 0
+    for b, batch_tiles, done in run2.batches(tiles, n_batches=4):
+        if done:
+            skipped += 1
+            continue
+        with run2.record(b) as rec:
+            rec.write(job(batch_tiles))
+    assert skipped == 2
+
+    got = {
+        r["tile"]: (r["n"], r["uid_sum"])
+        for r in run2.result().select("tile", "n", "uid_sum").collect()
+    }
+    exp = {
+        r["tile"]: (r["n"], r["uid_sum"])
+        for r in df.groupBy("tile")
+        .agg(F.count("*").alias("n"), F.sum("uid").alias("uid_sum"))
+        .collect()
+    }
+    assert got == exp
+    # manifest carries per-batch lineage
+    man = spark.read.parquet(run2.manifest_path).collect()
+    assert sum(r["n_rows"] for r in man) == 10  # one agg row per tile
+    assert all(r["status"] == "done" for r in man)
+
+
+def test_partition_metrics(spark, points):
+    _, _, df = points
+    m = partition_metrics(df.repartition(6), key_col="uid").collect()
+    assert sum(r["n_rows"] for r in m) == 400
+    assert len(m) <= 6
