@@ -40,7 +40,32 @@ from ssb_sgis_spark.operators.dedup import (
     simhash_df,
     simhash_sql,
 )
+from ssb_sgis_spark.operators.network import (
+    get_connected_components,
+    make_directed_network,
+    make_node_ids,
+    od_cost_matrix,
+    service_area_nodes,
+)
 from ssb_sgis_spark.operators.textops import extract_text
+from ssb_sgis_spark.operators.zonal import zonal_stats
+from ssb_sgis_spark.sources.raster import (
+    CELL,
+    NCX,
+    NCY,
+    RZ_X0,
+    RZ_Y0,
+    cell_value_sql,
+    raster_tiles_df,
+)
+from ssb_sgis_spark.sources.roads import (
+    BREAK_IX,
+    NX,
+    NY,
+    origins_df,
+    origins_sql,
+    roads_df,
+)
 from ssb_sgis_spark.sources.documents import (
     docs_df,
     docs_with_dups_df,
@@ -206,6 +231,16 @@ def q_buffdissexp_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ANN_K = 5
 ANN_QUERY_MOD = 20
+OD_ORIGIN_MOD = 999  # odd: uid = 8*orderkey+linenumber is never 0 mod 8
+OD_DEST_MOD = 1301
+SA_ORIGIN_MOD = 1999
+SA_BREAKS = [2.0, 4.0]
+
+
+def _directed_unit_edges(spark: SparkSession):
+    lines, _nodes = make_node_ids(roads_df(spark))
+    lines = lines.withColumn("weight", F.lit(1.0))
+    return make_directed_network(lines, "oneway")
 
 
 def q_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -264,6 +299,45 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(queries, emb, ANN_K, corpus_id="vec_id")
 
 
+def q_od_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """od_cost_matrix over the unit-weight lattice (SURVEY §2.11,
+    networkanalysis.py:145-418): broadcast graph + partitioned origins;
+    unit weights make least cost == Manhattan index distance, so the real
+    Dijkstra is checked against exact SQL arithmetic."""
+    edges = _directed_unit_edges(spark)
+    orig = origins_df(spark, sf_dir, OD_ORIGIN_MOD)
+    dest = origins_df(spark, sf_dir, OD_DEST_MOD).withColumnRenamed(
+        "origin", "destination"
+    )
+    return od_cost_matrix(
+        edges, orig, dest, origin_id="origin", dest_id="destination"
+    )
+
+
+def q_service_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """service_area node counts per origin per break (SURVEY §2.11,
+    _service_area.py:15-127)."""
+    edges = _directed_unit_edges(spark)
+    orig = origins_df(spark, sf_dir, SA_ORIGIN_MOD)
+    sa = service_area_nodes(edges, orig, SA_BREAKS)
+    return sa.groupBy("origin", "break_val").agg(F.count("*").alias("n_nodes"))
+
+
+def q_network_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_connected_components on the broken lattice (SURVEY §2.10,
+    finding_isolated_networks.py:9-63)."""
+    lines, nodes = make_node_ids(roads_df(spark, broken=True))
+    cc = get_connected_components(lines, nodes)
+    return cc.select("source", "target", "component", "connected")
+
+
+def q_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster.zonal (SURVEY §2.12, raster/zonal.py:11-114): per-municipality
+    stats over the tiled integer raster — polygons⋈tiles + masked partial
+    aggs, exact integer combine."""
+    return zonal_stats(muni_df(spark), raster_tiles_df(spark))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the municipality PIP spatial join at sf0.001."""
     return q_pip_join(spark, "/root/testdata/sf0.001")
@@ -290,6 +364,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": q_doc_stats,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
+        "od_cost": q_od_cost,
+        "service_area": q_service_area,
+        "network_components": q_network_components,
+        "zonal": q_zonal,
     }
 
 
@@ -401,4 +479,71 @@ def oracle_sql() -> dict[str, str]:
             ANN_K,
             corpus_id="vec_id",
         ),
+        "od_cost": f"""
+            WITH o AS ({origins_sql(OD_ORIGIN_MOD, 'origin')}),
+                 d AS ({origins_sql(OD_DEST_MOD, 'destination')})
+            SELECT o.origin, d.destination,
+                   CAST(abs(o.node_id % {NX} - d.node_id % {NX})
+                      + abs(o.node_id // {NX} - d.node_id // {NX}) AS DOUBLE) AS cost
+            FROM o CROSS JOIN d
+        """,
+        "service_area": f"""
+            WITH o AS ({origins_sql(SA_ORIGIN_MOD, 'origin')}),
+                 lattice AS (
+                   SELECT iy * {NX} + ix AS node_id, ix, iy
+                   FROM (SELECT unnest(range(0, {NX})) AS ix),
+                        (SELECT unnest(range(0, {NY})) AS iy)
+                 ),
+                 b(break_val) AS (VALUES {", ".join(f"({b!r})" for b in SA_BREAKS)})
+            SELECT o.origin, b.break_val, count(*) AS n_nodes
+            FROM o CROSS JOIN b JOIN lattice l
+              ON abs(o.node_id % {NX} - l.ix) + abs(o.node_id // {NX} - l.iy)
+                 <= b.break_val
+            GROUP BY o.origin, b.break_val
+        """,
+        "network_components": f"""
+            WITH horiz AS (
+              SELECT iy * {NX} + ix AS source, iy * {NX} + ix + 1 AS target
+              FROM (SELECT unnest(range(0, {NX - 1})) AS ix),
+                   (SELECT unnest(range(0, {NY})) AS iy)
+              WHERE ix + 1 <> {BREAK_IX}
+            ),
+            vert AS (
+              SELECT iy * {NX} + ix AS source, (iy + 1) * {NX} + ix AS target
+              FROM (SELECT unnest(range(0, {NX})) AS ix),
+                   (SELECT unnest(range(0, {NY - 1})) AS iy)
+            ),
+            lines AS (SELECT * FROM horiz UNION ALL SELECT * FROM vert)
+            SELECT source, target,
+                   CAST(CASE WHEN source % {NX} < {BREAK_IX} THEN 0 ELSE {BREAK_IX} END AS BIGINT) AS component,
+                   CAST(CASE WHEN source % {NX} < {BREAK_IX} THEN 0 ELSE 1 END AS INTEGER) AS connected
+            FROM lines
+        """,
+        "zonal": f"""
+            WITH cells AS (
+              SELECT ix, iy,
+                     {RZ_X0!r} + (CAST(ix AS DOUBLE) + 0.5) * {CELL!r} AS x,
+                     {RZ_Y0!r} + (CAST(iy AS DOUBLE) + 0.5) * {CELL!r} AS y,
+                     {cell_value_sql('ix', 'iy')} AS value
+              FROM (SELECT unnest(range(0, {NCX})) AS ix),
+                   (SELECT unnest(range(0, {NCY})) AS iy)
+            ),
+            edges(muni_id, x1, y1, x2, y2) AS (VALUES
+            {muni_edges_sql_values()}
+            ),
+            hits AS (
+              SELECT c.ix, c.iy, c.value, e.muni_id
+              FROM cells c JOIN edges e
+                ON ((e.y1 > c.y) != (e.y2 > c.y))
+               AND (c.x < (e.x2 - e.x1) * (c.y - e.y1) / (e.y2 - e.y1) + e.x1)
+              GROUP BY c.ix, c.iy, c.value, e.muni_id
+              HAVING count(*) % 2 = 1
+            )
+            SELECT muni_id,
+                   count(*) AS n_cells,
+                   sum(value) AS value_sum,
+                   min(value) AS value_min,
+                   max(value) AS value_max
+            FROM hits GROUP BY muni_id
+        """,
     }

@@ -1,0 +1,270 @@
+"""Network-analysis operators (reference ``sgis/networkanalysis/``).
+
+Line prep → node ids → directed network → graph queries, Spark-first:
+
+* :func:`make_node_ids` — endpoints per line, dedup to integer node ids,
+  joined back as source/target (+ node degree columns) — reference
+  ``nodes.py:15-94`` (its "integer-as-string in order of appearance" ids
+  become rank-over-(y, x) ids: deterministic under any partitioning).
+* :func:`make_directed_network` — duplicate + reverse bidirectional rows
+  with per-direction minute columns (``directednetwork.py:85-202``) —
+  pure unions/renames, one reverse-geometry batch kernel.
+* :func:`get_connected_components` — node graph → the engine's iterative
+  CC (``finding_isolated_networks.py:9-63``), largest component flagged.
+* :func:`od_cost_matrix` — *broadcast graph, partition the origins*
+  (SURVEY §3.3): heapq-Dijkstra per origin inside ``mapInPandas``;
+  ``cutoff`` and ``destination_count`` post-filters are a native filter
+  and a rank window (``networkanalysis.py:391-397``).
+* :func:`service_area_nodes` — per-origin reachable node set within each
+  break (``_service_area.py:15-127``, node-distance stage).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from ..kernels import wkb
+from ..kernels.graph import Adjacency, dijkstra
+
+
+# --------------------------------------------------------------- node prep
+def make_edge_coords_cols(df: DataFrame, geometry_col: str = "geometry") -> DataFrame:
+    """First/last vertex per line as (x0, y0, x1, y1) columns
+    (``nodes.py:97-150``)."""
+    fields = df.schema.fields + [
+        T.StructField(c, T.DoubleType()) for c in ("x0", "y0", "x1", "y1")
+    ]
+
+    def kernel(it):
+        for pdf in it:
+            ga = wkb.decode(pdf[geometry_col].tolist())
+            n = len(ga)
+            out = pdf.copy()
+            a = np.full((n, 4), np.nan)
+            for g in range(n):
+                rings = ga.geom_rings(g)
+                if rings:
+                    a[g, 0], a[g, 1] = rings[0][0]
+                    a[g, 2], a[g, 3] = rings[-1][-1]
+            out["x0"], out["y0"], out["x1"], out["y1"] = a.T
+            yield out
+
+    return df.mapInPandas(kernel, schema=T.StructType(fields))
+
+
+def make_node_ids(df: DataFrame, geometry_col: str = "geometry") -> tuple[DataFrame, DataFrame]:
+    """Returns (lines_with_source_target, nodes).
+
+    nodes: (node_id long, x double, y double, n long) — n = degree
+    (count of line endpoints at the node, reference ``n_source``+
+    ``n_target``).  node_id = dense rank over (y, x): deterministic.
+    """
+    e = make_edge_coords_cols(df, geometry_col)
+    pts = (
+        e.select(F.col("x0").alias("x"), F.col("y0").alias("y"))
+        .unionAll(e.select(F.col("x1").alias("x"), F.col("y1").alias("y")))
+    )
+    nodes = (
+        pts.groupBy("x", "y")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "node_id",
+            F.row_number().over(Window.orderBy(F.col("y"), F.col("x"))).cast("long")
+            - 1,
+        )
+    )
+    src = nodes.select(
+        F.col("x").alias("x0"), F.col("y").alias("y0"), F.col("node_id").alias("source")
+    )
+    tgt = nodes.select(
+        F.col("x").alias("x1"), F.col("y").alias("y1"), F.col("node_id").alias("target")
+    )
+    lines = e.join(src, ["x0", "y0"]).join(tgt, ["x1", "y1"])
+    return lines, nodes.select("node_id", "x", "y", "n")
+
+
+def make_directed_network(
+    df: DataFrame,
+    direction_col: str = "oneway",
+    direction_vals: tuple = ("B", "FT", "TF"),
+    minute_cols: tuple | None = None,
+) -> DataFrame:
+    """Bidirectional rows duplicated + reversed (``directednetwork.py:
+    85-202``): B = both ways, FT = forward only, TF = backward only.
+    Reversal swaps source/target (geometry direction is irrelevant to the
+    graph, so the WKB stays — the reference reverses it for display)."""
+    both, ft, tf = direction_vals
+    fwd = df.filter(F.col(direction_col).isin([both, ft]))
+    rev = df.filter(F.col(direction_col).isin([both, tf])).withColumns(
+        {
+            "source": F.col("target"),
+            "target": F.col("source"),
+        }
+    )
+    if minute_cols:
+        fw_col, bw_col = minute_cols
+        fwd = fwd.withColumn("minutes", F.col(fw_col))
+        rev = rev.withColumn("minutes", F.col(bw_col))
+    return fwd.unionByName(rev)
+
+
+def make_directed_network_norway(df: DataFrame) -> DataFrame:
+    """Preset (``directednetwork.py:12-82``): oneway ∈ B/FT/TF with
+    drivetime_fw/drivetime_bw minute columns."""
+    return make_directed_network(
+        df, "oneway", ("B", "FT", "TF"), ("drivetime_fw", "drivetime_bw")
+    )
+
+
+def get_connected_components(
+    lines: DataFrame, nodes: DataFrame
+) -> DataFrame:
+    """Per-line component label + ``connected`` flag for the largest
+    component (reference ``finding_isolated_networks.py:9-63``)."""
+    from .clusters import connected_components
+
+    edges = lines.select(F.col("source").alias("src"), F.col("target").alias("dst"))
+    comp = connected_components(
+        edges, nodes.select(F.col("node_id")), id_col="node_id", component_col="component"
+    )
+    lines_c = lines.join(
+        comp.withColumnRenamed("node_id", "source"), "source", "left"
+    )
+    sizes = lines_c.groupBy("component").agg(F.count("*").alias("_sz"))
+    largest = sizes.orderBy(F.desc("_sz"), F.asc("component")).limit(1)
+    return lines_c.join(F.broadcast(largest), "component", "left").withColumn(
+        "connected", F.when(F.col("_sz").isNotNull(), 1).otherwise(0)
+    ).drop("_sz")
+
+
+# ------------------------------------------------------------ graph queries
+def _broadcast_adjacency(edges: DataFrame, weight_col: str):
+    rows = edges.select("source", "target", weight_col).collect()
+    src = [r[0] for r in rows]
+    dst = [r[1] for r in rows]
+    w = [float(r[2]) for r in rows]
+    spark = edges.sparkSession
+    return spark.sparkContext.broadcast((src, dst, w))
+
+
+def od_cost_matrix(
+    edges: DataFrame,
+    origins: DataFrame,
+    destinations: DataFrame,
+    weight_col: str = "weight",
+    origin_id: str = "origin",
+    dest_id: str = "destination",
+    origin_node: str = "node_id",
+    dest_node: str = "node_id",
+    cutoff: float | None = None,
+    destination_count: int | None = None,
+    rowwise: bool = False,
+) -> DataFrame:
+    """Many-to-many least cost (reference ``networkanalysis.py:145-418``).
+
+    origins/destinations carry (id, node) — point→node connection is the
+    caller's kNN snap (reference connects via k=50 nearest within
+    search_tolerance, ``_points.py:66-99``).  The graph is broadcast; the
+    origins are the partitioned side; one Dijkstra per origin per task.
+    Unreachable pairs get null cost (reference's NaN,
+    ``_od_cost_matrix.py:68``); ``rowwise`` pairs origins to destinations
+    positionally instead of all-to-all (``_od_cost_matrix.py:24-33``).
+    """
+    bc = _broadcast_adjacency(edges, weight_col)
+    dest_rows = destinations.select(dest_id, dest_node).collect()
+    dests = [(r[0], r[1]) for r in dest_rows]
+    spark = origins.sparkSession
+    bc_dests = spark.sparkContext.broadcast(dests)
+
+    schema = T.StructType(
+        [
+            T.StructField(origin_id, origins.schema[origin_id].dataType),
+            T.StructField(dest_id, destinations.schema[dest_id].dataType),
+            T.StructField("cost", T.DoubleType()),
+        ]
+    )
+
+    o = origins.select(origin_id, origin_node)
+    if rowwise:
+        o = o.withColumn("_row", F.monotonically_increasing_id())
+
+    def kernel(it):
+        src, dst, w = bc.value
+        adj = Adjacency(src, dst, w)
+        dlist = bc_dests.value
+        target_nodes = {n for _, n in dlist}
+        for pdf in it:
+            out_o, out_d, out_c = [], [], []
+            for i in range(len(pdf)):
+                oid = pdf[origin_id].iloc[i]
+                onode = pdf[origin_node].iloc[i]
+                dist = dijkstra(adj, onode, targets=target_nodes, cutoff=cutoff)
+                for did, dnode in dlist:
+                    c = dist.get(dnode)
+                    out_o.append(oid)
+                    out_d.append(did)
+                    out_c.append(c if c is not None else np.nan)
+            yield pd.DataFrame({origin_id: out_o, dest_id: out_d, "cost": out_c})
+
+    res = o.repartition(max(origins.sparkSession.sparkContext.defaultParallelism, 2), origin_id).mapInPandas(
+        kernel, schema=schema
+    )
+    res = res.withColumn("cost", F.when(F.isnan("cost"), F.lit(None)).otherwise(F.col("cost")))
+    if cutoff is not None:
+        res = res.filter(F.col("cost") <= cutoff)
+    if destination_count is not None:
+        w_rank = Window.partitionBy(origin_id).orderBy(F.asc_nulls_last("cost"), F.asc(dest_id))
+        res = res.withColumn("_r", F.row_number().over(w_rank)).filter(
+            F.col("_r") <= destination_count
+        ).drop("_r")
+    return res
+
+
+def service_area_nodes(
+    edges: DataFrame,
+    origins: DataFrame,
+    breaks: list[float],
+    weight_col: str = "weight",
+    origin_id: str = "origin",
+    origin_node: str = "node_id",
+) -> DataFrame:
+    """Reachable nodes per origin per break (the node-distance stage of
+    ``service_area``, ``_service_area.py:15-127``)."""
+    bc = _broadcast_adjacency(edges, weight_col)
+    max_break = max(breaks)
+    schema = T.StructType(
+        [
+            T.StructField(origin_id, origins.schema[origin_id].dataType),
+            T.StructField("break_val", T.DoubleType()),
+            T.StructField("node_id", T.LongType()),
+            T.StructField("cost", T.DoubleType()),
+        ]
+    )
+
+    def kernel(it):
+        src, dst, w = bc.value
+        adj = Adjacency(src, dst, w)
+        for pdf in it:
+            rows = {origin_id: [], "break_val": [], "node_id": [], "cost": []}
+            for i in range(len(pdf)):
+                oid = pdf[origin_id].iloc[i]
+                onode = pdf[origin_node].iloc[i]
+                dist = dijkstra(adj, onode, cutoff=max_break)
+                for node, c in dist.items():
+                    for b in breaks:
+                        if c <= b:
+                            rows[origin_id].append(oid)
+                            rows["break_val"].append(float(b))
+                            rows["node_id"].append(node)
+                            rows["cost"].append(c)
+            yield pd.DataFrame(rows)
+
+    o = origins.select(origin_id, origin_node)
+    return o.repartition(
+        max(origins.sparkSession.sparkContext.defaultParallelism, 2), origin_id
+    ).mapInPandas(kernel, schema=schema)
