@@ -196,11 +196,11 @@ def q_box_overlay_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-tile intersection-area rollup of the overlay result (area via
     the shoelace kernel on the arrangement output; rounded to the
     reference's own 3-decimal tolerance, test_overlay.py:80-88)."""
-    inter = clean_overlay(sites_df(spark, sf_dir), tiles_df(spark), "intersection")
-    return (
-        with_area(inter)
-        .groupBy("tile_id")
-        .agg(F.round(F.sum("area"), 0).alias("area_sum"))
+    inter = clean_overlay(
+        sites_df(spark, sf_dir), tiles_df(spark), "intersection", add_area=True
+    )
+    return inter.groupBy("tile_id").agg(
+        F.round(F.sum("area"), 0).alias("area_sum")
     )
 
 

@@ -42,19 +42,48 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
+    subset = os.environ.get("SPARK_GRAFT_QUERIES")
+    if subset:
+        wanted = subset.split(",")
+        qs = {k: v for k, v in qs.items() if k in wanted}
+    # SPARK_GRAFT_SCALE=K replicates the page table K x (deterministic
+    # coordinate jitter) for the scaling-efficiency benchmark — fixed
+    # overheads amortize so local[8] vs local[32] measures the engine, not
+    # JVM/py4j constants.
+    scale = int(os.environ.get("SPARK_GRAFT_SCALE", "1"))
     timings: dict[str, float] = {}
-    n_pages = None
 
     # warm the JVM + parquet footers once with a trivial action
-    from ssb_sgis_spark.sources.pages import pages_df
+    import ssb_sgis_spark.sources.pages as pages_mod
+    from pyspark.sql import functions as F
 
-    n_pages = pages_df(spark, sf_dir).count()
+    orig_pages_df = pages_mod.pages_df
+    if scale > 1:
+        def scaled_pages_df(spark_, sf_dir_, with_payload=False):
+            df = orig_pages_df(spark_, sf_dir_, with_payload)
+            rep = spark_.range(scale).withColumnRenamed("id", "_k")
+            return (
+                df.crossJoin(rep)
+                .withColumn("uid", F.col("uid") * scale + F.col("_k"))
+                .withColumn("x", F.col("x") + F.col("_k") * 0.001)
+                .drop("_k")
+            )
 
+        pages_mod.pages_df = scaled_pages_df
+        # re-bind the symbol imported into the entry module
+        entrymod.pages_df = scaled_pages_df
+
+    n_pages = pages_mod.pages_df(spark, sf_dir).count()
+
+    errors: dict[str, str] = {}
     for name, fn in qs.items():
         t0 = time.time()
-        # force full execution; count() runs every operator incl. UDF refines
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+        try:
+            # force full execution; count() runs every operator incl. UDF refine
+            fn(spark, sf_dir).count()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # keep the bench alive; report the failure
+            errors[name] = f"{type(exc).__name__}: {str(exc)[:200]}"
 
     flagship = timings.get("pip_join", 1.0)
     pages_per_sec = round(n_pages / flagship, 1) if flagship else None
@@ -68,6 +97,7 @@ def main() -> None:
                 "sf": sf,
                 "n_pages": n_pages,
                 "cpus": int(cpus),
+                **({"errors": errors} if errors else {}),
             }
         )
     )

@@ -264,6 +264,67 @@ def _keys(x: np.ndarray, y: np.ndarray) -> np.ndarray:
     return ix.astype(np.complex128) + 1j * iy.astype(np.complex128)
 
 
+def _fast_no_crossing(pa: list[np.ndarray], pb: list[np.ndarray], op: str):
+    """Shortcut for ONE polygon vs ONE polygon when their boundaries do not
+    cross: the result is disjoint / A⊂B / B⊂A and needs no arrangement.
+    Returns None when the shortcut doesn't apply (crossings, collinear
+    touches, or an op case that needs ring surgery).  This is the dominant
+    case in overlay workloads (a small feature entirely inside a big tile)
+    and turns ~1 ms of arrangement into ~30 µs of numpy."""
+    ea = _poly_edges(pa)
+    eb = _poly_edges(pb)
+    ba = _edge_bboxes(*ea)
+    bb = _edge_bboxes(*eb)
+    # total-bbox disjoint?
+    if (
+        ba[:, 0].min() > bb[:, 2].max()
+        or ba[:, 2].max() < bb[:, 0].min()
+        or ba[:, 1].min() > bb[:, 3].max()
+        or ba[:, 3].max() < bb[:, 1].min()
+    ):
+        crossings = False
+    else:
+        ii, jj = _candidate_pairs(ba, bb)
+        if len(ii):
+            ta, tb, ca, ca2, cb, cb2 = _seg_intersections(
+                ea[0][ii], ea[1][ii], ea[2][ii], ea[3][ii],
+                eb[0][jj], eb[1][jj], eb[2][jj], eb[3][jj],
+            )
+            eps = 1e-12
+            proper = (~np.isnan(ta)) & (ta > eps) & (ta < 1 - eps) & (tb > eps) & (tb < 1 - eps)
+            touching = (~np.isnan(ta)) & ~proper
+            collinear = ~np.isnan(ca)
+            if proper.any() or touching.any() or collinear.any():
+                return None  # boundaries interact -> full kernel
+        crossings = False
+    a_in_b = bool(_pip_many(ea[0][:1], ea[1][:1], eb)[0])
+    b_in_a = bool(_pip_many(eb[0][:1], eb[1][:1], ea)[0])
+    if (a_in_b or b_in_a) and (len(pa) > 1 or len(pb) > 1):
+        # containment with holes: the inner polygon may contain the outer's
+        # hole ring without any boundary crossing — needs the full kernel
+        return None
+    if a_in_b:
+        if op == "intersection":
+            return [list(pa)]
+        if op == "difference":
+            return []
+        if op == "union":
+            return [list(pb)]
+        return None  # symdiff needs A as a hole of B
+    if b_in_a:
+        if op == "intersection":
+            return [list(pb)]
+        return None  # difference/symdiff need B as a hole; union == A
+    # disjoint
+    if op == "intersection":
+        return []
+    if op == "difference":
+        return [list(pa)]
+    if op in ("union", "symdiff"):
+        return [list(pa), list(pb)]
+    return None
+
+
 def overlay_parts(
     group_a: list[list[list[np.ndarray]]],
     group_b: list[list[list[np.ndarray]]],
@@ -280,23 +341,37 @@ def overlay_parts(
 
     Returns the result as ONE multipolygon in parts form ([] if empty).
     """
-    soup = _EdgeSoup()
-    per_poly_edges = []
-    groups = []
-    pid = 0
+    polys: list[tuple[int, list[np.ndarray]]] = []
     for grp_flag, group in ((0, group_a), (1, group_b)):
         for mp in group:
             for rings in mp:
                 rings = [_close_ring(np.asarray(r, dtype=np.float64)) for r in rings]
                 rings = [r for r in rings if len(r) >= 4]
-                if not rings:
-                    continue
-                soup.add_polygon(pid, rings)
-                per_poly_edges.append(_poly_edges(rings))
-                groups.append(grp_flag)
-                pid += 1
-    if pid == 0:
+                if rings:
+                    polys.append((grp_flag, rings))
+    if not polys:
         return []
+
+    a_polys = [r for g, r in polys if g == 0]
+    b_polys = [r for g, r in polys if g == 1]
+    if len(a_polys) == 1 and len(b_polys) == 1:
+        fast = _fast_no_crossing(a_polys[0], b_polys[0], op)
+        if fast is not None:
+            return fast
+    if len(b_polys) == 0 and len(a_polys) == 1 and op in ("union", "difference"):
+        return [list(a_polys[0])]
+    if len(b_polys) == 0 and op == "intersection":
+        return []
+
+    soup = _EdgeSoup()
+    per_poly_edges = []
+    groups = []
+    pid = 0
+    for grp_flag, rings in polys:
+        soup.add_polygon(pid, rings)
+        per_poly_edges.append(_poly_edges(rings))
+        groups.append(grp_flag)
+        pid += 1
     groups_arr = np.asarray(groups, dtype=np.int8)
 
     x1, y1, x2, y2, poly = soup.arrays()

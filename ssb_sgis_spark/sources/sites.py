@@ -37,9 +37,11 @@ def site_bounds_cols(df: DataFrame) -> DataFrame:
 
 
 def sites_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(uid, geometry WKB) site boxes."""
+    """(uid, minx..maxy, geometry WKB) site boxes.  Bounds ride along as
+    native columns (the engine's decode-once contract — with_bounds skips
+    Python entirely when they are present)."""
     pages = pages_df(spark, sf_dir).filter(F.col("uid") % SITE_MOD == 0)
-    return bounds_to_polygon(site_bounds_cols(pages)).select("uid", "geometry")
+    return bounds_to_polygon(site_bounds_cols(pages))
 
 
 def sites_bounds_sql() -> str:
@@ -81,7 +83,7 @@ def tiles_df(spark: SparkSession) -> DataFrame:
             (F.lit(MUNI_Y0) + F.col("iy") * TILE_SIZE + TILE_SIZE).alias("maxy"),
         )
     )
-    return bounds_to_polygon(cells).select("tile_id", "geometry")
+    return bounds_to_polygon(cells)
 
 
 def tiles_bounds_sql() -> str:
