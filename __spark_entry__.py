@@ -240,7 +240,10 @@ SA_BREAKS = [2.0, 4.0]
 def _directed_unit_edges(spark: SparkSession):
     lines, _nodes = make_node_ids(roads_df(spark))
     lines = lines.withColumn("weight", F.lit(1.0))
-    return make_directed_network(lines, "oneway")
+    # materialize once: the edge table is collected for the broadcast graph
+    # AND scanned by the main job — without this the whole node-prep chain
+    # (several Python stages) re-runs per action
+    return make_directed_network(lines, "oneway").localCheckpoint(eager=False)
 
 
 def q_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -84,7 +84,8 @@ def make_node_ids(df: DataFrame, geometry_col: str = "geometry") -> tuple[DataFr
     tgt = nodes.select(
         F.col("x").alias("x1"), F.col("y").alias("y1"), F.col("node_id").alias("target")
     )
-    lines = e.join(src, ["x0", "y0"]).join(tgt, ["x1", "y1"])
+    # nodes are the dedup of line endpoints — always the small side
+    lines = e.join(F.broadcast(src), ["x0", "y0"]).join(F.broadcast(tgt), ["x1", "y1"])
     return lines, nodes.select("node_id", "x", "y", "n")
 
 

@@ -54,7 +54,11 @@ def roads_df(spark: SparkSession, broken: bool = False) -> DataFrame:
                 (rid, "B", bytearray(wkb.encode_linestring(np.array([a, b]))))
             )
             rid += 1
-    return spark.createDataFrame(rows, "road_id long, oneway string, geometry binary")
+    # one partition: the lattice is tiny and the node-prep chain has
+    # several Python stages — per-task worker startup dwarfs the work
+    return spark.createDataFrame(
+        rows, "road_id long, oneway string, geometry binary"
+    ).coalesce(1)
 
 
 def snap_to_node_cols(df: DataFrame, x_col: str = "x", y_col: str = "y"):
