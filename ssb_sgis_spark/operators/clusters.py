@@ -190,15 +190,13 @@ def connected_components(
             .select(F.col("v"), F.coalesce(F.col("lbl2"), F.col("lbl")).alias("lbl"))
         )
         jumped = jumped.localCheckpoint(eager=True)
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), F.col("n.v") == F.col("o.v"))
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
+        # labels only ever decrease, so the label sum is a convergence
+        # fingerprint — one agg on the checkpointed frame instead of a
+        # join-and-compare per round
+        new_sum = jumped.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).collect()[0][0]
+        old_sum = labels.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).collect()[0][0]
         labels = jumped
-        if changed == 0:
+        if new_sum == old_sum:
             break
     return labels.select(F.col("v").alias(id_col), F.col("lbl").alias(component_col))
 
