@@ -1,0 +1,200 @@
+"""Polygon operators: holes, boundaries, geometry classes, ordering.
+
+Reference: ``sgis/geopandas_tools/polygon_operations.py`` and
+``geometry_types.py`` (SURVEY §2.7 / §2.8).  All are per-row geometry
+transforms — one Arrow batch pass, numpy ring surgery on the GeomArray
+layout, no pairwise work and no shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..kernels import wkb
+from ..kernels.boolean import ring_signed_area
+from ..kernels.geom import area as geom_area, length as geom_length
+
+
+def _map_geoms(df: DataFrame, fn, geometry_col: str = "geometry") -> DataFrame:
+    """Batch-apply ``fn(parts, logical_type) -> parts | None`` per row."""
+    schema = df.schema
+
+    def kernel(it):
+        for pdf in it:
+            ga = wkb.decode(pdf[geometry_col].tolist())
+            out = []
+            for g in range(len(ga)):
+                t = int(ga.types[g])
+                if t == wkb.T_EMPTY:
+                    out.append(None)
+                    continue
+                parts = fn(ga.geom_parts(g), t)
+                out.append(
+                    wkb.encode_geom(parts, t) if parts else None
+                )
+            o = pdf.copy()
+            o[geometry_col] = out
+            yield o
+
+    return df.mapInPandas(kernel, schema=schema)
+
+
+def close_all_holes(df: DataFrame, geometry_col: str = "geometry") -> DataFrame:
+    """Drop every interior ring (reference ``polygon_operations.py:523-601``)."""
+    return _map_geoms(
+        df, lambda parts, t: [rings[:1] for rings in parts] if t == wkb.T_POLYGON else parts,
+        geometry_col,
+    )
+
+
+def close_small_holes(
+    df: DataFrame, max_area: float, geometry_col: str = "geometry"
+) -> DataFrame:
+    """Drop interior rings with |area| < max_area
+    (reference ``polygon_operations.py:631-746``)."""
+
+    def fn(parts, t):
+        if t != wkb.T_POLYGON:
+            return parts
+        return [
+            [rings[0]]
+            + [r for r in rings[1:] if abs(ring_signed_area(r)) >= max_area]
+            for rings in parts
+        ]
+
+    return _map_geoms(df, fn, geometry_col)
+
+
+def get_holes(df: DataFrame, geometry_col: str = "geometry") -> DataFrame:
+    """One row per interior ring, as a polygon
+    (reference ``polygon_operations.py:828-862``)."""
+    schema = df.schema
+
+    def kernel(it):
+        for pdf in it:
+            ga = wkb.decode(pdf[geometry_col].tolist())
+            rows, geoms = [], []
+            for g in range(len(ga)):
+                if ga.types[g] != wkb.T_POLYGON:
+                    continue
+                for rings in ga.geom_parts(g):
+                    for hole in rings[1:]:
+                        rows.append(g)
+                        geoms.append(wkb.encode_polygon([hole[::-1]]))
+            out = pdf.iloc[rows].copy() if rows else pdf.iloc[:0].copy()
+            out[geometry_col] = geoms
+            yield out
+
+    return df.mapInPandas(kernel, schema=schema)
+
+
+def to_lines(df: DataFrame, geometry_col: str = "geometry") -> DataFrame:
+    """Polygon boundaries as (Multi)LineStrings (the boundary-extraction
+    half of reference ``general.py:402-510``; the between-frame union split
+    is clean_overlay's job)."""
+    schema = df.schema
+
+    def kernel(it):
+        for pdf in it:
+            ga = wkb.decode(pdf[geometry_col].tolist())
+            out = []
+            for g in range(len(ga)):
+                t = int(ga.types[g])
+                if t != wkb.T_POLYGON:
+                    out.append(pdf[geometry_col].iloc[g])
+                    continue
+                lines = [r for rings in ga.geom_parts(g) for r in rings]
+                if len(lines) == 1:
+                    out.append(wkb.encode_linestring(lines[0]))
+                else:
+                    out.append(wkb.encode_multilinestring(lines))
+            o = pdf.copy()
+            o[geometry_col] = out
+            yield o
+
+    return df.mapInPandas(kernel, schema=schema)
+
+
+def bounds_to_points(df: DataFrame, geometry_col: str = "geometry") -> DataFrame:
+    """Per-row bbox corners as a MultiPoint (reference ``bounds.py:411-439``)."""
+
+    def fn(parts, t):
+        coords = np.concatenate([r for rings in parts for r in rings])
+        x0, y0 = coords.min(axis=0)
+        x1, y1 = coords.max(axis=0)
+        pts = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]])
+        return [[pts[i : i + 1]] for i in range(4)]
+
+    schema = df.schema
+
+    def kernel(it):
+        for pdf in it:
+            ga = wkb.decode(pdf[geometry_col].tolist())
+            out = []
+            for g in range(len(ga)):
+                if ga.types[g] == wkb.T_EMPTY:
+                    out.append(None)
+                    continue
+                parts = fn(ga.geom_parts(g), int(ga.types[g]))
+                out.append(wkb.encode_geom(parts, wkb.T_POINT))
+            o = pdf.copy()
+            o[geometry_col] = out
+            yield o
+
+    return df.mapInPandas(kernel, schema=schema)
+
+
+# -------------------------------------------------------- type discipline
+_TYPE_NAMES = {wkb.T_EMPTY: "empty", wkb.T_POINT: "point", wkb.T_LINE: "line", wkb.T_POLYGON: "polygon"}
+
+
+def with_geom_type(df: DataFrame, geometry_col: str = "geometry", out: str = "geom_type") -> DataFrame:
+    """Logical type class per row (reference ``geometry_types.py:130-172``)."""
+    fields = df.schema.fields + [T.StructField(out, T.StringType())]
+
+    def kernel(it):
+        for pdf in it:
+            ga = wkb.decode(pdf[geometry_col].tolist())
+            o = pdf.copy()
+            o[out] = [_TYPE_NAMES[int(t)] for t in ga.types]
+            yield o
+
+    return df.mapInPandas(kernel, schema=T.StructType(fields))
+
+
+def to_single_geom_type(
+    df: DataFrame, geom_type: str, geometry_col: str = "geometry"
+) -> DataFrame:
+    """Keep rows of one logical class (reference ``geometry_types.py:25-120``
+    — collections were already exploded by make_all_singlepart)."""
+    return (
+        with_geom_type(df, geometry_col, "_gt")
+        .filter(F.col("_gt") == geom_type)
+        .drop("_gt")
+    )
+
+
+def sort_large_first(df: DataFrame, geometry_col: str = "geometry") -> DataFrame:
+    """Order by area desc (reference ``general.py:244-309``) — used before
+    update_geometries."""
+    schema = T.StructType(df.schema.fields + [T.StructField("_area", T.DoubleType())])
+
+    def kernel(it):
+        for pdf in it:
+            ga = wkb.decode(pdf[geometry_col].tolist())
+            o = pdf.copy()
+            o["_area"] = geom_area(ga)
+            yield o
+
+    return df.mapInPandas(kernel, schema=schema).orderBy(F.desc("_area")).drop("_area")
+
+
+def drop_duplicate_geometries(df: DataFrame, geometry_col: str = "geometry") -> DataFrame:
+    """Drop geometrically-equal rows via normalized-WKB hash
+    (reference ``duplicates.py:251-297`` uses STRtree "within" pairs; exact
+    coordinate equality is the Spark-native O(n) version)."""
+    return df.dropDuplicates([geometry_col])

@@ -1,0 +1,207 @@
+"""Polygon/line/point/clip operator batch — numpy-oracle tests."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ssb_sgis_spark.kernels import wkb
+from ssb_sgis_spark.kernels.boolean import polygon_area
+from ssb_sgis_spark.operators.clip import (
+    clean_clip,
+    get_gaps,
+    get_intersections,
+    update_geometries,
+)
+from ssb_sgis_spark.operators.lineops import (
+    cut_lines,
+    cut_lines_once,
+    make_lines_between_points,
+)
+from ssb_sgis_spark.operators.pointops import snap_all, snap_within_distance
+from ssb_sgis_spark.operators.polygons import (
+    close_all_holes,
+    close_small_holes,
+    get_holes,
+    sort_large_first,
+    to_lines,
+    to_single_geom_type,
+    with_geom_type,
+)
+
+OX, OY = 250000.0, 6600000.0
+
+
+def box_ring(x0, y0, x1, y1):
+    return np.array([(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)], dtype=float)
+
+
+def donut_wkb(x0, y0, s, hs):
+    ext = box_ring(x0, y0, x0 + s, y0 + s)
+    h = box_ring(x0 + s / 2 - hs, y0 + s / 2 - hs, x0 + s / 2 + hs, y0 + s / 2 + hs)[::-1]
+    return wkb.encode_polygon([ext, h])
+
+
+def test_holes_family(spark):
+    df = spark.createDataFrame(
+        [
+            (0, bytearray(donut_wkb(OX, OY, 1000, 100))),
+            (1, bytearray(donut_wkb(OX + 5000, OY, 1000, 10))),
+            (2, bytearray(wkb.encode_polygon([box_ring(OX, OY + 5000, OX + 500, OY + 5500)]))),
+        ],
+        "pid long, geometry binary",
+    )
+    closed = close_all_holes(df).collect()
+    for r in closed:
+        assert len(wkb.decode([r["geometry"]]).geom_parts(0)[0]) == 1
+    small = {r["pid"]: r for r in close_small_holes(df, 2000.0).collect()}
+    # pid 0 hole area 200x200=40000 stays; pid 1 hole 20x20=400 closed
+    assert len(wkb.decode([small[0]["geometry"]]).geom_parts(0)[0]) == 2
+    assert len(wkb.decode([small[1]["geometry"]]).geom_parts(0)[0]) == 1
+    holes = get_holes(df).collect()
+    assert len(holes) == 2
+    areas = sorted(
+        polygon_area(wkb.decode([r["geometry"]]).geom_parts(0)) for r in holes
+    )
+    assert areas == pytest.approx([400.0, 40000.0])
+
+
+def test_geom_type_and_sort(spark):
+    df = spark.createDataFrame(
+        [
+            (0, bytearray(wkb.encode_point(OX, OY))),
+            (1, bytearray(wkb.encode_linestring(np.array([(OX, OY), (OX + 10, OY)])))),
+            (2, bytearray(wkb.encode_polygon([box_ring(OX, OY, OX + 10, OY + 10)]))),
+            (3, bytearray(wkb.encode_polygon([box_ring(OX, OY, OX + 99, OY + 99)]))),
+        ],
+        "pid long, geometry binary",
+    )
+    types = {r["pid"]: r["geom_type"] for r in with_geom_type(df).collect()}
+    assert types == {0: "point", 1: "line", 2: "polygon", 3: "polygon"}
+    only_poly = to_single_geom_type(df, "polygon").collect()
+    assert {r["pid"] for r in only_poly} == {2, 3}
+    ordered = [r["pid"] for r in sort_large_first(df).collect()]
+    assert ordered[0] == 3
+    lines = to_lines(df.filter(F.col("pid") == 2)).collect()
+    ga = wkb.decode([lines[0]["geometry"]])
+    assert int(ga.types[0]) == wkb.T_LINE
+
+
+def test_cut_lines(spark):
+    line = np.array([(OX, OY), (OX + 100, OY), (OX + 100, OY + 50)])
+    df = spark.createDataFrame(
+        [(0, bytearray(wkb.encode_linestring(line)))], "lid long, geometry binary"
+    )
+    pieces = cut_lines(df, 40.0).collect()
+    total = 0.0
+    for r in pieces:
+        c = wkb.decode([r["geometry"]]).geom_rings(0)[0]
+        seg = np.hypot(np.diff(c[:, 0]), np.diff(c[:, 1])).sum()
+        assert seg <= 40.0 + 1e-9
+        total += seg
+    assert total == pytest.approx(150.0)
+    assert len(pieces) == 4  # 150 / 40 -> 4 pieces of 37.5
+
+    two = cut_lines_once(df, 30.0).collect()
+    assert len(two) == 2
+    lens = sorted(
+        np.hypot(
+            np.diff(wkb.decode([r["geometry"]]).geom_rings(0)[0][:, 0]),
+            np.diff(wkb.decode([r["geometry"]]).geom_rings(0)[0][:, 1]),
+        ).sum()
+        for r in two
+    )
+    assert lens == pytest.approx([30.0, 120.0])
+
+
+def test_make_lines_between_points(spark):
+    df = spark.createDataFrame([(0, OX, OY, OX + 3.0, OY + 4.0)], "i long, x1 double, y1 double, x2 double, y2 double")
+    out = make_lines_between_points(df).collect()
+    c = wkb.decode([out[0]["geometry"]]).geom_rings(0)[0]
+    assert np.hypot(*(c[1] - c[0])) == pytest.approx(5.0)
+
+
+def test_snap_ops(spark):
+    pts = spark.createDataFrame(
+        [(0, OX, OY), (1, OX + 1000.0, OY)], "uid long, x double, y double"
+    )
+    targets = spark.createDataFrame(
+        [(10, OX + 30.0, OY + 40.0), (11, OX + 5000.0, OY)],
+        "vid long, px double, py double",
+    )
+    snapped = {r["uid"]: r for r in snap_all(pts, targets, distance_col="d").collect()}
+    assert (snapped[0]["x"], snapped[0]["y"]) == (OX + 30.0, OY + 40.0)
+    assert snapped[0]["d"] == pytest.approx(50.0)
+    within = {r["uid"]: r for r in snap_within_distance(pts, targets, 100.0).collect()}
+    assert within[0]["snap_distance"] == pytest.approx(50.0)
+    assert within[1]["snap_distance"] is None
+    assert within[1]["x"] == OX + 1000.0  # unsnapped keeps original
+
+
+def test_clean_clip_and_intersections(spark):
+    df = spark.createDataFrame(
+        [
+            (0, bytearray(wkb.encode_polygon([box_ring(OX, OY, OX + 100, OY + 100)]))),
+            (1, bytearray(wkb.encode_polygon([box_ring(OX + 500, OY, OX + 600, OY + 100)]))),
+        ],
+        "pid long, geometry binary",
+    )
+    mask = spark.createDataFrame(
+        [(bytearray(wkb.encode_polygon([box_ring(OX + 50, OY - 10, OX + 560, OY + 110)])),)],
+        "geometry binary",
+    )
+    clipped = {r["pid"]: r for r in clean_clip(df, mask).collect()}
+    a0 = polygon_area(wkb.decode([clipped[0]["geometry"]]).geom_parts(0))
+    a1 = polygon_area(wkb.decode([clipped[1]["geometry"]]).geom_parts(0))
+    assert a0 == pytest.approx(50 * 100)
+    assert a1 == pytest.approx(60 * 100)
+
+    both = spark.createDataFrame(
+        [
+            (0, bytearray(wkb.encode_polygon([box_ring(OX, OY, OX + 100, OY + 100)]))),
+            (1, bytearray(wkb.encode_polygon([box_ring(OX + 60, OY, OX + 160, OY + 100)]))),
+            (2, bytearray(wkb.encode_polygon([box_ring(OX + 900, OY, OX + 950, OY + 50)]))),
+        ],
+        "pid long, geometry binary",
+    )
+    inter = get_intersections(both, "pid").collect()
+    assert len(inter) == 2  # (0,1) and (1,0)
+    for r in inter:
+        assert polygon_area(wkb.decode([r["geometry"]]).geom_parts(0)) == pytest.approx(40 * 100)
+
+
+def test_update_geometries(spark):
+    rows = [
+        (0, 0, bytearray(wkb.encode_polygon([box_ring(OX, OY, OX + 100, OY + 100)]))),
+        (1, 1, bytearray(wkb.encode_polygon([box_ring(OX + 50, OY, OX + 150, OY + 100)]))),
+        (2, 2, bytearray(wkb.encode_polygon([box_ring(OX + 100, OY, OX + 200, OY + 100)]))),
+    ]
+    df = spark.createDataFrame(rows, "ord long, pid long, geometry binary")
+    out = {r["pid"]: r for r in update_geometries(df, "ord", "pid").collect()}
+    a = {
+        p: polygon_area(wkb.decode([out[p]["geometry"]]).geom_parts(0))
+        if out[p]["geometry"] is not None
+        else 0.0
+        for p in out
+    }
+    assert a[0] == pytest.approx(10000.0)  # first keeps everything
+    assert a[1] == pytest.approx(5000.0)  # loses overlap with 0
+    assert a[2] == pytest.approx(5000.0)  # loses overlap with 1 (not 0)
+
+
+def test_get_gaps(spark):
+    # two polygons with a 20x100 gap between them
+    df = spark.createDataFrame(
+        [
+            (0, bytearray(wkb.encode_polygon([box_ring(OX, OY, OX + 100, OY + 100)]))),
+            (1, bytearray(wkb.encode_polygon([box_ring(OX + 120, OY, OX + 220, OY + 100)]))),
+            # bridge top and bottom so the gap is enclosed
+            (2, bytearray(wkb.encode_polygon([box_ring(OX, OY + 100, OX + 220, OY + 120)]))),
+            (3, bytearray(wkb.encode_polygon([box_ring(OX, OY - 20, OX + 220, OY)]))),
+        ],
+        "pid long, geometry binary",
+    )
+    gaps = get_gaps(df.select("geometry")).collect()
+    assert len(gaps) == 1
+    assert polygon_area(wkb.decode([gaps[0]["geometry"]]).geom_parts(0)) == pytest.approx(
+        20 * 100
+    )
