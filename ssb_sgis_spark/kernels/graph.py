@@ -42,6 +42,42 @@ class Adjacency:
         return len(self.rev)
 
 
+def dijkstra_paths(adj: Adjacency, source, targets) -> dict:
+    """Shortest paths with predecessor tracking: {target: [node, ...]}.
+    Deterministic tie-break: a relaxation only replaces the predecessor on
+    a STRICT improvement, and the heap orders by (cost, node index), so
+    equal-cost alternatives resolve identically everywhere."""
+    if source not in adj.idx:
+        return {}
+    n = len(adj)
+    dist = np.full(n, np.inf)
+    pred = np.full(n, -1, dtype=np.int64)
+    s = adj.idx[source]
+    dist[s] = 0.0
+    want = {adj.idx[t] for t in targets if t in adj.idx}
+    heap = [(0.0, s)]
+    while heap:
+        d, u = heapq.heappop(heap)
+        if d > dist[u]:
+            continue
+        for k in range(adj.indptr[u], adj.indptr[u + 1]):
+            v = adj.nbr[k]
+            nd = d + adj.wgt[k]
+            if nd < dist[v]:
+                dist[v] = nd
+                pred[v] = u
+                heapq.heappush(heap, (nd, v))
+    out = {}
+    for t in want:
+        if not np.isfinite(dist[t]):
+            continue
+        path = [t]
+        while path[-1] != s:
+            path.append(int(pred[path[-1]]))
+        out[adj.rev[t]] = [adj.rev[p] for p in reversed(path)]
+    return out
+
+
 def dijkstra(adj: Adjacency, source, targets=None, cutoff=None) -> dict:
     """Distances from ``source`` to all nodes (or until all ``targets``
     settled / ``cutoff`` exceeded).  Returns {node_id: cost}."""

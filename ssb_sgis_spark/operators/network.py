@@ -226,6 +226,81 @@ def od_cost_matrix(
     return res
 
 
+def get_route(
+    edges: DataFrame,
+    origins: DataFrame,
+    destinations: DataFrame,
+    weight_col: str = "weight",
+    origin_id: str = "origin",
+    dest_id: str = "destination",
+    origin_node: str = "node_id",
+) -> DataFrame:
+    """Shortest-path node sequences per OD pair (reference ``get_route``,
+    ``networkanalysis.py:642-748`` / ``_get_route.py:56-98`` — the
+    reference maps epath edge ids to road rows; here the path is returned
+    as an ordered edge list (src, dst, seq) so the road-geometry join is a
+    plain equi-join downstream).  Same broadcast-graph / partitioned-
+    origins shape as od_cost_matrix."""
+    from ..kernels.graph import dijkstra_paths
+
+    bc = _broadcast_adjacency(edges, weight_col)
+    dest_rows = destinations.select(dest_id, origin_node).collect()
+    dests = [(r[0], r[1]) for r in dest_rows]
+    spark = origins.sparkSession
+    bc_dests = spark.sparkContext.broadcast(dests)
+
+    schema = T.StructType(
+        [
+            T.StructField(origin_id, origins.schema[origin_id].dataType),
+            T.StructField(dest_id, destinations.schema[dest_id].dataType),
+            T.StructField("seq", T.IntegerType()),
+            T.StructField("src", T.LongType()),
+            T.StructField("dst", T.LongType()),
+        ]
+    )
+
+    def kernel(it):
+        src_, dst_, w_ = bc.value
+        adj = Adjacency(src_, dst_, w_)
+        dlist = bc_dests.value
+        targets = {n for _, n in dlist}
+        for pdf in it:
+            rows = {k.name: [] for k in schema.fields}
+            for i in range(len(pdf)):
+                oid = pdf[origin_id].iloc[i]
+                onode = pdf[origin_node].iloc[i]
+                paths = dijkstra_paths(adj, onode, targets)
+                for did, dnode in dlist:
+                    p = paths.get(dnode)
+                    if p is None:
+                        continue
+                    for s in range(len(p) - 1):
+                        rows[origin_id].append(oid)
+                        rows[dest_id].append(did)
+                        rows["seq"].append(s)
+                        rows["src"].append(int(p[s]))
+                        rows["dst"].append(int(p[s + 1]))
+            yield pd.DataFrame(rows)
+
+    o = origins.select(origin_id, origin_node)
+    return o.repartition(
+        max(origins.sparkSession.sparkContext.defaultParallelism, 2), origin_id
+    ).mapInPandas(kernel, schema=schema)
+
+
+def get_route_frequencies(
+    edges: DataFrame,
+    origins: DataFrame,
+    destinations: DataFrame,
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Per-edge traversal counts over all OD shortest paths (reference
+    ``get_route_frequencies``, ``networkanalysis.py:420-640`` — epath
+    lists → explode → groupBy(edge).sum, a natural Spark agg)."""
+    routes = get_route(edges, origins, destinations, weight_col)
+    return routes.groupBy("src", "dst").agg(F.count("*").alias("frequency"))
+
+
 def service_area_nodes(
     edges: DataFrame,
     origins: DataFrame,
