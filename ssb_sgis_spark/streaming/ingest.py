@@ -1,0 +1,73 @@
+"""Structured Streaming ingestion: pages stream → cell-indexed rollups.
+
+The reference is batch-only; streaming obligations come from the north
+rule (checkpoint-resume, lineage).  The natural streaming shape for the
+10^12-page lake is *append-only micro-batch ingestion*: new WARC drops
+land as files, the stream assigns each page its quadtree cell / SSB grid
+id (pure column arithmetic — the same expressions as the batch engine,
+so batch and stream agree bit-for-bit), and windowed per-cell counts
+feed the tile manifest / skew histograms.
+
+Checkpointing is Spark's own (``checkpointLocation``), which makes the
+ingestion resumable exactly like the batch tile manifest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..cells import cell_of_xy_col, ssb_grid_id_col
+
+
+def read_pages_stream(
+    spark: SparkSession, path: str, schema, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    r = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    return r.parquet(path)
+
+
+def with_cell_index(
+    stream: DataFrame, res: int = 13, gridsize: int = 1000
+) -> DataFrame:
+    """Attach the engine's partition keys to a page stream — identical
+    expressions to the batch path (cells.py), so a row gets the same cell
+    whether it arrives in batch or stream."""
+    return stream.withColumn(
+        "cell", cell_of_xy_col(F.col("x"), F.col("y"), res)
+    ).withColumn("SSBID", ssb_grid_id_col(F.col("x"), F.col("y"), gridsize))
+
+
+def cell_counts_windowed(
+    stream: DataFrame,
+    ts_col: str = "warc_ts",
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked windowed per-cell page counts — the streaming skew
+    histogram that feeds the salt-count policy for hot cells."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col("cell"))
+        .agg(F.count("*").alias("n_pages"))
+        .select(F.col("w.start").alias("window_start"), "cell", "n_pages")
+    )
+
+
+def run_to_sink(
+    agg: DataFrame,
+    checkpoint_dir: str,
+    query_name: str = "cell_counts",
+):
+    """Start the rollup with availableNow semantics (drain what's there,
+    then stop) — resumable from ``checkpoint_dir``."""
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
