@@ -97,7 +97,7 @@ KNN_LEFT_MOD = 20  # kNN correctness query uses pages with uid % 20 == 0
 CELL_RES = 13
 CLUSTER_MOD = 100  # page subsample for the cluster query
 CLUSTER_DIST = 3000.0
-BLOB_MOD = 500  # page subsample for the buffer-dissolve blob query
+BLOB_MOD = 1999  # odd (uid is never 0 mod 8); keeps hot-cluster unions bounded
 BLOB_RADIUS = 500.0
 
 _PIP_ORACLE_CORE = """

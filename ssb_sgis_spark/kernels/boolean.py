@@ -414,14 +414,27 @@ def overlay_parts(
     rxp = mx - nxu * delta
     ryp = my - nyu * delta
 
-    # coverage counts per group at left/right samples
+    # coverage counts per group at left/right samples; each polygon only
+    # tests the sample points inside its own bbox (everything else counts
+    # 0) — turns the union-of-N classification from O(N·E) into near-
+    # linear for spread-out clusters
     covL = np.zeros((2, len(sx1)), dtype=np.int32)
     covR = np.zeros((2, len(sx1)), dtype=np.int32)
     for p in range(pid):
         g = groups_arr[p]
         e = per_poly_edges[p]
-        covL[g] += _pip_many(lxp, lyp, e).astype(np.int32)
-        covR[g] += _pip_many(rxp, ryp, e).astype(np.int32)
+        bx0 = e[0].min() if len(e[0]) else 0.0
+        bx1 = e[0].max() if len(e[0]) else 0.0
+        by0 = min(e[1].min(), e[3].min()) if len(e[1]) else 0.0
+        by1 = max(e[1].max(), e[3].max()) if len(e[1]) else 0.0
+        bx0 = min(bx0, e[2].min()) if len(e[2]) else bx0
+        bx1 = max(bx1, e[2].max()) if len(e[2]) else bx1
+        mL = (lxp >= bx0) & (lxp <= bx1) & (lyp >= by0) & (lyp <= by1)
+        mR = (rxp >= bx0) & (rxp <= bx1) & (ryp >= by0) & (ryp <= by1)
+        if mL.any():
+            covL[g][mL] += _pip_many(lxp[mL], lyp[mL], e).astype(np.int32)
+        if mR.any():
+            covR[g][mR] += _pip_many(rxp[mR], ryp[mR], e).astype(np.int32)
 
     def inside(cov):
         a = cov[0] >= 1
@@ -458,6 +471,7 @@ def _stitch_rings(x1, y1, x2, y2) -> list[np.ndarray]:
     keeps the interior consistently on the left."""
     n = len(x1)
     k1 = _keys(x1, y1)
+    k2 = _keys(x2, y2)
     out_edges: dict[complex, list[int]] = {}
     for i in range(n):
         out_edges.setdefault(complex(k1[i]), []).append(i)
@@ -473,8 +487,7 @@ def _stitch_rings(x1, y1, x2, y2) -> list[np.ndarray]:
         guard = 0
         while guard <= n:
             guard += 1
-            vkey = complex(_keys(np.array([x2[cur]]), np.array([y2[cur]]))[0])
-            cands = [e for e in out_edges.get(vkey, []) if not used[e]]
+            cands = [e for e in out_edges.get(complex(k2[cur]), []) if not used[e]]
             if not cands:
                 break
             # incoming direction reversed
@@ -489,9 +502,7 @@ def _stitch_rings(x1, y1, x2, y2) -> list[np.ndarray]:
             path.append(best)
             cur = best
             # ring closes when we return to the start vertex
-            if complex(_keys(np.array([x2[cur]]), np.array([y2[cur]]))[0]) == complex(
-                k1[start]
-            ):
+            if complex(k2[cur]) == complex(k1[start]):
                 pts = np.column_stack(
                     [np.concatenate([x1[path], [x2[path[-1]]]]),
                      np.concatenate([y1[path], [y2[path[-1]]]])]
