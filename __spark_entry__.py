@@ -334,6 +334,18 @@ def q_network_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select("source", "target", "component", "connected")
 
 
+NEAR_DIST = 1500.0
+
+
+def q_pip_within_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_neighbor_indices(pages, municipalities, max_distance=1500) —
+    SURVEY §2.2 (neighbors.py:101-102): inside OR within 1500 m of the
+    boundary; buffered-cover candidates + exact distance refine."""
+    return points_in_polygons_join(
+        pages_df(spark, sf_dir), muni_df(spark), max_distance=NEAR_DIST
+    ).select("uid", "muni_id")
+
+
 def q_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster.zonal (SURVEY §2.12, raster/zonal.py:11-114): per-municipality
     stats over the tiled integer raster — polygons⋈tiles + masked partial
@@ -371,6 +383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "service_area": q_service_area,
         "network_components": q_network_components,
         "zonal": q_zonal,
+        "pip_within_distance": q_pip_within_distance,
     }
 
 
@@ -548,5 +561,47 @@ def oracle_sql() -> dict[str, str]:
                    min(value) AS value_min,
                    max(value) AS value_max
             FROM hits GROUP BY muni_id
+        """,
+        "pip_within_distance": f"""
+            WITH pages AS ({pages}),
+            edges(muni_id, x1, y1, x2, y2) AS (VALUES
+            {muni_edges_sql_values()}
+            ),
+            hits AS (
+              SELECT p.uid, e.muni_id
+              FROM pages p JOIN edges e
+                ON ((e.y1 > p.y) != (e.y2 > p.y))
+               AND (p.x < (e.x2 - e.x1) * (p.y - e.y1) / (e.y2 - e.y1) + e.x1)
+              GROUP BY p.uid, e.muni_id
+              HAVING count(*) % 2 = 1
+            ),
+            near AS (
+              SELECT DISTINCT p.uid, e.muni_id
+              FROM pages p JOIN edges e
+                ON (
+                  ((p.x - e.x1) - least(greatest(
+                      ((p.x - e.x1) * (e.x2 - e.x1) + (p.y - e.y1) * (e.y2 - e.y1))
+                      / ((e.x2 - e.x1) * (e.x2 - e.x1) + (e.y2 - e.y1) * (e.y2 - e.y1)),
+                    0), 1) * (e.x2 - e.x1))
+                  * ((p.x - e.x1) - least(greatest(
+                      ((p.x - e.x1) * (e.x2 - e.x1) + (p.y - e.y1) * (e.y2 - e.y1))
+                      / ((e.x2 - e.x1) * (e.x2 - e.x1) + (e.y2 - e.y1) * (e.y2 - e.y1)),
+                    0), 1) * (e.x2 - e.x1))
+                  +
+                  ((p.y - e.y1) - least(greatest(
+                      ((p.x - e.x1) * (e.x2 - e.x1) + (p.y - e.y1) * (e.y2 - e.y1))
+                      / ((e.x2 - e.x1) * (e.x2 - e.x1) + (e.y2 - e.y1) * (e.y2 - e.y1)),
+                    0), 1) * (e.y2 - e.y1))
+                  * ((p.y - e.y1) - least(greatest(
+                      ((p.x - e.x1) * (e.x2 - e.x1) + (p.y - e.y1) * (e.y2 - e.y1))
+                      / ((e.x2 - e.x1) * (e.x2 - e.x1) + (e.y2 - e.y1) * (e.y2 - e.y1)),
+                    0), 1) * (e.y2 - e.y1))
+                ) <= {NEAR_DIST!r} * {NEAR_DIST!r}
+            )
+            SELECT uid, muni_id FROM (
+              SELECT uid, muni_id FROM hits
+              UNION
+              SELECT uid, muni_id FROM near
+            )
         """,
     }

@@ -258,6 +258,66 @@ def points_in_polygon_grouped(
     return result
 
 
+def point_to_edges_dist2(
+    px: np.ndarray,
+    py: np.ndarray,
+    edges: tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray],
+) -> np.ndarray:
+    """Min SQUARED distance from each point to a polygon's edge set —
+    written with the exact clamp/dot expression the SQL oracle uses, so
+    `dist2 <= d*d` agrees bit-for-bit:
+
+        t  = least(greatest(((p-a)·(b-a)) / |b-a|^2, 0), 1)
+        dx = px - (ax + t*(bx-ax));  dy = py - (ay + t*(by-ay))
+        d2 = dx*dx + dy*dy
+    """
+    x1, y1, x2, y2 = edges
+    abx = (x2 - x1)[None, :]
+    aby = (y2 - y1)[None, :]
+    apx = px[:, None] - x1[None, :]
+    apy = py[:, None] - y1[None, :]
+    len2 = abx * abx + aby * aby
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (apx * abx + apy * aby) / len2
+    t = np.minimum(np.maximum(np.where(len2 == 0, 0.0, t), 0.0), 1.0)
+    dx = apx - t * abx
+    dy = apy - t * aby
+    return (dx * dx + dy * dy).min(axis=1)
+
+
+def points_near_polygon_grouped(
+    px: np.ndarray,
+    py: np.ndarray,
+    poly_keys: np.ndarray,
+    edge_table: dict,
+    max_dist2: float,
+) -> np.ndarray:
+    """Within-distance predicate for candidate pairs: point i matches
+    polygon poly_keys[i] iff inside OR boundary distance² <= max_dist2 —
+    the refine kernel of get_neighbor_indices(max_distance=...)
+    (reference buffers the left side, ``neighbors.py:101-102``; buffering
+    the point by d ≡ distance-d test against the polygon)."""
+    result = np.zeros(len(px), dtype=bool)
+    if len(px) == 0:
+        return result
+    order = np.argsort(poly_keys, kind="stable")
+    sorted_keys = poly_keys[order]
+    boundaries = np.flatnonzero(
+        np.concatenate([[True], sorted_keys[1:] != sorted_keys[:-1]])
+    )
+    boundaries = np.concatenate([boundaries, [len(sorted_keys)]])
+    for b in range(len(boundaries) - 1):
+        lo, hi = boundaries[b], boundaries[b + 1]
+        idx = order[lo:hi]
+        edges = edge_table.get(sorted_keys[lo])
+        if edges is None:
+            continue
+        inside = points_in_polygon(px[idx], py[idx], edges)
+        near = point_to_edges_dist2(px[idx], py[idx], edges) <= max_dist2
+        result[idx] = inside | near
+    return result
+
+
 # -------------------------------------------------------------- distances
 def planar_distance(x1, y1, x2, y2) -> np.ndarray:
     """Euclidean distance — written as sqrt of products (not hypot) so the

@@ -36,6 +36,7 @@ from ..kernels import wkb
 from ..kernels.geom import (
     bounds as geom_bounds,
     points_in_polygon_grouped,
+    points_near_polygon_grouped,
     total_bounds,
 )
 
@@ -87,6 +88,7 @@ def points_in_polygons_join(
     y_col: str = "y",
     res: int | None = None,
     how: str = "inner",
+    max_distance: float | None = None,
 ) -> DataFrame:
     """Spatial join point-table × polygon-table on ``intersects`` (PIP).
 
@@ -97,7 +99,12 @@ def points_in_polygons_join(
     209-268``).
 
     Reference parity: get_neighbor_indices(points, polygons,
-    predicate="intersects") — ``neighbors.py:19-116``.
+    predicate="intersects") — ``neighbors.py:19-116``.  With
+    ``max_distance`` the predicate becomes "inside OR within
+    max_distance of the boundary" (the reference buffers the left side,
+    ``neighbors.py:101-102``): candidate cells come from a slightly
+    over-buffered cover and every candidate is refined with the exact
+    point-to-edge distance kernel.
     """
     spark = points.sparkSession
     keys, ga, edge_table = _decode_polygon_side(polygons, key_col, geometry_col)
@@ -107,7 +114,28 @@ def points_in_polygons_join(
         spans = np.maximum(bbs[:, 2] - bbs[:, 0], bbs[:, 3] - bbs[:, 1])
         med = float(np.nanmedian(spans)) if len(spans) else 1.0
         res = pick_cover_resolution((0, 0, med, med))
-    cover_df = build_cover_df(spark, keys, ga, res)
+
+    if max_distance is None:
+        cover_df = build_cover_df(spark, keys, ga, res)
+    else:
+        # covers of the buffered polygons (1% oversized: the inscribed
+        # buffer polygon underestimates the true distance band) — sound
+        # candidate superset; FULL cells are only "within 1.01*d", so
+        # everything refines exactly below
+        from ..kernels.buffer import buffer_parts
+
+        buf_items = []
+        for g, key in enumerate(keys):
+            parts = ga.geom_parts(g)
+            if not parts:
+                continue
+            bp = buffer_parts(parts, wkb.T_POLYGON, max_distance * 1.01, quad_segs=8)
+            buf_items.append((key, bp))
+        bufs = [wkb.encode_geom(bp, wkb.T_POLYGON) for _, bp in buf_items]
+        bga = wkb.decode(bufs)
+        cover_df = build_cover_df(
+            spark, [k for k, _ in buf_items], bga, res
+        ).withColumn("_full", F.lit(False))
 
     pts = points.withColumn("_cell", cell_of_xy_col(F.col(x_col), F.col(y_col), res))
     cand = pts.join(F.broadcast(cover_df), pts["_cell"] == cover_df["cell"], "inner").drop(
@@ -119,6 +147,7 @@ def points_in_polygons_join(
 
     bc_edges = spark.sparkContext.broadcast(edge_table)
     out_schema = partial.schema
+    max_d2 = None if max_distance is None else float(max_distance) * float(max_distance)
 
     def refine(iterator):
         edges = bc_edges.value
@@ -129,7 +158,10 @@ def points_in_polygons_join(
             px = pdf[x_col].to_numpy(dtype=np.float64)
             py = pdf[y_col].to_numpy(dtype=np.float64)
             pkeys = pdf["_key"].to_numpy()
-            mask = points_in_polygon_grouped(px, py, pkeys, edges)
+            if max_d2 is None:
+                mask = points_in_polygon_grouped(px, py, pkeys, edges)
+            else:
+                mask = points_near_polygon_grouped(px, py, pkeys, edges, max_d2)
             yield pdf[mask]
 
     refined = partial.mapInPandas(refine, schema=out_schema)
