@@ -205,3 +205,34 @@ def test_get_gaps(spark):
     assert polygon_area(wkb.decode([gaps[0]["geometry"]]).geom_parts(0)) == pytest.approx(
         20 * 100
     )
+
+
+def test_eliminate_by_largest_and_smallest(spark):
+    from ssb_sgis_spark.operators.eliminate import (
+        eliminate_by_largest,
+        eliminate_by_smallest,
+    )
+
+    keep = spark.createDataFrame(
+        [
+            (0, bytearray(wkb.encode_polygon([box_ring(OX, OY, OX + 200, OY + 100)]))),
+            (1, bytearray(wkb.encode_polygon([box_ring(OX + 210, OY, OX + 260, OY + 100)]))),
+        ],
+        "pid long, geometry binary",
+    )
+    sliver = spark.createDataFrame(
+        # touches both keepers (spans the 10m gap between them)
+        [(bytearray(wkb.encode_polygon([box_ring(OX + 195, OY + 40, OX + 215, OY + 60)])),)],
+        "geometry binary",
+    )
+    big = {r["pid"]: r for r in eliminate_by_largest(keep, sliver).collect()}
+    a0 = polygon_area(wkb.decode([big[0]["geometry"]]).geom_parts(0))
+    a1 = polygon_area(wkb.decode([big[1]["geometry"]]).geom_parts(0))
+    assert a0 == pytest.approx(200 * 100 + 20 * 20 - 5 * 20)  # sliver joined minus overlap
+    assert a1 == pytest.approx(50 * 100)
+
+    small = {r["pid"]: r for r in eliminate_by_smallest(keep, sliver).collect()}
+    a0s = polygon_area(wkb.decode([small[0]["geometry"]]).geom_parts(0))
+    a1s = polygon_area(wkb.decode([small[1]["geometry"]]).geom_parts(0))
+    assert a0s == pytest.approx(200 * 100)
+    assert a1s == pytest.approx(50 * 100 + 20 * 20 - 5 * 20)
