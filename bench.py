@@ -77,6 +77,7 @@ def main() -> None:
 
     errors: dict[str, str] = {}
     for name, fn in qs.items():
+        print(f"# bench start {name}", file=sys.stderr, flush=True)
         t0 = time.time()
         try:
             # force full execution; count() runs every operator incl. UDF refine
@@ -84,6 +85,11 @@ def main() -> None:
             timings[name] = round(time.time() - t0, 3)
         except Exception as exc:  # keep the bench alive; report the failure
             errors[name] = f"{type(exc).__name__}: {str(exc)[:200]}"
+        print(
+            f"# bench done {name} {round(time.time() - t0, 1)}s",
+            file=sys.stderr,
+            flush=True,
+        )
 
     flagship = timings.get("pip_join", 1.0)
     pages_per_sec = round(n_pages / flagship, 1) if flagship else None

@@ -93,6 +93,22 @@ def minhash_sql_exprs(t: str = "text", n_hashes: int = DEFAULT_N_HASHES, k: int 
     ]
 
 
+def minhash_array_col(
+    text: Column, n_hashes: int = DEFAULT_N_HASHES, k: int = DEFAULT_SHINGLE_K
+) -> Column:
+    """All n minhashes as ONE array expression.
+
+    Critical: the shingle subexpression appears exactly once in the tree.
+    Building n separate columns inlines it n times (CollapseProject), the
+    generated code leaves whole-stage codegen, and evaluation goes
+    interpreted — measured minutes instead of seconds at sf0.1."""
+    sh = shingles_col(text, k)
+    seeds = F.array(*[F.lit(f"{s}:") for s in range(n_hashes)])
+    return F.transform(
+        seeds, lambda s: F.array_min(F.transform(sh, lambda x: F.md5(F.concat(s, x))))
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -100,25 +116,89 @@ def minhash_signatures(
     n_hashes: int = DEFAULT_N_HASHES,
     k: int = DEFAULT_SHINGLE_K,
 ) -> DataFrame:
-    return df.select(F.col(id_col), F.col(text_col), *minhash_cols(F.col(text_col), n_hashes, k))
+    """(id, mh array<string>) signatures, fully relational:
+    explode(shingles) × explode(seeds) → codegen md5 → two-level min-agg
+    (map-side partial combine) → per-doc seed-ordered array.
+
+    ~100x faster than evaluating the nested higher-order-function
+    expression (HOF lambdas run interpreted per element — measured
+    minutes vs seconds at sf0.1), and the shuffle is the dedup-friendly
+    shape: rows are (doc, seed, hash), partial-aggregated before the exchange.
+    Signature VALUES are identical (same seed prefixes, same md5)."""
+    mins = minhash_long(df, id_col, text_col, n_hashes, k)
+    # seed zero-padded into the collected strings so a plain string sort
+    # recovers seed order (structs + transform() in the final agg drop the
+    # fused stage out of codegen — measured 5x slower)
+    tagged = mins.select(
+        F.col(id_col),
+        F.concat(F.lpad(F.col("_seed").cast("string"), 2, "0"), F.lit("~"), F.col("_mh")).alias("_t"),
+    )
+    return tagged.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list("_t")), lambda s: F.substring(s, 4, 32)
+        ).alias("mh")
+    )
+
+
+def minhash_long(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = DEFAULT_N_HASHES,
+    k: int = DEFAULT_SHINGLE_K,
+) -> DataFrame:
+    """(id, _seed, _mh) long-format signatures — the relational core.
+
+    The exploded shingles are repartitioned before the seed fan-out: the
+    shingle construction is a higher-order-function expression, and when
+    fused into the md5+agg stage the whole pipeline falls out of codegen
+    (interpreted eval, ~30x slower measured).  The exchange isolates the
+    HOF in its own map stage AND spreads the hash work evenly."""
+    ex = df.select(
+        F.col(id_col), F.explode(shingles_col(F.col(text_col), k)).alias("_sh")
+    )
+    ex = ex.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    seeds = F.array(*[F.lit(s) for s in range(n_hashes)])
+    seeded = ex.select(
+        F.col(id_col), F.explode(seeds).alias("_seed"), F.col("_sh")
+    )
+    hashed = seeded.select(
+        F.col(id_col),
+        F.col("_seed"),
+        F.md5(F.concat(F.col("_seed").cast("string"), F.lit(":"), F.col("_sh"))).alias(
+            "_h"
+        ),
+    )
+    return hashed.groupBy(id_col, "_seed").agg(F.min("_h").alias("_mh"))
 
 
 def lsh_candidate_pairs(
-    sig_df: DataFrame,
+    sig_long: DataFrame,
     id_col: str = "doc_id",
     n_hashes: int = DEFAULT_N_HASHES,
     bands: int = DEFAULT_BANDS,
 ) -> DataFrame:
-    """Distinct (a < b) pairs sharing at least one LSH band."""
+    """Distinct (a < b) pairs sharing at least one LSH band.
+
+    Input is the LONG signature format (id, _seed, _mh); band keys are a
+    lambda-free groupBy (string sort + concat) so everything stays in
+    codegen.  Two docs share a band key iff their `rows` minhashes of that
+    band are all equal — the canonical banding condition."""
     rows = n_hashes // bands
-    band_keys = [
-        F.concat_ws(
-            "|", F.lit(str(b)), *[F.col(f"mh{b * rows + r}") for r in range(rows)]
-        ).alias("band_key")
-        for b in range(bands)
-    ]
-    banded = sig_df.select(
-        F.col(id_col), F.explode(F.array(*band_keys)).alias("band_key")
+    tagged = sig_long.select(
+        F.col(id_col),
+        (F.col("_seed") / rows).cast("int").alias("_band"),
+        F.concat(
+            F.lpad(F.col("_seed").cast("string"), 2, "0"), F.lit("~"), F.col("_mh")
+        ).alias("_t"),
+    )
+    banded = tagged.groupBy(id_col, "_band").agg(
+        F.concat_ws("|", F.array_sort(F.collect_list("_t"))).alias("_body")
+    ).select(
+        F.col(id_col),
+        F.concat(F.col("_band").cast("string"), F.lit("|"), F.col("_body")).alias(
+            "band_key"
+        ),
     )
     other = banded.select(F.col(id_col).alias("_b"), "band_key")
     return (
@@ -141,11 +221,17 @@ def near_dup_pairs(
     (a, b, inter_n, union_n) — integer counts, so the oracle compare is
     exact.  shingle→minhash→band→bucket-join→verify, the canonical
     pipeline."""
-    sig = minhash_signatures(df, id_col, text_col, n_hashes, k)
+    # spread the signature computation over all cores (small doc tables
+    # otherwise sit in a handful of partitions)
+    df = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, id_col
+    )
+    sig = minhash_long(df, id_col, text_col, n_hashes, k)
     pairs = lsh_candidate_pairs(sig, id_col, n_hashes, bands)
+    # same stage-isolation trick for the verify branch's shingle arrays
     sh = df.select(
         F.col(id_col), shingles_col(F.col(text_col), k).alias("_sh")
-    )
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
     a_sh = sh.select(F.col(id_col).alias("a"), F.col("_sh").alias("_sha"))
     b_sh = sh.select(F.col(id_col).alias("b"), F.col("_sh").alias("_shb"))
     return (
