@@ -58,7 +58,20 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     orig_pages_df = pages_mod.pages_df
-    if scale > 1:
+    pages_parquet = os.environ.get("SPARK_GRAFT_PAGES_PARQUET")
+    if pages_parquet:
+        # benchmark against a MATERIALIZED page table (the lake-table
+        # model: scan scales with cores instead of re-deriving the
+        # synthetic source every run)
+        def parquet_pages_df(spark_, sf_dir_, with_payload=False):
+            df = spark_.read.parquet(pages_parquet)
+            if with_payload:
+                df = pages_mod.with_page_payload(df)
+            return df
+
+        pages_mod.pages_df = parquet_pages_df
+        entrymod.pages_df = parquet_pages_df
+    elif scale > 1:
         def scaled_pages_df(spark_, sf_dir_, with_payload=False):
             df = orig_pages_df(spark_, sf_dir_, with_payload)
             rep = spark_.range(scale).withColumnRenamed("id", "_k")
@@ -67,6 +80,10 @@ def main() -> None:
                 .withColumn("uid", F.col("uid") * scale + F.col("_k"))
                 .withColumn("x", F.col("x") + F.col("_k") * 0.001)
                 .drop("_k")
+                # a real lake table arrives in many files; the synthetic
+                # crossJoin otherwise inherits ~3 post-AQE partitions and
+                # caps every downstream stage at 3 tasks
+                .repartition(128)
             )
 
         pages_mod.pages_df = scaled_pages_df
@@ -75,11 +92,19 @@ def main() -> None:
 
     n_pages = pages_mod.pages_df(spark, sf_dir).count()
 
+    # SPARK_GRAFT_WARM=1: run each query twice, record the SECOND time —
+    # steady-state throughput without JVM/py-worker/broadcast cold starts
+    # (the scaling-efficiency criterion compares engine work, not session
+    # setup constants)
+    warm = os.environ.get("SPARK_GRAFT_WARM") == "1"
     errors: dict[str, str] = {}
     for name, fn in qs.items():
         print(f"# bench start {name}", file=sys.stderr, flush=True)
         t0 = time.time()
         try:
+            if warm:
+                fn(spark, sf_dir).count()
+            t0 = time.time()
             # force full execution; count() runs every operator incl. UDF refine
             fn(spark, sf_dir).count()
             timings[name] = round(time.time() - t0, 3)

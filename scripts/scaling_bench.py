@@ -23,6 +23,32 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 QUERIES = os.environ.get("SPARK_GRAFT_SCALING_QUERIES", "pip_join,cell_index,grid_id")
 SCALE = os.environ.get("SPARK_GRAFT_SCALE", "8")
 LEVELS = (8, 32)
+PAGES_PARQUET = "/tmp/ssb_sgis_scaled_pages.parquet"
+
+
+def materialize_pages() -> int:
+    """Write the scaled page table to parquet ONCE (the lake-table model:
+    both levels read the same files; scan parallelism follows cores)."""
+    if os.path.isdir(PAGES_PARQUET):
+        return -1
+    code = f"""
+import sys; sys.path.insert(0, {REPO!r})
+from pyspark.sql import SparkSession, functions as F
+spark = (SparkSession.builder.master("local[32]")
+  .config("spark.driver.memory", "48g").config("spark.ui.enabled","false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from ssb_sgis_spark.sources.pages import pages_df
+df = pages_df(spark, "/root/testdata/sf0.1")
+rep = spark.range({SCALE}).withColumnRenamed("id", "_k")
+out = (df.crossJoin(rep)
+  .withColumn("uid", F.col("uid") * {SCALE} + F.col("_k"))
+  .withColumn("x", F.col("x") + F.col("_k") * 0.001)
+  .drop("_k").repartition(128))
+out.write.mode("overwrite").parquet({PAGES_PARQUET!r})
+print("rows", spark.read.parquet({PAGES_PARQUET!r}).count())
+"""
+    subprocess.run([sys.executable, "-c", code], check=True, timeout=1200)
+    return 0
 
 
 def run_level(cpus: int) -> dict:
@@ -30,7 +56,8 @@ def run_level(cpus: int) -> dict:
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_QUERIES=QUERIES,
-        SPARK_GRAFT_SCALE=SCALE,
+        SPARK_GRAFT_PAGES_PARQUET=PAGES_PARQUET,
+        SPARK_GRAFT_WARM="1",
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
@@ -46,6 +73,7 @@ def run_level(cpus: int) -> dict:
 
 
 def main() -> None:
+    materialize_pages()
     results = {c: run_level(c) for c in LEVELS}
     n_pages = results[LEVELS[0]]["n_pages"]
     lines = [
