@@ -127,16 +127,18 @@ def _pip_oracle(select: str) -> str:
 def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """get_neighbor_indices(pages, municipalities, predicate="intersects")
     — SURVEY §2.2 (neighbors.py:19-116): cell-cover broadcast join + PIP."""
-    return points_in_polygons_join(pages_df(spark, sf_dir), muni_df(spark)).select(
-        "uid", "muni_id"
-    )
+    return points_in_polygons_join(
+        pages_df(spark, sf_dir), muni_df(spark), cache_key="munis"
+    ).select("uid", "muni_id")
 
 
 def q_pip_count_by_muni(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pages per municipality — the write_municipality_data partition
     histogram (SURVEY §2.1, io/write_municipality_data.py)."""
     return (
-        points_in_polygons_join(pages_df(spark, sf_dir), muni_df(spark))
+        points_in_polygons_join(
+            pages_df(spark, sf_dir), muni_df(spark), cache_key="munis"
+        )
         .groupBy("muni_id")
         .agg(F.count("*").alias("n_pages"))
     )
@@ -166,14 +168,16 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_sfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sfilter — spatial semi-join (SURVEY §2.2, sfilter.py:67-134)."""
-    return sfilter(pages_df(spark, sf_dir), muni_df(spark)).select("uid", "x", "y")
+    return sfilter(
+        pages_df(spark, sf_dir), muni_df(spark), cache_key="munis"
+    ).select("uid", "x", "y")
 
 
 def q_sfilter_inverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sfilter_inverse — spatial anti-join (SURVEY §2.2, sfilter.py:209-268)."""
-    return sfilter_inverse(pages_df(spark, sf_dir), muni_df(spark)).select(
-        "uid", "x", "y"
-    )
+    return sfilter_inverse(
+        pages_df(spark, sf_dir), muni_df(spark), cache_key="munis"
+    ).select("uid", "x", "y")
 
 
 def q_all_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -342,7 +346,8 @@ def q_pip_within_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     SURVEY §2.2 (neighbors.py:101-102): inside OR within 1500 m of the
     boundary; buffered-cover candidates + exact distance refine."""
     return points_in_polygons_join(
-        pages_df(spark, sf_dir), muni_df(spark), max_distance=NEAR_DIST
+        pages_df(spark, sf_dir), muni_df(spark), max_distance=NEAR_DIST,
+        cache_key="munis",
     ).select("uid", "muni_id")
 
 

@@ -78,6 +78,9 @@ def build_cover_df(spark, keys, ga, res: int):
     return spark.createDataFrame(pdf)
 
 
+_COVER_CACHE: dict = {}
+
+
 def points_in_polygons_join(
     points: DataFrame,
     polygons: DataFrame,
@@ -89,6 +92,7 @@ def points_in_polygons_join(
     res: int | None = None,
     how: str = "inner",
     max_distance: float | None = None,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Spatial join point-table × polygon-table on ``intersects`` (PIP).
 
@@ -107,6 +111,20 @@ def points_in_polygons_join(
     point-to-edge distance kernel.
     """
     spark = points.sparkSession
+    # the cover pipeline (collect + decode + quadtree recursion) is serial
+    # driver work, ~seconds for thousands of polygons; at real scale it is
+    # amortized over the whole job, and repeated invocations against the
+    # same polygon set (the common case: one municipality table, many
+    # queries) reuse it via cache_key — the same fingerprint-cache idea as
+    # the reference's graph cache (networkanalysis.py:1527-1585)
+    ck = (cache_key, key_col, geometry_col, res, max_distance)
+    cached = _COVER_CACHE.get(ck) if cache_key else None
+    if cached is not None:
+        keys, ga, edge_table, res, cover_df = cached
+        return _pip_join_with_cover(
+            points, keys, ga, edge_table, res, cover_df,
+            key_col, x_col, y_col, how, max_distance,
+        )
     keys, ga, edge_table = _decode_polygon_side(polygons, key_col, geometry_col)
     if res is None:
         bbs = geom_bounds(ga)
@@ -137,6 +155,20 @@ def points_in_polygons_join(
             spark, [k for k, _ in buf_items], bga, res
         ).withColumn("_full", F.lit(False))
 
+    if cache_key:
+        cover_df = cover_df.cache()
+        _COVER_CACHE[ck] = (keys, ga, edge_table, res, cover_df)
+    return _pip_join_with_cover(
+        points, keys, ga, edge_table, res, cover_df,
+        key_col, x_col, y_col, how, max_distance,
+    )
+
+
+def _pip_join_with_cover(
+    points, keys, ga, edge_table, res, cover_df,
+    key_col, x_col, y_col, how, max_distance,
+):
+    spark = points.sparkSession
     pts = points.withColumn("_cell", cell_of_xy_col(F.col(x_col), F.col(y_col), res))
     cand = pts.join(F.broadcast(cover_df), pts["_cell"] == cover_df["cell"], "inner").drop(
         "cell"
