@@ -20,10 +20,14 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-QUERIES = os.environ.get("SPARK_GRAFT_SCALING_QUERIES", "pip_join,cell_index,grid_id")
-SCALE = os.environ.get("SPARK_GRAFT_SCALE", "8")
+QUERIES = os.environ.get(
+    "SPARK_GRAFT_SCALING_QUERIES", "pip_join,pip_within_distance,cell_index"
+)
+# big enough that the measured window is CPU-bound engine work (tens of
+# seconds at local[8]), not per-job scheduling constants
+SCALE = os.environ.get("SPARK_GRAFT_SCALE", "128")
 LEVELS = (8, 32)
-PAGES_PARQUET = "/tmp/ssb_sgis_scaled_pages.parquet"
+PAGES_PARQUET = f"/tmp/ssb_sgis_scaled_pages_x{SCALE}.parquet"
 
 
 def materialize_pages() -> int:
@@ -39,12 +43,12 @@ spark = (SparkSession.builder.master("local[32]")
 spark.sparkContext.setLogLevel("ERROR")
 from ssb_sgis_spark.sources.pages import pages_df
 df = pages_df(spark, "/root/testdata/sf0.1")
-rep = spark.range({SCALE}).withColumnRenamed("id", "_k")
-out = (df.crossJoin(rep)
+base = df.repartition(32)
+out = (base.withColumn("_k", F.explode(F.sequence(F.lit(0), F.lit({SCALE} - 1))))
   .withColumn("uid", F.col("uid") * {SCALE} + F.col("_k"))
   .withColumn("x", F.col("x") + F.col("_k") * 0.001)
-  .drop("_k").repartition(128))
-out.write.mode("overwrite").parquet({PAGES_PARQUET!r})
+  .drop("_k"))
+out.write.mode("overwrite").option("parquet.block.size", 16 * 1024 * 1024).parquet({PAGES_PARQUET!r})
 print("rows", spark.read.parquet({PAGES_PARQUET!r}).count())
 """
     subprocess.run([sys.executable, "-c", code], check=True, timeout=1200)
@@ -57,7 +61,7 @@ def run_level(cpus: int) -> dict:
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_QUERIES=QUERIES,
         SPARK_GRAFT_PAGES_PARQUET=PAGES_PARQUET,
-        SPARK_GRAFT_WARM="1",
+        SPARK_GRAFT_WARM="3",
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
