@@ -562,9 +562,9 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT muni_id,
                    count(*) AS n_cells,
-                   sum(value) AS value_sum,
-                   min(value) AS value_min,
-                   max(value) AS value_max
+                   CAST(sum(value) AS BIGINT) AS value_sum,
+                   CAST(min(value) AS BIGINT) AS value_min,
+                   CAST(max(value) AS BIGINT) AS value_max
             FROM hits GROUP BY muni_id
         """,
         "pip_within_distance": f"""

@@ -5,20 +5,40 @@ sfilter family, ``sgis/geopandas_tools/neighbors.py:19-116``,
 Physical strategy (Spark-first, designed for the 10^12-page table):
 
 1. Polygon side (municipalities/grids — thousands of rows) is collected,
-   decoded once, and turned into a **cell cover**: (cell, key, full) rows
-   at a fixed quadtree resolution.  FULL cells lie entirely inside the
-   polygon; PARTIAL cells touch its boundary.  The cover is a tiny
-   DataFrame and is **broadcast** — the candidate join is a broadcast
-   hash join on a native long column, so the page side never shuffles.
+   decoded once, and turned into a **cell cover**: one row per (cell,
+   polygon) at a fixed quadtree resolution.  FULL cells lie entirely
+   inside the polygon; PARTIAL cells touch its boundary and carry the
+   *cell-clipped ray-cast state*:
+
+   - ``_near``  — edges whose bbox overlaps the cell's x-range; these
+     need the full crossing test against the point.
+   - ``_rb``    — y-breakpoints inside the cell's y-band from edges
+     entirely to the RIGHT of the cell.  For a point in the cell the
+     ray-crossing x-condition holds for such edges by construction, and
+     sum-of-straddles parity equals (# edge endpoints <= y) mod 2, so
+     only endpoint comparisons remain.
+   - ``_rbase`` — the constant part of that endpoint count: right-edge
+     endpoints below the cell's y-band (same for every point in the
+     cell), precomputed at build time.
+
+   Edges entirely left of the cell or outside its y-band can never be
+   crossed by the +x ray of a point in the cell and are dropped.  Both
+   arrays are PADDED to a fixed per-cover width (degenerate edges /
+   +inf breakpoints contribute nothing), so the refine predicate is a
+   fixed-size unrolled expression — **whole-stage-codegen JVM code, no
+   higher-order functions, no Python**.  The cover is a tiny DataFrame
+   and is **broadcast**.
 
 2. Page side gets ``cell = cell_of_xy_col(x, y, res)`` — a native column
    expression (whole-stage codegen; no Python).
 
-3. Candidates in FULL cells are matches by construction (no geometry
-   work at all — typically the vast majority at municipality scale).
-   Candidates in PARTIAL cells are refined with the vectorized
-   ray-casting PIP kernel inside an Arrow-batched ``mapInPandas``
-   (numpy only — no per-row Python, per BASELINE.json input_hint).
+3. The entire join is scan → broadcast hash join with the codegen'd
+   PIP predicate as the join condition.  One pass, no shuffle of the
+   page side, no union, no Python workers.  (Round 1 used an Arrow
+   ``mapInPandas`` refine; on many-core hosts the JVM↔Python-worker
+   interplay caused scheduler-migration storms and inverted scaling.
+   An ``aggregate`` higher-order-function variant was also rejected:
+   HOFs are CodegenFallback and de-codegen the whole span.)
 
 This replaces the reference's STRtree candidate-pair generation
 (``overlay.py:210-211``) with a shuffle-free broadcast plan.
@@ -28,17 +48,32 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
 
-from ..cells import cell_of_xy_col, covers_for_polygons, pick_cover_resolution
+from ..cells import cell_size, covers_for_polygons, cell_of_xy_col, pick_cover_resolution
 from ..kernels import wkb
 from ..kernels.geom import (
     bounds as geom_bounds,
-    points_in_polygon_grouped,
     points_near_polygon_grouped,
-    total_bounds,
 )
+
+# float-rounding guard for the cell-clip edge classification: the oracle's
+# crossing-x formula has absolute error <= ~1e-8 for metre-range coords;
+# edges within this margin of the cell border take the full (exact) test.
+_CLIP_MARGIN = 1e-3
+
+# degenerate padding edge: ay == by means the straddle test is false for
+# every y, so padded slots contribute 0 crossings
+_PAD_EDGE = (0.0, 0.0, 0.0, 0.0)
 
 
 def _decode_polygon_side(poly_df: DataFrame, key_col: str, geometry_col: str):
@@ -61,24 +96,160 @@ def _decode_polygon_side(poly_df: DataFrame, key_col: str, geometry_col: str):
     return keys, ga, edge_table
 
 
+_COVER_SCHEMA = StructType(
+    [
+        StructField("cell", LongType()),
+        StructField("_key", BooleanType()),  # placeholder; patched per key dtype
+        StructField("_full", BooleanType()),
+        StructField("_rbase", LongType()),
+        StructField("_rb", ArrayType(DoubleType())),
+        StructField(
+            "_near",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("ax", DoubleType()),
+                        StructField("ay", DoubleType()),
+                        StructField("bx", DoubleType()),
+                        StructField("by", DoubleType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def _cover_schema_for(key_example) -> StructType:
+    from pyspark.sql.types import LongType as LT, StringType
+
+    if isinstance(key_example, str):
+        kt = StringType()
+    elif isinstance(key_example, (int, np.integer)):
+        kt = LT()
+    else:
+        kt = StringType()
+    fields = list(_COVER_SCHEMA.fields)
+    fields[1] = StructField("_key", kt)
+    return StructType(fields)
+
+
+def _cell_box(cell: int, res: int):
+    from ..cells import DOMAIN_X0, DOMAIN_Y0
+
+    s = cell_size(res)
+    # deinterleave morton -> (ix, iy)
+    v = np.uint64(cell)
+
+    def compact(u):
+        u = u & np.uint64(0x5555555555555555)
+        u = (u | (u >> np.uint64(1))) & np.uint64(0x3333333333333333)
+        u = (u | (u >> np.uint64(2))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        u = (u | (u >> np.uint64(4))) & np.uint64(0x00FF00FF00FF00FF)
+        u = (u | (u >> np.uint64(8))) & np.uint64(0x0000FFFF0000FFFF)
+        u = (u | (u >> np.uint64(16))) & np.uint64(0x00000000FFFFFFFF)
+        return int(u)
+
+    ix = compact(v)
+    iy = compact(v >> np.uint64(1))
+    x0 = DOMAIN_X0 + ix * s
+    y0 = DOMAIN_Y0 + iy * s
+    return x0, y0, x0 + s, y0 + s
+
+
 def build_cover_df(spark, keys, ga, res: int):
-    """Cover rows (cell long, key, full boolean) for a polygon batch."""
+    """Cover rows with cell-clipped ray-cast state (module docstring).
+
+    Returns ``(cover_df, n_near, n_rb)`` where the two counts are the
+    fixed padded widths of the ``_near`` / ``_rb`` arrays (the unrolled
+    predicate is generated to exactly that width).
+    """
+    m = _CLIP_MARGIN
+    rows = []
     covers = covers_for_polygons(ga, res)
-    cells, ks, fulls = [], [], []
-    for g, cover, _edges in covers:
+    for g, cover, edges in covers:
+        key = keys[g]
         for c in cover.full:
-            cells.append(int(c))
-            ks.append(keys[g])
-            fulls.append(True)
+            rows.append([int(c), key, True, 0, [], []])
+        if edges is None or len(cover.partial) == 0:
+            continue
+        x1, y1, x2, y2 = edges
+        exmin = np.minimum(x1, x2)
+        exmax = np.maximum(x1, x2)
+        eymin = np.minimum(y1, y2)
+        eymax = np.maximum(y1, y2)
         for c in cover.partial:
-            cells.append(int(c))
-            ks.append(keys[g])
-            fulls.append(False)
-    pdf = pd.DataFrame({"cell": pd.Series(cells, dtype="int64"), "_key": ks, "_full": fulls})
-    return spark.createDataFrame(pdf)
+            cx0, cy0, cx1, cy1 = _cell_box(int(c), res)
+            band = (eymax > cy0 - m) & (eymin < cy1 + m)
+            near = band & (exmax >= cx0 - m) & (exmin <= cx1 + m)
+            right = band & (exmin > cx1 + m)
+            ni = np.flatnonzero(near)
+            ri = np.flatnonzero(right)
+            # straddle parity of the right set == (# endpoints <= y) mod 2;
+            # endpoints below the band are constant for every in-cell y
+            bps = np.concatenate([y1[ri], y2[ri]])
+            rbase = int((bps <= cy0 - m).sum() % 2)
+            rb = sorted(float(b) for b in bps[(bps > cy0 - m) & (bps < cy1 + m)])
+            rows.append(
+                [
+                    int(c),
+                    key,
+                    False,
+                    rbase,
+                    rb,
+                    [
+                        (float(x1[i]), float(y1[i]), float(x2[i]), float(y2[i]))
+                        for i in ni
+                    ],
+                ]
+            )
+    n_near = max((len(r[5]) for r in rows), default=0)
+    n_rb = max((len(r[4]) for r in rows), default=0)
+    for r in rows:
+        r[4] = r[4] + [float("inf")] * (n_rb - len(r[4]))
+        r[5] = r[5] + [_PAD_EDGE] * (n_near - len(r[5]))
+    df = spark.createDataFrame(
+        [tuple(r) for r in rows],
+        schema=_cover_schema_for(keys[0] if keys else ""),
+    )
+    return df, n_near, n_rb
 
 
+def _pip_pred_col(x: Column, y: Column, n_near: int, n_rb: int) -> Column:
+    """The PIP predicate as a fixed-width unrolled native expression —
+    whole-stage-codegen compatible (no higher-order functions), same
+    float64 arithmetic as the numpy kernel (kernels/geom.py:217-226) and
+    the DuckDB oracle.  Padded slots contribute 0 by construction."""
+    parity = F.col("_rbase")
+    for i in range(1, n_rb + 1):
+        parity = parity + (F.element_at(F.col("_rb"), i) <= y).cast("long")
+    for i in range(1, n_near + 1):
+        e = F.element_at(F.col("_near"), i)
+        crossing = ((e["ay"] > y) != (e["by"] > y)) & (
+            x
+            < (e["bx"] - e["ax"]) * F.try_divide(y - e["ay"], e["by"] - e["ay"])
+            + e["ax"]
+        )
+        parity = parity + F.when(crossing, F.lit(1)).otherwise(F.lit(0))
+    return F.col("_full") | ((parity % 2) == 1)
+
+
+# bounded cover cache keyed on the polygon frame's *plan* fingerprint
+# (semanticHash) + params — a changed polygon frame changes the key, so no
+# stale covers (the reference's graph-cache idea, networkanalysis.py:1527-
+# 1585, keyed by content there); evicted entries unpersist their cover.
 _COVER_CACHE: dict = {}
+_COVER_CACHE_MAX = 16
+
+
+def _cover_cache_put(ck, value):
+    if len(_COVER_CACHE) >= _COVER_CACHE_MAX:
+        _, old = _COVER_CACHE.popitem()
+        try:
+            old[4].unpersist()
+        except Exception:
+            pass
+    _COVER_CACHE[ck] = value
 
 
 def points_in_polygons_join(
@@ -93,6 +264,7 @@ def points_in_polygons_join(
     how: str = "inner",
     max_distance: float | None = None,
     cache_key: str | None = None,
+    id_cols: list[str] | None = None,
 ) -> DataFrame:
     """Spatial join point-table × polygon-table on ``intersects`` (PIP).
 
@@ -100,7 +272,8 @@ def points_in_polygons_join(
     a null key for unmatched points (``how="left"``), or only the
     matched/unmatched point rows (``how="semi"`` / ``how="anti"`` —
     the reference's sfilter / sfilter_inverse, ``sfilter.py:67-134,
-    209-268``).
+    209-268``).  ``id_cols`` names a unique key of the point side for the
+    semi/anti/left bookkeeping joins (defaults to all point columns).
 
     Reference parity: get_neighbor_indices(points, polygons,
     predicate="intersects") — ``neighbors.py:19-116``.  With
@@ -114,16 +287,18 @@ def points_in_polygons_join(
     # the cover pipeline (collect + decode + quadtree recursion) is serial
     # driver work, ~seconds for thousands of polygons; at real scale it is
     # amortized over the whole job, and repeated invocations against the
-    # same polygon set (the common case: one municipality table, many
-    # queries) reuse it via cache_key — the same fingerprint-cache idea as
-    # the reference's graph cache (networkanalysis.py:1527-1585)
-    ck = (cache_key, key_col, geometry_col, res, max_distance)
-    cached = _COVER_CACHE.get(ck) if cache_key else None
+    # same polygon frame reuse it via the plan-fingerprint cache
+    try:
+        fp = polygons.semanticHash()
+    except Exception:
+        fp = cache_key
+    ck = (fp, cache_key, key_col, geometry_col, res, max_distance)
+    cached = _COVER_CACHE.get(ck)
     if cached is not None:
-        keys, ga, edge_table, res, cover_df = cached
+        keys, ga, edge_table, res, cover_df, n_near, n_rb = cached
         return _pip_join_with_cover(
-            points, keys, ga, edge_table, res, cover_df,
-            key_col, x_col, y_col, how, max_distance,
+            points, keys, ga, edge_table, res, cover_df, n_near, n_rb,
+            key_col, x_col, y_col, how, max_distance, id_cols,
         )
     keys, ga, edge_table = _decode_polygon_side(polygons, key_col, geometry_col)
     if res is None:
@@ -134,12 +309,11 @@ def points_in_polygons_join(
         res = pick_cover_resolution((0, 0, med, med))
 
     if max_distance is None:
-        cover_df = build_cover_df(spark, keys, ga, res)
+        cover_df, n_near, n_rb = build_cover_df(spark, keys, ga, res)
     else:
         # covers of the buffered polygons (1% oversized: the inscribed
         # buffer polygon underestimates the true distance band) — sound
-        # candidate superset; FULL cells are only "within 1.01*d", so
-        # everything refines exactly below
+        # candidate superset; every candidate refines exactly below
         from ..kernels.buffer import buffer_parts
 
         buf_items = []
@@ -151,71 +325,80 @@ def points_in_polygons_join(
             buf_items.append((key, bp))
         bufs = [wkb.encode_geom(bp, wkb.T_POLYGON) for _, bp in buf_items]
         bga = wkb.decode(bufs)
-        cover_df = build_cover_df(
-            spark, [k for k, _ in buf_items], bga, res
-        ).withColumn("_full", F.lit(False))
+        cover_df, n_near, n_rb = build_cover_df(spark, [k for k, _ in buf_items], bga, res)
+        cover_df = cover_df.withColumn("_full", F.lit(False))
 
-    if cache_key:
-        cover_df = cover_df.cache()
-        _COVER_CACHE[ck] = (keys, ga, edge_table, res, cover_df)
+    cover_df = cover_df.cache()
+    _cover_cache_put(ck, (keys, ga, edge_table, res, cover_df, n_near, n_rb))
     return _pip_join_with_cover(
-        points, keys, ga, edge_table, res, cover_df,
-        key_col, x_col, y_col, how, max_distance,
+        points, keys, ga, edge_table, res, cover_df, n_near, n_rb,
+        key_col, x_col, y_col, how, max_distance, id_cols,
     )
 
 
 def _pip_join_with_cover(
-    points, keys, ga, edge_table, res, cover_df,
-    key_col, x_col, y_col, how, max_distance,
+    points, keys, ga, edge_table, res, cover_df, n_near, n_rb,
+    key_col, x_col, y_col, how, max_distance, id_cols=None,
 ):
     spark = points.sparkSession
     pts = points.withColumn("_cell", cell_of_xy_col(F.col(x_col), F.col(y_col), res))
-    cand = pts.join(F.broadcast(cover_df), pts["_cell"] == cover_df["cell"], "inner").drop(
-        "cell"
-    )
 
-    full_matches = cand.filter(F.col("_full")).drop("_full")
-    partial = cand.filter(~F.col("_full")).drop("_full")
+    if max_distance is None:
+        # one codegen'd pass: broadcast hash join on the cell id with the
+        # unrolled PIP predicate as the join condition — FULL cells satisfy
+        # it via the _full flag, PARTIAL cells via crossing parity
+        pred = _pip_pred_col(F.col(x_col), F.col(y_col), n_near, n_rb)
+        matched = (
+            pts.join(
+                F.broadcast(cover_df),
+                (pts["_cell"] == cover_df["cell"]) & pred,
+                "inner",
+            )
+            .drop("cell", "_cell", "_full", "_rbase", "_rb", "_near")
+            .withColumnRenamed("_key", key_col)
+        )
+    else:
+        # distance refine: exact point-to-edge distance kernel (Arrow batch)
+        cand = pts.join(
+            F.broadcast(cover_df), pts["_cell"] == cover_df["cell"], "inner"
+        ).drop("cell")
+        partial = cand.drop("_full", "_rbase", "_rb", "_near")
+        bc_edges = spark.sparkContext.broadcast(edge_table)
+        out_schema = partial.schema
+        max_d2 = float(max_distance) * float(max_distance)
 
-    bc_edges = spark.sparkContext.broadcast(edge_table)
-    out_schema = partial.schema
-    max_d2 = None if max_distance is None else float(max_distance) * float(max_distance)
-
-    def refine(iterator):
-        edges = bc_edges.value
-        for pdf in iterator:
-            if len(pdf) == 0:
-                yield pdf
-                continue
-            px = pdf[x_col].to_numpy(dtype=np.float64)
-            py = pdf[y_col].to_numpy(dtype=np.float64)
-            pkeys = pdf["_key"].to_numpy()
-            if max_d2 is None:
-                mask = points_in_polygon_grouped(px, py, pkeys, edges)
-            else:
+        def refine(iterator):
+            edges = bc_edges.value
+            for pdf in iterator:
+                if len(pdf) == 0:
+                    yield pdf
+                    continue
+                px = pdf[x_col].to_numpy(dtype=np.float64)
+                py = pdf[y_col].to_numpy(dtype=np.float64)
+                pkeys = pdf["_key"].to_numpy()
                 mask = points_near_polygon_grouped(px, py, pkeys, edges, max_d2)
-            yield pdf[mask]
+                yield pdf[mask]
 
-    refined = partial.mapInPandas(refine, schema=out_schema)
-    matched = full_matches.unionByName(refined).withColumnRenamed("_key", key_col).drop(
-        "_cell"
-    )
+        matched = (
+            partial.mapInPandas(refine, schema=out_schema)
+            .withColumnRenamed("_key", key_col)
+            .drop("_cell")
+        )
 
     if how == "inner":
         return matched
+    ids = list(id_cols) if id_cols else [c for c in points.columns]
     if how == "semi":
-        return matched.drop(key_col).dropDuplicates(
-            [c for c in points.columns]
-        )
+        return matched.drop(key_col).dropDuplicates(ids)
     if how == "anti":
-        # left rows with no match: anti-join on the point's unique columns
+        # left rows with no match: anti-join on the point side's key
         return points.join(
-            matched.select(*points.columns).dropDuplicates(), on=points.columns, how="left_anti"
+            matched.select(*ids).dropDuplicates(), on=ids, how="left_anti"
         )
     if how == "left":
         m = matched.select(*points.columns, key_col)
         unmatched = points.join(
-            m.select(*points.columns).dropDuplicates(), on=points.columns, how="left_anti"
+            m.select(*ids).dropDuplicates(), on=ids, how="left_anti"
         ).withColumn(key_col, F.lit(None).cast("string"))
         return m.unionByName(unmatched)
     raise ValueError(f"how must be inner/left/semi/anti, got {how!r}")

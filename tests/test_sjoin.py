@@ -78,6 +78,6 @@ def test_full_cells_need_no_refine(spark):
     from ssb_sgis_spark.operators.sjoin import _decode_polygon_side, build_cover_df
 
     keys, ga, edge_table = _decode_polygon_side(muni_df(spark), "muni_id", "geometry")
-    cover = build_cover_df(spark, keys, ga, 13).toPandas()
+    cover = build_cover_df(spark, keys, ga, 13)[0].toPandas()
     frac_full = cover["_full"].mean()
     assert frac_full > 0.5, f"cover is mostly boundary cells: {frac_full}"
