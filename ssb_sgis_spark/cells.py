@@ -166,10 +166,30 @@ def ssb_grid_id_np(x: np.ndarray, y: np.ndarray, gridsize: int = 1000) -> np.nda
 # ------------------------------------------------------------ polygon cover
 @dataclass
 class CellCover:
-    """Cover of one polygon at a fixed resolution."""
+    """Cover of one polygon at a fixed resolution.
 
-    full: np.ndarray  # morton cells entirely inside the polygon
+    FULL coverage is stored COMPACT, as quadtree-block morton ranges
+    ``[start, end)`` at ``res`` (the H3-compact-cover idea): a county-
+    sized polygon keeps a few hundred block rows instead of millions of
+    enumerated cells.  ``full`` expands the ranges for small covers /
+    tests; callers at scale use ``full_ranges`` directly.
+    """
+
+    full_ranges: np.ndarray  # (N, 2) int64 [start, end) morton ranges at res
     partial: np.ndarray  # morton cells intersecting the boundary
+
+    @property
+    def full(self) -> np.ndarray:
+        if len(self.full_ranges) == 0:
+            return np.empty(0, dtype=np.int64)
+        return np.concatenate(
+            [np.arange(s, e, dtype=np.int64) for s, e in self.full_ranges]
+        )
+
+    def full_count(self) -> int:
+        if len(self.full_ranges) == 0:
+            return 0
+        return int((self.full_ranges[:, 1] - self.full_ranges[:, 0]).sum())
 
 
 def _seg_box_intersect(x1, y1, x2, y2, bx0, by0, bx1, by1) -> np.ndarray:
@@ -235,11 +255,11 @@ def polygon_cover(edges, bbox, res: int, coarse_res: int = 6) -> CellCover:
         if cls == -1:
             return
         if cls == 1:
-            # expand to res-level children: contiguous morton range
+            # keep the block COMPACT: one contiguous morton range at res
             steps = res - r
             base = morton_np(np.array([ix], dtype=np.int64), np.array([iy], dtype=np.int64))[0]
-            start = base << (2 * steps)
-            full.append(np.arange(start, start + (1 << (2 * steps)), dtype=np.int64))
+            start = int(base) << (2 * steps)
+            full.append((start, start + (1 << (2 * steps))))
             return
         if r == res:
             partial.append(
@@ -260,10 +280,14 @@ def polygon_cover(edges, bbox, res: int, coarse_res: int = 6) -> CellCover:
         for iy in range(iy0, iy1 + 1):
             recurse(ix, iy, coarse_res)
 
-    full_arr = (
-        np.concatenate(full) if full else np.empty(0, dtype=np.int64)
+    ranges = (
+        np.array(sorted(full), dtype=np.int64).reshape(-1, 2)
+        if full
+        else np.empty((0, 2), dtype=np.int64)
     )
-    return CellCover(full=full_arr, partial=np.asarray(sorted(partial), dtype=np.int64))
+    return CellCover(
+        full_ranges=ranges, partial=np.asarray(sorted(partial), dtype=np.int64)
+    )
 
 
 def covers_for_polygons(ga: GeomArray, res: int):
@@ -276,7 +300,9 @@ def covers_for_polygons(ga: GeomArray, res: int):
     for g in range(len(ga)):
         rings = ga.geom_rings(g)
         if not rings:
-            out.append((g, CellCover(np.empty(0, np.int64), np.empty(0, np.int64)), None))
+            out.append(
+                (g, CellCover(np.empty((0, 2), np.int64), np.empty(0, np.int64)), None)
+            )
             continue
         x1 = np.concatenate([r[:-1, 0] for r in rings])
         y1 = np.concatenate([r[:-1, 1] for r in rings])

@@ -72,10 +72,9 @@ def buffer_parts(
     from .wkb import T_LINE, T_POINT, T_POLYGON
 
     if distance < 0:
-        raise NotImplementedError(
-            "negative buffers are not supported in round 1 "
-            "(reference uses them only in close_thin_holes)"
-        )
+        if geom_type != T_POLYGON:
+            return []  # GEOS: negative buffer of point/line is empty
+        return _erode(parts, -distance, quad_segs)
     if distance == 0:
         return parts if geom_type == T_POLYGON else []
 
@@ -110,6 +109,35 @@ def buffer_parts(
     else:
         return []
     return union_all(pieces)
+
+
+def _erode(
+    parts: list[list[np.ndarray]],
+    distance: float,
+    quad_segs: int = DEFAULT_QUAD_SEGS,
+) -> list[list[np.ndarray]]:
+    """Negative buffer (Minkowski erosion) of a multipolygon:
+    ``erode(P, d) = P ∖ band(∂P, d)`` where the band is the positive
+    inflation of every boundary ring — built from the same per-edge
+    rectangles + per-vertex discs as the positive buffer, so the circular
+    arcs are discretized identically (inscribed, quad_segs per quarter).
+    Thin necks/parts narrower than 2·d vanish; holes grow by d.
+    Reference behavior: GEOS buffer(-d) as used by close_thin_holes
+    (``polygon_operations.py:491-510``)."""
+    from .boolean import difference
+
+    band: list[list[list[np.ndarray]]] = []
+    for rings in parts:
+        for r in rings:
+            for v in r[:-1]:
+                band.append([[disc(v[0], v[1], distance, quad_segs)]])
+            for a, b in zip(r[:-1], r[1:]):
+                rect = _segment_rect(a, b, distance)
+                if rect is not None:
+                    band.append([[rect]])
+    if not band:
+        return []
+    return difference(parts, [union_all(band)])
 
 
 def buffer_point_np(

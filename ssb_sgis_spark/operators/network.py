@@ -65,18 +65,47 @@ def make_node_ids(df: DataFrame, geometry_col: str = "geometry") -> tuple[DataFr
     ``n_target``).  node_id = dense rank over (y, x): deterministic.
     """
     e = make_edge_coords_cols(df, geometry_col)
+    spark = df.sparkSession
     pts = (
         e.select(F.col("x0").alias("x"), F.col("y0").alias("y"))
         .unionAll(e.select(F.col("x1").alias("x"), F.col("y1").alias("y")))
     )
+    grouped = pts.groupBy("x", "y").agg(F.count("*").alias("n")).localCheckpoint()
+    # node_id = row_number over (y, x), assigned WITHOUT a global
+    # single-partition window (the scale-killer on a real road network):
+    # range-bucket on y, rank within each bucket in parallel, then add the
+    # exclusive prefix-sum of bucket counts (tiny driver-side table,
+    # broadcast back).  Bucket order is consistent with (y, x) order, so
+    # the ids are identical to the global sort's.
+    lo, hi = grouped.agg(F.min("y"), F.max("y")).first()
+    nb = max(spark.sparkContext.defaultParallelism * 4, 1)
+    h = max((hi - lo) / nb, 1e-300) if hi is not None and hi > lo else 1.0
+    bucketed = grouped.withColumn(
+        "_b",
+        F.least(F.greatest(F.floor((F.col("y") - F.lit(lo)) / F.lit(h)), F.lit(0)),
+                F.lit(nb - 1)),
+    )
+    counts = bucketed.groupBy("_b").count().orderBy("_b").collect()
+    offsets, acc = {}, 0
+    for r in counts:
+        offsets[r["_b"]] = acc
+        acc += r["count"]
+    off_df = spark.createDataFrame(
+        [(int(b), int(o)) for b, o in offsets.items()], "_b long, _off long"
+    )
     nodes = (
-        pts.groupBy("x", "y")
-        .agg(F.count("*").alias("n"))
+        bucketed.join(F.broadcast(off_df), "_b")
         .withColumn(
             "node_id",
-            F.row_number().over(Window.orderBy(F.col("y"), F.col("x"))).cast("long")
-            - 1,
+            (
+                F.row_number().over(
+                    Window.partitionBy("_b").orderBy(F.col("y"), F.col("x"))
+                ).cast("long")
+                - 1
+                + F.col("_off")
+            ),
         )
+        .drop("_b", "_off")
     )
     src = nodes.select(
         F.col("x").alias("x0"), F.col("y").alias("y0"), F.col("node_id").alias("source")

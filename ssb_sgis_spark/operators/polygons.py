@@ -69,6 +69,34 @@ def close_small_holes(
     return _map_geoms(df, fn, geometry_col)
 
 
+def close_thin_holes(
+    df: DataFrame, tolerance: float, geometry_col: str = "geometry"
+) -> DataFrame:
+    """Fill interior rings thinner than ``tolerance``: a hole is thin when
+    eroding it by tolerance/2 leaves nothing (reference
+    ``polygon_operations.py:491-510`` — negative-buffer emptiness test).
+    Unlike the reference we do not first subtract OTHER geometries nested
+    inside the hole (the within-hole sfilter); holes containing islands
+    wider than the tolerance are therefore closed here but kept there."""
+    from ..kernels.buffer import buffer_parts
+
+    def fn(parts, t):
+        if t != wkb.T_POLYGON:
+            return parts
+        out = []
+        for rings in parts:
+            kept = [rings[0]]
+            for hole in rings[1:]:
+                # hole ring is CW in parts form; erode it as a CCW polygon
+                eroded = buffer_parts([[hole[::-1]]], wkb.T_POLYGON, -tolerance / 2.0)
+                if eroded:
+                    kept.append(hole)
+            out.append(kept)
+        return out
+
+    return _map_geoms(df, fn, geometry_col)
+
+
 def get_holes(df: DataFrame, geometry_col: str = "geometry") -> DataFrame:
     """One row per interior ring, as a polygon
     (reference ``polygon_operations.py:828-862``)."""

@@ -157,7 +157,7 @@ def _cell_box(cell: int, res: int):
     return x0, y0, x0 + s, y0 + s
 
 
-def build_cover_df(spark, keys, ga, res: int):
+def build_cover_df(spark, keys, ga, res: int, covers=None):
     """Cover rows with cell-clipped ray-cast state (module docstring).
 
     Returns ``(cover_df, n_near, n_rb)`` where the two counts are the
@@ -166,7 +166,8 @@ def build_cover_df(spark, keys, ga, res: int):
     """
     m = _CLIP_MARGIN
     rows = []
-    covers = covers_for_polygons(ga, res)
+    if covers is None:
+        covers = covers_for_polygons(ga, res)
     for g, cover, edges in covers:
         key = keys[g]
         for c in cover.full:
@@ -234,6 +235,115 @@ def _pip_pred_col(x: Column, y: Column, n_near: int, n_rb: int) -> Column:
     return F.col("_full") | ((parity % 2) == 1)
 
 
+# when the enumerated FULL-cell cover would exceed this many rows, switch
+# to the compact path: quadtree-block morton ranges broadcast as sorted
+# per-level arrays + one vectorized Arrow pass (searchsorted ancestor
+# lookup for FULL blocks, numpy ray-cast refine for PARTIAL cells) — the
+# north-rule design for county-sized polygons where enumeration explodes
+_COMPACT_THRESHOLD = 2_000_000
+
+
+def _compact_lookup_tables(keys, covers, res):
+    """Per-level sorted block arrays + sorted partial-cell array, all
+    mapping back to polygon indices."""
+    by_level: dict[int, list] = {}
+    pcells, pkidx = [], []
+    for g, cover, _edges in covers:
+        for start, end in cover.full_ranges:
+            steps = int((int(end) - int(start)).bit_length() - 1) // 2
+            by_level.setdefault(steps, []).append((int(start) >> (2 * steps), g))
+        for c in cover.partial:
+            pcells.append(int(c))
+            pkidx.append(g)
+    levels = {}
+    for steps, items in by_level.items():
+        items.sort()
+        levels[steps] = (
+            np.array([b for b, _ in items], dtype=np.int64),
+            np.array([g for _, g in items], dtype=np.int64),
+        )
+    order = np.argsort(np.asarray(pcells, dtype=np.int64), kind="stable")
+    return (
+        levels,
+        np.asarray(pcells, dtype=np.int64)[order] if len(pcells) else np.empty(0, np.int64),
+        np.asarray(pkidx, dtype=np.int64)[order] if len(pkidx) else np.empty(0, np.int64),
+    )
+
+
+def _span_expand(lo, hi):
+    """Vectorized expansion of [lo_i, hi_i) index spans: returns
+    (row_idx, flat_idx) pairs for every covered index."""
+    span = hi - lo
+    sel = np.flatnonzero(span > 0)
+    reps = span[sel]
+    total = int(reps.sum())
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    ri = np.repeat(sel, reps)
+    cs = np.concatenate([[0], np.cumsum(reps)[:-1]])
+    fi = np.repeat(lo[sel], reps) + (np.arange(total) - np.repeat(cs, reps))
+    return ri, fi
+
+
+def _pip_join_compact(
+    points, keys, ga, edge_table, res, covers,
+    key_col, x_col, y_col, how, id_cols,
+):
+    """Arrow-batched PIP join against a compact (range) cover — used when
+    the enumerated cover is too large to broadcast as an equi-join table.
+    One mapInPandas pass: numpy cell assignment, per-level searchsorted
+    ancestor lookup for FULL blocks, grouped ray-cast refine for PARTIAL
+    cells.  No per-row Python (BASELINE.json input_hint)."""
+    from ..cells import cell_of_xy_np
+    from ..kernels.geom import points_in_polygon_grouped
+
+    spark = points.sparkSession
+    levels, pcells, pkidx = _compact_lookup_tables(keys, covers, res)
+    keys_arr = np.asarray(keys, dtype=object)
+    bc = spark.sparkContext.broadcast((levels, pcells, pkidx, keys_arr, edge_table))
+
+    out_fields = list(points.schema.fields)
+    key_dt = _cover_schema_for(keys[0] if keys else "").fields[1].dataType
+    out_schema = StructType(out_fields + [StructField(key_col, key_dt)])
+
+    def kernel(it):
+        levels_, pcells_, pkidx_, keys_, edges_ = bc.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            x = pdf[x_col].to_numpy(np.float64)
+            y = pdf[y_col].to_numpy(np.float64)
+            cell = cell_of_xy_np(x, y, res)
+            rows, kidx = [], []
+            for steps, (blocks, bk) in levels_.items():
+                anc = cell >> np.int64(2 * steps)
+                lo = np.searchsorted(blocks, anc, "left")
+                hi = np.searchsorted(blocks, anc, "right")
+                ri, fi = _span_expand(lo, hi)
+                rows.append(ri)
+                kidx.append(bk[fi])
+            lo = np.searchsorted(pcells_, cell, "left")
+            hi = np.searchsorted(pcells_, cell, "right")
+            ri, fi = _span_expand(lo, hi)
+            if len(ri):
+                cand_keys = keys_[pkidx_[fi]]
+                mask = points_in_polygon_grouped(x[ri], y[ri], cand_keys, edges_)
+                rows.append(ri[mask])
+                kidx.append(pkidx_[fi][mask])
+            if rows:
+                ri = np.concatenate(rows)
+                gi = np.concatenate(kidx)
+            else:
+                ri = np.empty(0, np.int64)
+                gi = np.empty(0, np.int64)
+            out = pdf.iloc[ri].copy()
+            out[key_col] = keys_[gi]
+            yield out
+
+    matched = points.mapInPandas(kernel, schema=out_schema)
+    return _apply_how(points, matched, key_col, how, id_cols)
+
+
 # bounded cover cache keyed on the polygon frame's *plan* fingerprint
 # (semanticHash) + params — a changed polygon frame changes the key, so no
 # stale covers (the reference's graph-cache idea, networkanalysis.py:1527-
@@ -246,7 +356,8 @@ def _cover_cache_put(ck, value):
     if len(_COVER_CACHE) >= _COVER_CACHE_MAX:
         _, old = _COVER_CACHE.popitem()
         try:
-            old[4].unpersist()
+            if old[0] == "enum":
+                old[5].unpersist()
         except Exception:
             pass
     _COVER_CACHE[ck] = value
@@ -265,6 +376,7 @@ def points_in_polygons_join(
     max_distance: float | None = None,
     cache_key: str | None = None,
     id_cols: list[str] | None = None,
+    compact_threshold: int | None = None,
 ) -> DataFrame:
     """Spatial join point-table × polygon-table on ``intersects`` (PIP).
 
@@ -295,7 +407,13 @@ def points_in_polygons_join(
     ck = (fp, cache_key, key_col, geometry_col, res, max_distance)
     cached = _COVER_CACHE.get(ck)
     if cached is not None:
-        keys, ga, edge_table, res, cover_df, n_near, n_rb = cached
+        if cached[0] == "compact":
+            _, keys, ga, edge_table, res, covers = cached
+            return _pip_join_compact(
+                points, keys, ga, edge_table, res, covers,
+                key_col, x_col, y_col, how, id_cols,
+            )
+        _, keys, ga, edge_table, res, cover_df, n_near, n_rb = cached
         return _pip_join_with_cover(
             points, keys, ga, edge_table, res, cover_df, n_near, n_rb,
             key_col, x_col, y_col, how, max_distance, id_cols,
@@ -309,7 +427,16 @@ def points_in_polygons_join(
         res = pick_cover_resolution((0, 0, med, med))
 
     if max_distance is None:
-        cover_df, n_near, n_rb = build_cover_df(spark, keys, ga, res)
+        covers = covers_for_polygons(ga, res)
+        total_full = sum(c.full_count() for _, c, _ in covers)
+        cap = compact_threshold if compact_threshold is not None else _COMPACT_THRESHOLD
+        if total_full > cap:
+            _cover_cache_put(ck, ("compact", keys, ga, edge_table, res, covers))
+            return _pip_join_compact(
+                points, keys, ga, edge_table, res, covers,
+                key_col, x_col, y_col, how, id_cols,
+            )
+        cover_df, n_near, n_rb = build_cover_df(spark, keys, ga, res, covers)
     else:
         # covers of the buffered polygons (1% oversized: the inscribed
         # buffer polygon underestimates the true distance band) — sound
@@ -329,7 +456,7 @@ def points_in_polygons_join(
         cover_df = cover_df.withColumn("_full", F.lit(False))
 
     cover_df = cover_df.cache()
-    _cover_cache_put(ck, (keys, ga, edge_table, res, cover_df, n_near, n_rb))
+    _cover_cache_put(ck, ("enum", keys, ga, edge_table, res, cover_df, n_near, n_rb))
     return _pip_join_with_cover(
         points, keys, ga, edge_table, res, cover_df, n_near, n_rb,
         key_col, x_col, y_col, how, max_distance, id_cols,
@@ -385,6 +512,10 @@ def _pip_join_with_cover(
             .drop("_cell")
         )
 
+    return _apply_how(points, matched, key_col, how, id_cols)
+
+
+def _apply_how(points, matched, key_col, how, id_cols=None):
     if how == "inner":
         return matched
     ids = list(id_cols) if id_cols else [c for c in points.columns]

@@ -94,3 +94,50 @@ def test_buffer_point_np_vectorized():
     assert np.allclose(
         np.hypot(rings[1, :, 0] - 100.0, rings[1, :, 1] - 50.0), 5.0
     )
+
+
+def _box(x0, y0, x1, y1):
+    return np.array(
+        [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], dtype=float
+    )
+
+
+def test_negative_buffer_square():
+    """erode(100x100, 10) = 80x80 exactly (no arcs on convex erosion)."""
+    out = buffer_parts([[_box(0, 0, 100, 100)]], T_POLYGON, -10.0)
+    assert polygon_area(out) == pytest.approx(80 * 80)
+    # eroding past the inradius leaves nothing
+    assert buffer_parts([[_box(0, 0, 100, 100)]], T_POLYGON, -60.0) == []
+
+
+def test_negative_buffer_hole_grows_and_neck_splits():
+    holed = [[_box(0, 0, 100, 100), _box(40, 40, 60, 60)[::-1]]]
+    out = buffer_parts(holed, T_POLYGON, -5.0)
+    # outer shrinks to 90x90; hole grows to 30x30 with corners rounded
+    # outward by r=5 (area 4*(25 - pi*25/4) larger than the sharp square)
+    expected = 90 * 90 - (30 * 30 - 4 * (25 - np.pi * 25 / 4))
+    assert polygon_area(out) == pytest.approx(expected, rel=2e-3)
+    # two 40x40 blobs joined by a 4m-wide neck: erosion by 5 severs it
+    neck = [[np.array(
+        [[0, 0], [40, 0], [40, 18], [60, 18], [60, 0], [100, 0], [100, 40],
+         [60, 40], [60, 22], [40, 22], [40, 40], [0, 40], [0, 0]], dtype=float
+    )]]
+    parts = buffer_parts(neck, T_POLYGON, -5.0)
+    assert len(parts) == 2
+    assert polygon_area(parts) == pytest.approx(2 * 30 * 30, rel=1e-3)
+
+
+def test_close_thin_holes(spark):
+    from ssb_sgis_spark.kernels import wkb
+    from ssb_sgis_spark.operators.polygons import close_thin_holes
+
+    thin = _box(10, 10, 90, 12)[::-1]     # 2m wide -> thin at tolerance 5
+    fat = _box(10, 20, 90, 60)[::-1]      # 40m wide -> kept
+    df = spark.createDataFrame(
+        [(0, bytearray(wkb.encode_polygon([_box(0, 0, 100, 100), thin, fat])))],
+        "pid long, geometry binary",
+    )
+    out = close_thin_holes(df, 5.0).collect()
+    ga = wkb.decode([out[0]["geometry"]])
+    rings = ga.geom_parts(0)[0]
+    assert len(rings) == 2  # exterior + fat hole; thin hole closed

@@ -236,3 +236,55 @@ def test_eliminate_by_largest_and_smallest(spark):
     a1s = polygon_area(wkb.decode([small[1]["geometry"]]).geom_parts(0))
     assert a0s == pytest.approx(200 * 100)
     assert a1s == pytest.approx(50 * 100 + 20 * 20 - 5 * 20)
+
+
+def test_eliminate_by_longest(spark):
+    """The sliver shares a 100m border with keeper 0 (left) and a 40m
+    border with keeper 1 (below) — longest-border elimination must pick
+    keeper 0 even though keeper 1 is larger."""
+    from ssb_sgis_spark.operators.eliminate import eliminate_by_longest
+
+    keep = spark.createDataFrame(
+        [
+            # tall thin keeper left of the sliver: shares the full 100m edge
+            (0, bytearray(wkb.encode_polygon([box_ring(OX, OY, OX + 50, OY + 100)]))),
+            # big keeper below: shares only the sliver's 40m bottom edge
+            (1, bytearray(wkb.encode_polygon([box_ring(OX, OY - 300, OX + 500, OY)]))),
+        ],
+        "pid long, geometry binary",
+    )
+    sliver = spark.createDataFrame(
+        [(bytearray(wkb.encode_polygon([box_ring(OX + 50, OY, OX + 90, OY + 100)])),)],
+        "geometry binary",
+    )
+    out = {r["pid"]: r for r in eliminate_by_longest(keep, sliver).collect()}
+    a0 = polygon_area(wkb.decode([out[0]["geometry"]]).geom_parts(0))
+    a1 = polygon_area(wkb.decode([out[1]["geometry"]]).geom_parts(0))
+    assert a0 == pytest.approx(50 * 100 + 40 * 100)  # sliver went left
+    assert a1 == pytest.approx(500 * 300)
+
+
+def test_eliminate_keeps_isolated_by_default(spark):
+    """remove_isolated=False (reference default, polygon_operations.py:212)
+    keeps slivers that touch no keeper, with a null id."""
+    from ssb_sgis_spark.operators.eliminate import (
+        eliminate_by_largest,
+        eliminate_by_longest,
+    )
+
+    keep = spark.createDataFrame(
+        [(0, bytearray(wkb.encode_polygon([box_ring(OX, OY, OX + 100, OY + 100)])))],
+        "pid long, geometry binary",
+    )
+    far = spark.createDataFrame(
+        [(bytearray(wkb.encode_polygon([box_ring(OX + 900, OY, OX + 950, OY + 50)])),)],
+        "geometry binary",
+    )
+    for fn in (eliminate_by_largest, eliminate_by_longest):
+        rows = fn(keep, far).collect()
+        assert len(rows) == 2, fn.__name__
+        isolated = [r for r in rows if r["pid"] is None]
+        assert len(isolated) == 1, fn.__name__
+        a = polygon_area(wkb.decode([isolated[0]["geometry"]]).geom_parts(0))
+        assert a == pytest.approx(50 * 50), fn.__name__
+        assert len(fn(keep, far, remove_isolated=True).collect()) == 1, fn.__name__

@@ -81,3 +81,19 @@ def test_full_cells_need_no_refine(spark):
     cover = build_cover_df(spark, keys, ga, 13)[0].toPandas()
     frac_full = cover["_full"].mean()
     assert frac_full > 0.5, f"cover is mostly boundary cells: {frac_full}"
+
+
+def test_compact_cover_path_matches_enumerated(spark, truth):
+    """Forcing the compact (morton-range + searchsorted) path must give
+    byte-identical join rows to the enumerated broadcast path."""
+    from ssb_sgis_spark.operators.sjoin import points_in_polygons_join
+
+    enum = points_in_polygons_join(
+        pages_df(spark, SF), muni_df(spark)
+    ).select("uid", "muni_id")
+    compact = points_in_polygons_join(
+        pages_df(spark, SF), muni_df(spark), compact_threshold=0
+    ).select("uid", "muni_id")
+    a = sorted((r["uid"], r["muni_id"]) for r in enum.collect())
+    b = sorted((r["uid"], r["muni_id"]) for r in compact.collect())
+    assert a == b
