@@ -28,11 +28,23 @@ def main() -> None:
 
     from pyspark.sql import SparkSession
 
+    # JVM sizing matters more than size: a heap with -Xmx only makes G1
+    # grow/uncommit/regrow, and each region (un)commit is a page-fault +
+    # TLB-shootdown burst across every core — measured as multi-second
+    # all-core kernel-time storms on many-core hosts.  Pin -Xms to -Xmx
+    # and pre-touch so the heap is faulted exactly once at startup.
+    # 32 MB input splits keep ~4x tasks per core in flight so the last
+    # scheduling wave cannot idle most of the machine (72x128MB splits ->
+    # 3 ragged waves at 32 cores, measured 2x slower).
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g")
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory", mem)
+        .config("spark.driver.extraJavaOptions",
+                f"-Xms{mem} -XX:+AlwaysPreTouch")
+        .config("spark.sql.files.maxPartitionBytes", "33554432")
         .config("spark.ui.enabled", "false")
         .appName("ssb-sgis-spark-bench")
         .getOrCreate()

@@ -42,11 +42,16 @@ class Adjacency:
         return len(self.rev)
 
 
-def dijkstra_paths(adj: Adjacency, source, targets) -> dict:
+def dijkstra_paths(adj: Adjacency, source, targets, banned=None) -> dict:
     """Shortest paths with predecessor tracking: {target: [node, ...]}.
     Deterministic tie-break: a relaxation only replaces the predecessor on
     a STRICT improvement, and the heap orders by (cost, node index), so
-    equal-cost alternatives resolve identically everywhere."""
+    equal-cost alternatives resolve identically everywhere.
+
+    ``banned``: set of (u, v) INTERNAL index pairs to skip — the k-routes
+    drop-middle re-solve (reference ``_get_route.py:142-189`` deletes
+    igraph edges from a per-OD graph copy; a banned set over the shared
+    CSR avoids copying the graph per pair)."""
     if source not in adj.idx:
         return {}
     n = len(adj)
@@ -62,6 +67,8 @@ def dijkstra_paths(adj: Adjacency, source, targets) -> dict:
             continue
         for k in range(adj.indptr[u], adj.indptr[u + 1]):
             v = adj.nbr[k]
+            if banned is not None and (u, v) in banned:
+                continue
             nd = d + adj.wgt[k]
             if nd < dist[v]:
                 dist[v] = nd
@@ -75,6 +82,31 @@ def dijkstra_paths(adj: Adjacency, source, targets) -> dict:
         while path[-1] != s:
             path.append(int(pred[path[-1]]))
         out[adj.rev[t]] = [adj.rev[p] for p in reversed(path)]
+    return out
+
+
+def k_routes_for_pair(adj: Adjacency, source, target, k: int,
+                      drop_middle_percent: float) -> list[list]:
+    """k alternative low-cost routes: shortest path, then drop the middle
+    ``drop_middle_percent`` of its edges and re-solve, k times (reference
+    ``_get_route.py:142-189``: n_keep = round((m - m*pct/100)/2), min 1,
+    banned edges accumulate across iterations)."""
+    banned: set = set()
+    out = []
+    for _ in range(k):
+        paths = dijkstra_paths(adj, source, [target], banned=banned)
+        p = paths.get(target)
+        if p is None:
+            break
+        out.append(p)
+        m = len(p) - 1
+        if m <= 0:
+            break
+        n_keep = int(round((m - m * drop_middle_percent / 100.0) / 2.0))
+        if n_keep == 0:
+            n_keep = 1
+        for i in range(n_keep, m - n_keep):
+            banned.add((adj.idx[p[i]], adj.idx[p[i + 1]]))
     return out
 
 

@@ -177,13 +177,25 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     n_hashes: int = DEFAULT_N_HASHES,
     bands: int = DEFAULT_BANDS,
+    bucket_cap: int | None = 10_000,
 ) -> DataFrame:
     """Distinct (a < b) pairs sharing at least one LSH band.
 
     Input is the LONG signature format (id, _seed, _mh); band keys are a
     lambda-free groupBy (string sort + concat) so everything stays in
     codegen.  Two docs share a band key iff their `rows` minhashes of that
-    band are all equal — the canonical banding condition."""
+    band are all equal — the canonical banding condition.
+
+    ``bucket_cap`` is the skew policy for web-scale corpora: a boilerplate
+    band key with m members would emit m^2 candidate pairs (a 10^6-doc
+    bucket -> 10^12 pairs — one task, fatal).  Buckets wider than the cap
+    are DROPPED from candidate generation: counting members is a linear
+    window over the band shuffle, so the quadratic blow-up is bounded by
+    cap^2 per bucket.  Boilerplate this common is exact-dup territory
+    (dedupe_exact) rather than near-dup; pass ``bucket_cap=None`` to
+    disable.  Standard practice in production MinHash dedup pipelines."""
+    from pyspark.sql.window import Window
+
     rows = n_hashes // bands
     tagged = sig_long.select(
         F.col(id_col),
@@ -200,6 +212,13 @@ def lsh_candidate_pairs(
             "band_key"
         ),
     )
+    if bucket_cap is not None:
+        w = Window.partitionBy("band_key")
+        banded = (
+            banded.withColumn("_bn", F.count("*").over(w))
+            .filter(F.col("_bn") <= bucket_cap)
+            .drop("_bn")
+        )
     other = banded.select(F.col(id_col).alias("_b"), "band_key")
     return (
         banded.join(other, "band_key")

@@ -93,13 +93,33 @@ def get_k_nearest_neighbors(
     right_y: str = "py",
     strict: bool = False,
     max_distance: float | None = None,
+    broadcast_threshold: int = 2_000_000,
 ) -> DataFrame:
-    """Broadcast kNN join.  Output columns: (left_id, neighbor_id,
-    distance, knn_rank 1..k) — exactly len(left) * k rows (reference
-    invariant, ``tests/test_neighbors.py:30-36``) unless ``max_distance``
-    filters (sjoin_nearest with max_distance, ``neighbors.py:106-110``).
+    """kNN join.  Output columns: (left_id, neighbor_id, distance,
+    knn_rank 1..k) — exactly len(left) * k rows (reference invariant,
+    ``tests/test_neighbors.py:30-36``) unless ``max_distance`` filters
+    (sjoin_nearest with max_distance, ``neighbors.py:106-110``).
+
+    Physical routing: right sides up to ``broadcast_threshold`` rows use
+    the broadcast block kernel; bigger right sides route through the
+    cell-partitioned :func:`knn_cellwise` scale path (ring escalation,
+    no broadcast of the cloud) at a resolution picked from the right
+    side's density.
     """
     spark = left.sparkSession
+    n_right_est = right.count()
+    if n_right_est > broadcast_threshold:
+        if strict and k > n_right_est:
+            raise ValueError(f"k={k} > n_right={n_right_est} with strict=True")
+        res = _auto_knn_res(right, n_right_est, k, right_x, right_y)
+        out = knn_cellwise(
+            left, right, min(k, n_right_est), res,
+            left_id=left_id, left_x=left_x, left_y=left_y,
+            right_id=right_id, right_x=right_x, right_y=right_y,
+        )
+        if max_distance is not None:
+            out = out.filter(F.col("distance") <= max_distance)
+        return out
     rid, rx, ry = _collect_right(right, right_id, right_x, right_y)
     n_right = len(rid)
     if strict and k > n_right:
@@ -192,6 +212,21 @@ def get_all_distances(
     )
 
 
+def _auto_knn_res(right, n_right: int, k: int, right_x: str, right_y: str) -> int:
+    """Cell resolution for the cellwise path: ~8k (min 64) right points
+    per cell, so a 3x3 halo nearly always proves top-k in round 1."""
+    from ..cells import DOMAIN_SIZE, MAX_RES
+
+    row = right.agg(
+        F.min(right_x), F.max(right_x), F.min(right_y), F.max(right_y)
+    ).first()
+    span = max(row[1] - row[0], row[3] - row[2], 1e-9)
+    target = max(64, 8 * k)
+    across = max(np.sqrt(n_right / target), 1.0)
+    res = int(np.ceil(np.log2(DOMAIN_SIZE * across / span)))
+    return int(np.clip(res, 4, MAX_RES))
+
+
 # ------------------------------------------------------------- scale path
 def knn_cellwise(
     left: DataFrame,
@@ -207,62 +242,174 @@ def knn_cellwise(
     right_y: str = "py",
     max_rings: int = 4,
 ) -> DataFrame:
-    """Cell-partitioned kNN for huge right sides (no broadcast).
+    """Cell-partitioned kNN for huge right sides (no broadcast), with
+    multi-round ring escalation.
 
-    Stage 1: right rows are replicated into their cell's (2r+1)^2 ring-r
-    neighborhood (halo exchange — the reference's ``gridbuffer`` idea,
-    ``bounds.py:141-168``); left joins its own cell only, then a grouped
-    Arrow kernel takes local top-k.  Stage 2: rows whose kth distance >
-    ring guarantee (cells_size*(ring)) re-run with a wider ring.  Rounds
-    are bounded by ``max_rings``; remaining rows fall back to broadcast.
+    Round 1: right rows are replicated into their cell's 3x3 halo
+    (gridbuffer-style halo exchange, reference ``bounds.py:141-168``);
+    left joins its own cell, a window takes local top-k.  A left row's
+    result is PROVEN exact when it found k neighbors and its kth distance
+    is <= ring*cell_size (anything nearer must lie inside the ring).
+    Unproven rows escalate: the (small) violator set explodes into a
+    (2r+1)^2 cell neighborhood — note the asymmetry: round 1 replicates
+    the RIGHT side (every left row needs candidates), later rounds
+    replicate the shrinking LEFT violator set — with r doubling per
+    round.  After ``max_rings`` doublings the remainder falls back to a
+    distributed brute pass: every right partition scores the broadcast
+    violators and emits a partial top-k, then one final window.
+    Ties break on (distance, neighbor_id) in every path, matching the
+    oracle's ORDER BY dist, vid.
     """
     from pyspark.sql.window import Window
 
     from ..cells import cell_size
 
-    ring_offsets = [
-        F.struct(F.lit(ox).alias("ox"), F.lit(oy).alias("oy"))
-        for ox in (-1, 0, 1)
-        for oy in (-1, 0, 1)
-    ]
-    # replicate each right point into its 3x3 cell halo (gridbuffer-style
-    # halo exchange, reference ``bounds.py:141-168``) — an explode, not a
-    # shuffle of the left side; the join itself shuffles both sides by cell
-    rightc = (
+    spark = left.sparkSession
+    k_eff = k
+    guarantee = cell_size(res)
+
+    right_c = (
         right.select(right_id, right_x, right_y)
-        .withColumn("_o", F.explode(F.array(*ring_offsets)))
         .withColumn(
             "_cell",
-            _cell_shift_col(F.col(right_x), F.col(right_y), res, F.col("_o.ox"), F.col("_o.oy")),
+            _cell_shift_col(F.col(right_x), F.col(right_y), res, F.lit(0), F.lit(0)),
+        )
+    )
+
+    def _offsets(r):
+        return [
+            F.struct(F.lit(ox).alias("ox"), F.lit(oy).alias("oy"))
+            for ox in range(-r, r + 1)
+            for oy in range(-r, r + 1)
+        ]
+
+    dxc = F.col(left_x) - F.col(right_x)
+    dyc = F.col(left_y) - F.col(right_y)
+    w = Window.partitionBy(left_id).orderBy("distance", "neighbor_id")
+
+    def _topk(scored):
+        return (
+            scored.withColumn("knn_rank", F.row_number().over(w))
+            .filter(F.col("knn_rank") <= k_eff)
+            .withColumn("knn_rank", F.col("knn_rank").cast("int"))
+        )
+
+    def _split_proven(ranked, r):
+        """(proven rows, violating left ids) for ring radius r."""
+        per = ranked.groupBy(left_id).agg(
+            F.max("knn_rank").alias("_n"), F.max("distance").alias("_kd")
+        )
+        viol = per.filter(
+            (F.col("_n") < k_eff) | (F.col("_kd") > F.lit(float(r) * guarantee))
+        ).select(left_id)
+        return ranked.join(viol, on=left_id, how="left_anti"), viol
+
+    # round 1: halo-replicate the right side, left joins its own cell
+    rightc1 = (
+        right_c.withColumn("_o", F.explode(F.array(*_offsets(1))))
+        .withColumn(
+            "_cell",
+            _cell_shift_col(
+                F.col(right_x), F.col(right_y), res, F.col("_o.ox"), F.col("_o.oy")
+            ),
         )
         .drop("_o")
     )
     leftc = left.select(left_id, left_x, left_y).withColumn(
         "_cell", _cell_shift_col(F.col(left_x), F.col(left_y), res, F.lit(0), F.lit(0))
     )
-    dxc = F.col(left_x) - F.col(right_x)
-    dyc = F.col(left_y) - F.col(right_y)
-    scored = (
-        leftc.join(rightc, "_cell")
+    scored1 = (
+        leftc.join(rightc1, "_cell")
         .select(
             left_id,
+            left_x,
+            left_y,
             F.col(right_id).alias("neighbor_id"),
             F.sqrt(dxc * dxc + dyc * dyc).alias("distance"),
         )
         .dropDuplicates([left_id, "neighbor_id"])
     )
-    w = Window.partitionBy(left_id).orderBy("distance", "neighbor_id")
-    ranked = (
-        scored.withColumn("knn_rank", F.row_number().over(w))
-        .filter(F.col("knn_rank") <= k)
-        .withColumn("knn_rank", F.col("knn_rank").cast("int"))
-    )
-    # correctness guarantee: a row's kth neighbor is exact iff its kth
-    # distance <= one cell width (anything nearer must lie in the 3x3
-    # halo).  Callers choose `res` from right-side density so this holds;
-    # `knn_guarantee_violations` (tests) counts rows that would escalate
-    # to a wider ring in the multi-round variant.
-    return ranked
+    ranked = _topk(scored1).localCheckpoint()
+    proven, viol = _split_proven(ranked, 1)
+    results = [proven.select(left_id, "neighbor_id", "distance", "knn_rank")]
+    remaining = leftc.join(viol, on=left_id, how="left_semi").localCheckpoint()
+
+    r = 2
+    rounds = 0
+    while rounds < max_rings and not remaining.isEmpty():
+        cells = (
+            remaining.withColumn("_o", F.explode(F.array(*_offsets(r))))
+            .withColumn(
+                "_cell",
+                _cell_shift_col(
+                    F.col(left_x), F.col(left_y), res, F.col("_o.ox"), F.col("_o.oy")
+                ),
+            )
+            .drop("_o")
+        )
+        scored = (
+            cells.join(right_c, "_cell")
+            .select(
+                left_id,
+                left_x,
+                left_y,
+                F.col(right_id).alias("neighbor_id"),
+                F.sqrt(dxc * dxc + dyc * dyc).alias("distance"),
+            )
+            .dropDuplicates([left_id, "neighbor_id"])
+        )
+        ranked_r = _topk(scored).localCheckpoint()
+        proven_r, viol = _split_proven(ranked_r, r)
+        results.append(proven_r.select(left_id, "neighbor_id", "distance", "knn_rank"))
+        remaining = remaining.join(viol, on=left_id, how="left_semi").localCheckpoint()
+        r *= 2
+        rounds += 1
+
+    if not remaining.isEmpty():
+        # distributed brute fallback for the residue: broadcast the (small)
+        # violator set, every right partition emits its local top-k, one
+        # final window picks the global top-k
+        vrows = remaining.select(left_id, left_x, left_y).collect()
+        vid = np.array([row[left_id] for row in vrows])
+        vx = np.array([row[left_x] for row in vrows], dtype=np.float64)
+        vy = np.array([row[left_y] for row in vrows], dtype=np.float64)
+        bcv = spark.sparkContext.broadcast((vid, vx, vy))
+        part_schema = StructType(
+            [
+                StructField(left_id, left.schema[left_id].dataType),
+                StructField("neighbor_id", right.schema[right_id].dataType),
+                StructField("distance", DoubleType()),
+            ]
+        )
+
+        def brute(it):
+            vid_, vx_, vy_ = bcv.value
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                rxv = pdf[right_x].to_numpy(np.float64)
+                ryv = pdf[right_y].to_numpy(np.float64)
+                ridv = pdf[right_id].to_numpy()
+                dx = vx_[:, None] - rxv[None, :]
+                dy = vy_[:, None] - ryv[None, :]
+                d = np.sqrt(dx * dx + dy * dy)
+                kk = min(k_eff, d.shape[1])
+                part = np.argpartition(d, kk - 1, axis=1)[:, :kk] if kk < d.shape[1] else np.argsort(d, axis=1, kind="stable")[:, :kk]
+                yield pd.DataFrame(
+                    {
+                        left_id: np.repeat(vid_, kk),
+                        "neighbor_id": ridv[part].ravel(),
+                        "distance": np.take_along_axis(d, part, axis=1).ravel(),
+                    }
+                )
+
+        partials = right_c.drop("_cell").mapInPandas(brute, schema=part_schema)
+        results.append(_topk(partials.dropDuplicates([left_id, "neighbor_id"])))
+
+    out = results[0]
+    for extra in results[1:]:
+        out = out.unionByName(extra)
+    return out
 
 
 def knn_guarantee_violations(ranked: DataFrame, k: int, res: int, left_id: str = "uid"):

@@ -373,3 +373,294 @@ def service_area_nodes(
     return o.repartition(
         max(origins.sparkSession.sparkContext.defaultParallelism, 2), origin_id
     ).mapInPandas(kernel, schema=schema)
+
+
+# --------------------------------------------------------- network holes
+def _deadends_df(df: DataFrame, geometry_col: str):
+    """(did, x, y, ox, oy): degree-1 endpoints of the (undirected-deduped)
+    line set with their other-end coords (reference
+    ``closing_network_holes.py:205-246``)."""
+    lines, _ = make_node_ids(df, geometry_col)
+    dedup = (
+        lines.withColumn("_lo", F.least("source", "target"))
+        .withColumn("_hi", F.greatest("source", "target"))
+        .dropDuplicates(["_lo", "_hi"])
+        .drop("_lo", "_hi")
+        .drop("source", "target", "x0", "y0", "x1", "y1")
+    )
+    lines2, nodes2 = make_node_ids(dedup, geometry_col)
+    deg_s = nodes2.select(F.col("node_id").alias("source"), F.col("n").alias("_ns"))
+    deg_t = nodes2.select(F.col("node_id").alias("target"), F.col("n").alias("_nt"))
+    e = lines2.join(F.broadcast(deg_s), "source").join(F.broadcast(deg_t), "target")
+    de_t = e.filter(F.col("_nt") == 1).select(
+        F.col("target").alias("did"),
+        F.col("x1").alias("x"), F.col("y1").alias("y"),
+        F.col("x0").alias("ox"), F.col("y0").alias("oy"),
+    )
+    de_s = e.filter(F.col("_ns") == 1).select(
+        F.col("source").alias("did"),
+        F.col("x0").alias("x"), F.col("y0").alias("y"),
+        F.col("x1").alias("ox"), F.col("y1").alias("oy"),
+    )
+    return de_t.unionByName(de_s).dropDuplicates(["did"]), nodes2
+
+
+def _append_hole_lines(df, chosen, hole_col, geometry_col):
+    """Straight 2-point hole lines unioned onto the input (other columns
+    null, like the reference's concat)."""
+    from .lineops import make_lines_between_points
+
+    spark = df.sparkSession
+    new_lines = make_lines_between_points(
+        chosen.select("x", "y", F.col("nx").alias("x2"), F.col("ny").alias("y2")),
+        x1="x", y1="y", x2="x2", y2="y2", out=geometry_col,
+    ).select(geometry_col)
+    base = df.withColumn(
+        hole_col,
+        F.lit(0) if hole_col not in df.columns else F.coalesce(F.col(hole_col), F.lit(0)),
+    )
+    holes = new_lines.withColumn(hole_col, F.lit(1))
+    for c in base.columns:
+        if c not in holes.columns:
+            holes = holes.withColumn(c, F.lit(None).cast(base.schema[c].dataType))
+    return base.unionByName(holes.select(*base.columns))
+
+
+def close_network_holes(
+    df: DataFrame,
+    max_distance: float,
+    max_angle: float,
+    hole_col: str = "hole",
+    geometry_col: str = "geometry",
+    k: int = 50,
+) -> DataFrame:
+    """Fill network gaps: each deadend connects with a straight line to
+    the nearest node within ``max_distance`` whose direction deviates at
+    most ``max_angle`` degrees from the deadend's incident line
+    (reference ``closing_network_holes.py:15-116, 205-317``; the angle
+    metric replicates ``get_angle``'s abs(abs(a)-abs(b)) comparison)."""
+    from pyspark.sql.window import Window
+
+    from .knn import get_k_nearest_neighbors
+
+    deadends, nodes = _deadends_df(df, geometry_col)
+    n_nodes = nodes.count()
+    cand = get_k_nearest_neighbors(
+        deadends, nodes.withColumnRenamed("x", "px").withColumnRenamed("y", "py"),
+        k=min(k, n_nodes),
+        left_id="did", right_id="node_id",
+    )
+    nd = nodes.select(
+        F.col("node_id").alias("neighbor_id"),
+        F.col("x").alias("nx"), F.col("y").alias("ny"),
+    )
+    j = (
+        cand.join(F.broadcast(deadends), "did")
+        .join(F.broadcast(nd), "neighbor_id")
+        .filter(F.col("neighbor_id") != F.col("did"))
+        .filter((F.col("nx") != F.col("ox")) | (F.col("ny") != F.col("oy")))
+        .filter(F.col("distance") <= max_distance)
+    )
+    a_prior = F.degrees(F.atan2(F.col("x") - F.col("ox"), F.col("y") - F.col("oy")))
+    a_new = F.degrees(F.atan2(F.col("nx") - F.col("x"), F.col("ny") - F.col("y")))
+    j = j.filter(F.abs(F.abs(a_prior) - F.abs(a_new)) <= max_angle)
+    w = Window.partitionBy("did").orderBy("distance", "neighbor_id")
+    chosen = j.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") == 1)
+    return _append_hole_lines(df, chosen, hole_col, geometry_col)
+
+
+def close_network_holes_to_deadends(
+    df: DataFrame,
+    max_distance: float,
+    hole_col: str = "hole",
+    geometry_col: str = "geometry",
+) -> DataFrame:
+    """Connect each deadend to its nearest OTHER deadend within
+    ``max_distance`` (no angle condition; one line per unordered pair —
+    reference ``closing_network_holes.py:128-201, 320-378``)."""
+    from pyspark.sql.window import Window
+
+    from .knn import get_k_nearest_neighbors
+
+    deadends, _ = _deadends_df(df, geometry_col)
+    n_de = deadends.count()
+    if n_de <= 1:
+        return df.withColumn(hole_col, F.lit(0))
+    cand = get_k_nearest_neighbors(
+        deadends,
+        deadends.select(
+            F.col("did").alias("node_id"),
+            F.col("x").alias("px"), F.col("y").alias("py"),
+        ),
+        k=min(8, n_de),
+        left_id="did", right_id="node_id",
+    )
+    nd = deadends.select(
+        F.col("did").alias("neighbor_id"),
+        F.col("x").alias("nx"), F.col("y").alias("ny"),
+    )
+    j = (
+        cand.join(F.broadcast(deadends), "did")
+        .join(F.broadcast(nd), "neighbor_id")
+        .filter(F.col("neighbor_id") != F.col("did"))
+        .filter((F.col("nx") != F.col("ox")) | (F.col("ny") != F.col("oy")))
+        .filter(F.col("distance") <= max_distance)
+    )
+    w = Window.partitionBy("did").orderBy("distance", "neighbor_id")
+    chosen = (
+        j.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .withColumn("_a", F.least("did", "neighbor_id"))
+        .withColumn("_b", F.greatest("did", "neighbor_id"))
+        .dropDuplicates(["_a", "_b"])
+    )
+    return _append_hole_lines(df, chosen, hole_col, geometry_col)
+
+
+def get_k_routes(
+    edges: DataFrame,
+    origins: DataFrame,
+    destinations: DataFrame,
+    k: int,
+    drop_middle_percent: float,
+    weight_col: str = "weight",
+    origin_id: str = "origin",
+    dest_id: str = "destination",
+    origin_node: str = "node_id",
+) -> DataFrame:
+    """k alternative routes per OD pair (reference ``get_k_routes``,
+    ``networkanalysis.py:750-916`` / ``_get_route.py:101-189``): shortest
+    path, then the middle ``drop_middle_percent`` of its edges is banned
+    and the pair re-solved, k times.  Output: (origin, destination, k,
+    seq, src, dst) ordered edge lists — same broadcast-graph /
+    partitioned-origins shape as get_route."""
+    from ..kernels.graph import k_routes_for_pair
+
+    bc = _broadcast_adjacency(edges, weight_col)
+    dest_rows = destinations.select(dest_id, origin_node).collect()
+    dests = [(r[0], r[1]) for r in dest_rows]
+    spark = origins.sparkSession
+    bc_dests = spark.sparkContext.broadcast(dests)
+
+    schema = T.StructType(
+        [
+            T.StructField(origin_id, origins.schema[origin_id].dataType),
+            T.StructField(dest_id, destinations.schema[dest_id].dataType),
+            T.StructField("k", T.IntegerType()),
+            T.StructField("seq", T.IntegerType()),
+            T.StructField("src", T.LongType()),
+            T.StructField("dst", T.LongType()),
+        ]
+    )
+
+    def kernel(it):
+        src_, dst_, w_ = bc.value
+        adj = Adjacency(src_, dst_, w_)
+        dlist = bc_dests.value
+        for pdf in it:
+            rows = {f.name: [] for f in schema.fields}
+            for i in range(len(pdf)):
+                oid = pdf[origin_id].iloc[i]
+                onode = pdf[origin_node].iloc[i]
+                for did, dnode in dlist:
+                    routes = k_routes_for_pair(
+                        adj, onode, dnode, k, drop_middle_percent
+                    )
+                    for ki, p in enumerate(routes, start=1):
+                        for s in range(len(p) - 1):
+                            rows[origin_id].append(oid)
+                            rows[dest_id].append(did)
+                            rows["k"].append(ki)
+                            rows["seq"].append(s)
+                            rows["src"].append(int(p[s]))
+                            rows["dst"].append(int(p[s + 1]))
+            yield pd.DataFrame(rows)
+
+    o = origins.select(origin_id, origin_node)
+    return o.repartition(
+        max(origins.sparkSession.sparkContext.defaultParallelism, 2), origin_id
+    ).mapInPandas(kernel, schema=schema)
+
+
+def precice_service_area(
+    edges: DataFrame,
+    origins: DataFrame,
+    breaks: list[float],
+    weight_col: str = "weight",
+    origin_id: str = "origin",
+    origin_node: str = "node_id",
+    geometry_col: str = "geometry",
+) -> DataFrame:
+    """Exact service-area edges per origin per break (reference
+    ``precice_service_area``, ``networkanalysis.py:1046-1174`` /
+    ``_service_area.py:34-150``, directed case):
+
+    * edges whose BOTH endpoints are reachable within the break are
+      included whole;
+    * edges whose source is reachable but target is not are CUT at the
+      remaining distance (break - cost(source)) and the prefix piece is
+      included (the reference's cut_lines_once + source-touch filter).
+
+    Relational shape: the node-distance stage is the distributed
+    Dijkstra (service_area_nodes); everything after is joins + one Arrow
+    line-cut kernel on the partly-within rows only."""
+    from .lineops import cut_lines_once
+
+    d = service_area_nodes(
+        edges, origins, breaks, weight_col, origin_id, origin_node
+    )
+    d_src = d.select(
+        F.col(origin_id), F.col("break_val"),
+        F.col("node_id").alias("source"), F.col("cost").alias("_cost_src"),
+    )
+    d_tgt = d.select(
+        F.col(origin_id), F.col("break_val"),
+        F.col("node_id").alias("target"), F.lit(1).alias("_tgt_in"),
+    )
+    e = edges.select("source", "target", weight_col, geometry_col)
+    j = (
+        e.join(d_src, "source")
+        .join(d_tgt, [origin_id, "break_val", "target"], "left")
+    )
+    whole = j.filter(F.col("_tgt_in").isNotNull()).select(
+        origin_id, "break_val", "source", "target", geometry_col
+    )
+    from .geomtable import with_length
+
+    partly = (
+        j.filter(F.col("_tgt_in").isNull())
+        .withColumn("_remaining", F.col("break_val") - F.col("_cost_src"))
+        .filter(F.col("_remaining") > 0)
+        .select(origin_id, "break_val", "source", "target", geometry_col,
+                "_remaining", F.col(weight_col).alias("_w"))
+    )
+    # cut at the remaining GEOMETRIC distance: length * remaining/weight
+    # (identical to the reference when the weight IS meters; exact for any
+    # weight proportional to length per edge)
+    partly = with_length(partly, geometry_col, "_len").withColumn(
+        "_cutd", F.col("_len") * F.col("_remaining") / F.col("_w")
+    )
+    cut = cut_lines_once(partly, "_cutd", geometry_col, keep="first")
+    partly_cut = cut.select(
+        origin_id, "break_val", "source", "target", geometry_col
+    )
+    return whole.unionByName(partly_cut)
+
+
+def get_component_size(lines: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Per-line ``component_size`` — the node count of the component the
+    line belongs to (reference ``finding_isolated_networks.py:66-113``).
+    connected-components labels + one groupBy(component) count joined
+    back; no driver-side graph."""
+    from .clusters import connected_components
+
+    edges = lines.select(F.col("source").alias("src"), F.col("target").alias("dst"))
+    comp = connected_components(
+        edges, nodes.select("node_id"), id_col="node_id", component_col="component"
+    )
+    sizes = comp.groupBy("component").agg(F.count("*").alias("component_size"))
+    return (
+        lines.join(comp.withColumnRenamed("node_id", "source"), "source")
+        .join(F.broadcast(sizes), "component")
+        .drop("component")
+    )

@@ -226,3 +226,79 @@ def drop_duplicate_geometries(df: DataFrame, geometry_col: str = "geometry") -> 
     (reference ``duplicates.py:251-297`` uses STRtree "within" pairs; exact
     coordinate equality is the Spark-native O(n) version)."""
     return df.dropDuplicates([geometry_col])
+
+
+def sort_long_first(df: DataFrame, geometry_col: str = "geometry") -> DataFrame:
+    """Order by line length desc (reference ``general.py:244-309``,
+    ``sort_long_first``)."""
+    from ..kernels.geom import length as geom_length
+
+    schema = T.StructType(df.schema.fields + [T.StructField("_len", T.DoubleType())])
+
+    def kernel(it):
+        for pdf in it:
+            ga = wkb.decode(pdf[geometry_col].tolist())
+            o = pdf.copy()
+            o["_len"] = geom_length(ga)
+            yield o
+
+    return df.mapInPandas(kernel, schema=schema).orderBy(F.desc("_len")).drop("_len")
+
+
+def sort_nans_last(df: DataFrame) -> DataFrame:
+    """Rows with fewer nulls first, stable (reference ``helpers.py:
+    195-202``); used before drop-duplicates passes so the most complete
+    row wins."""
+    n_nan = sum(
+        (F.when(F.col(c).isNull(), 1).otherwise(0) for c in df.columns),
+        F.lit(0),
+    )
+    return (
+        df.withColumn("_n_nan", n_nan)
+        .withColumn("_idx", F.monotonically_increasing_id())
+        .orderBy("_n_nan", "_idx")
+        .drop("_n_nan", "_idx")
+    )
+
+
+def get_grouped_centroids(
+    df: DataFrame,
+    groupby: str,
+    geometry_col: str = "geometry",
+    as_string: bool = True,
+    out: str = "grouped_centroid",
+) -> DataFrame:
+    """Per-row centroid of the row's GROUP (reference ``general.py:
+    225-241``: centroid of each geometry, dissolved per group, centroid
+    again — i.e. the mean of member centroids).  Appends ``out`` as an
+    "{int(x)}_{int(y)}" string (or x/y columns when as_string=False)."""
+    from ..kernels.geom import centroid as geom_centroid
+
+    cent_schema = T.StructType(
+        df.schema.fields
+        + [T.StructField("_cx", T.DoubleType()), T.StructField("_cy", T.DoubleType())]
+    )
+
+    def kernel(it):
+        for pdf in it:
+            ga = wkb.decode(pdf[geometry_col].tolist())
+            c = geom_centroid(ga)
+            o = pdf.copy()
+            o["_cx"], o["_cy"] = c[:, 0], c[:, 1]
+            yield o
+
+    withc = df.mapInPandas(kernel, schema=cent_schema)
+    groups = withc.groupBy(groupby).agg(
+        F.avg("_cx").alias("_gx"), F.avg("_cy").alias("_gy")
+    )
+    j = withc.join(F.broadcast(groups), groupby).drop("_cx", "_cy")
+    if as_string:
+        return j.withColumn(
+            out,
+            F.concat(
+                F.col("_gx").cast("long").cast("string"),
+                F.lit("_"),
+                F.col("_gy").cast("long").cast("string"),
+            ),
+        ).drop("_gx", "_gy")
+    return j.withColumnRenamed("_gx", out + "_x").withColumnRenamed("_gy", out + "_y")

@@ -109,23 +109,18 @@ def test_knn_cellwise_matches_broadcast(spark, frames):
     """Cell-partitioned kNN == broadcast kNN wherever the ring guarantee
     holds (the gridloop tiled ≡ global invariant, tests/test_bounds.py:33-89)."""
     left, right, lp, rp = frames
-    res = 9  # 16 km cells; sparse cloud -> a few rows legitimately escalate
+    res = 9  # 16 km cells; sparse cloud -> rows DO escalate through rings
     cellwise = knn_cellwise(left, right, k=2, res=res)
-    bad_uids = {
-        r["uid"] for r in knn_guarantee_violations(cellwise, k=2, res=res).collect()
-    }
-    # the detector must flag only a small tail at this density
-    assert len(bad_uids) < 0.1 * len(lp)
+    # ring escalation + brute fallback make the result exact everywhere:
+    # zero guarantee escapes and full equality with the broadcast kernel
     got = (
         cellwise.toPandas()
-        .query("uid not in @bad_uids")
         .sort_values(["uid", "knn_rank"])
         .reset_index(drop=True)
     )
     want = (
         get_k_nearest_neighbors(left, right, k=2)
         .toPandas()
-        .query("uid not in @bad_uids")
         .sort_values(["uid", "knn_rank"])
         .reset_index(drop=True)
     )

@@ -288,3 +288,44 @@ def test_eliminate_keeps_isolated_by_default(spark):
         a = polygon_area(wkb.decode([isolated[0]["geometry"]]).geom_parts(0))
         assert a == pytest.approx(50 * 50), fn.__name__
         assert len(fn(keep, far, remove_isolated=True).collect()) == 1, fn.__name__
+
+
+def test_sort_long_first_and_nans_last(spark):
+    from ssb_sgis_spark.operators.polygons import sort_long_first, sort_nans_last
+
+    def seg(x0, y0, x1, y1):
+        return bytearray(wkb.encode_linestring(np.array([[x0, y0], [x1, y1]])))
+
+    df = spark.createDataFrame(
+        [
+            (0, seg(OX, OY, OX + 10, OY)),
+            (1, seg(OX, OY, OX + 100, OY)),
+            (2, seg(OX, OY, OX + 50, OY)),
+        ],
+        "lid long, geometry binary",
+    )
+    order = [r["lid"] for r in sort_long_first(df).collect()]
+    assert order == [1, 2, 0]
+
+    df2 = spark.createDataFrame(
+        [(1, None, "a"), (2, 5, None), (3, 6, "c")],
+        "i long, a int, b string",
+    )
+    got = [r["i"] for r in sort_nans_last(df2).collect()]
+    assert got[0] == 3  # zero nulls first
+
+
+def test_get_grouped_centroids(spark):
+    from ssb_sgis_spark.operators.polygons import get_grouped_centroids
+
+    df = spark.createDataFrame(
+        [
+            ("g1", bytearray(wkb.encode_polygon([box_ring(OX, OY, OX + 10, OY + 10)]))),
+            ("g1", bytearray(wkb.encode_polygon([box_ring(OX + 20, OY, OX + 30, OY + 10)]))),
+            ("g2", bytearray(wkb.encode_polygon([box_ring(OX, OY + 100, OX + 10, OY + 110)]))),
+        ],
+        "grp string, geometry binary",
+    )
+    out = {(r["grp"]): r["grouped_centroid"] for r in get_grouped_centroids(df, "grp").collect()}
+    assert out["g1"] == f"{int(OX + 15)}_{int(OY + 5)}"
+    assert out["g2"] == f"{int(OX + 5)}_{int(OY + 105)}"
