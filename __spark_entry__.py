@@ -41,12 +41,15 @@ from ssb_sgis_spark.operators.dedup import (
     simhash_sql,
 )
 from ssb_sgis_spark.operators.network import (
+    get_component_size,
     get_connected_components,
     make_directed_network,
     make_node_ids,
     od_cost_matrix,
     service_area_nodes,
 )
+from ssb_sgis_spark.operators.raster_ops import raster_gradient, rasterize_polygons
+from ssb_sgis_spark.operators.skew import salted_agg
 from ssb_sgis_spark.operators.textops import extract_text
 from ssb_sgis_spark.operators.zonal import zonal_stats
 from ssb_sgis_spark.sources.raster import (
@@ -351,6 +354,135 @@ def q_pip_within_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("uid", "muni_id")
 
 
+def q_knn_cellwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path of kNN: cell-partitioned join + ring escalation +
+    distributed brute fallback (broadcast_threshold=0 forces it).  Same
+    oracle as `knn` — the escalation makes the result exact everywhere."""
+    left = pages_df(spark, sf_dir).filter(F.col("uid") % KNN_LEFT_MOD == 0)
+    return get_k_nearest_neighbors(
+        left, points_df(spark, sf_dir), k=KNN_K, broadcast_threshold=0
+    ).select("uid", "neighbor_id", "distance", "knn_rank")
+
+
+def q_pip_join_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path of the PIP join: compact morton-range cover +
+    searchsorted Arrow refine (compact_threshold=0 forces it).  Same
+    oracle as `pip_join`."""
+    return points_in_polygons_join(
+        pages_df(spark, sf_dir), muni_df(spark), compact_threshold=0,
+        cache_key="munis_compact",
+    ).select("uid", "muni_id")
+
+
+def q_component_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_component_size on the broken lattice (SURVEY §2.10,
+    finding_isolated_networks.py:66-113)."""
+    lines, nodes = make_node_ids(roads_df(spark, broken=True))
+    return get_component_size(lines, nodes).select(
+        "source", "target", "component_size"
+    )
+
+
+def q_salted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation over the documents table — the hot-key
+    policy (north rule: explicit skew handling); results must equal the
+    plain groupBy the oracle runs."""
+    docs = docs_df(spark, sf_dir).select(
+        "doc_id", lang_guess_col(F.col("text")).alias("lang"),
+        token_count_col(F.col("text")).alias("n_tokens"),
+    ).withColumn("bucket", F.pmod(F.col("doc_id"), F.lit(13)))
+    return salted_agg(
+        docs, ["lang", "bucket"],
+        {
+            "n_docs": ("doc_id", "count"),
+            "tok_sum": ("n_tokens", "sum"),
+            "n_distinct_counts": ("n_tokens", "count_distinct"),
+        },
+        n_salts=8,
+    )
+
+
+RZ_VAL_FILL = 0
+
+
+def q_rasterize_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster.from_gdf (SURVEY §2.12, raster/raster.py:317-383): burn the
+    municipality table into the tiled raster grid (center rule, replace
+    merge), emit non-fill cells."""
+    polys = muni_df(spark).orderBy("muni_id").select(
+        F.col("muni_id").cast("int").alias("val"), "geometry"
+    )
+    tiles = rasterize_polygons(
+        polys, "val", CELL, RZ_X0, RZ_Y0, ncx=NCX, ncy=NCY, tile=64,
+        fill=RZ_VAL_FILL,
+    )
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("ix", T.LongType()),
+            T.StructField("iy", T.LongType()),
+            T.StructField("value", T.LongType()),
+        ]
+    )
+
+    def cells(it):
+        for pdf in it:
+            for _, row in pdf.iterrows():
+                vals = np.frombuffer(bytes(row["payload"]), dtype="<i4").reshape(
+                    row["ny"], row["nx"]
+                )
+                jy, jx = np.nonzero(vals != RZ_VAL_FILL)
+                yield pd.DataFrame(
+                    {
+                        "ix": jx + row["tile_ix"] * 64,
+                        "iy": jy + row["tile_iy"] * 64,
+                        "value": vals[jy, jx].astype(np.int64),
+                    }
+                )
+
+    return tiles.mapInPandas(cells, schema=schema)
+
+
+def q_gradient_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ElevationRaster.gradient (SURVEY §2.12, elevationraster.py:13-87)
+    over the synthetic closed-form raster with tile halo exchange; per-cell
+    values against the oracle's finite-difference SQL."""
+    grad = raster_gradient(raster_tiles_df(spark), res=CELL, tile=64)
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("ix", T.LongType()),
+            T.StructField("iy", T.LongType()),
+            T.StructField("grad", T.DoubleType()),
+        ]
+    )
+
+    def cells(it):
+        for pdf in it:
+            for _, row in pdf.iterrows():
+                vals = np.frombuffer(bytes(row["payload"]), dtype="<f8").reshape(
+                    row["ny"], row["nx"]
+                )
+                jy, jx = np.meshgrid(
+                    np.arange(row["ny"]), np.arange(row["nx"]), indexing="ij"
+                )
+                yield pd.DataFrame(
+                    {
+                        "ix": jx.ravel() + row["tile_ix"] * 64,
+                        "iy": jy.ravel() + row["tile_iy"] * 64,
+                        "grad": vals.ravel(),
+                    }
+                )
+
+    return grad.mapInPandas(cells, schema=schema)
+
+
 def q_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster.zonal (SURVEY §2.12, raster/zonal.py:11-114): per-municipality
     stats over the tiled integer raster — polygons⋈tiles + masked partial
@@ -387,15 +519,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "od_cost": q_od_cost,
         "service_area": q_service_area,
         "network_components": q_network_components,
+        "component_size": q_component_size,
         "zonal": q_zonal,
         "pip_within_distance": q_pip_within_distance,
+        "knn_cellwise": q_knn_cellwise,
+        "pip_join_compact": q_pip_join_compact,
+        "salted_stats": q_salted_stats,
+        "rasterize_cells": q_rasterize_cells,
+        "gradient_cells": q_gradient_cells,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     pages = pages_sql()
     points = points_sql()
-    return {
+    out = {
         "pip_join": _pip_oracle("SELECT uid, muni_id FROM hits"),
         "pip_count_by_muni": _pip_oracle(
             "SELECT muni_id, count(*) AS n_pages FROM hits GROUP BY muni_id"
@@ -567,6 +705,86 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(value) AS BIGINT) AS value_max
             FROM hits GROUP BY muni_id
         """,
+        "component_size": f"""
+            WITH horiz AS (
+              SELECT iy * {NX} + ix AS source, iy * {NX} + ix + 1 AS target
+              FROM (SELECT unnest(range(0, {NX - 1})) AS ix),
+                   (SELECT unnest(range(0, {NY})) AS iy)
+              WHERE ix + 1 <> {BREAK_IX}
+            ),
+            vert AS (
+              SELECT iy * {NX} + ix AS source, (iy + 1) * {NX} + ix AS target
+              FROM (SELECT unnest(range(0, {NX})) AS ix),
+                   (SELECT unnest(range(0, {NY - 1})) AS iy)
+            ),
+            lines AS (SELECT * FROM horiz UNION ALL SELECT * FROM vert)
+            SELECT source, target,
+                   CAST(CASE WHEN source % {NX} < {BREAK_IX}
+                        THEN {BREAK_IX * NY} ELSE {(NX - BREAK_IX) * NY} END AS BIGINT)
+                     AS component_size
+            FROM lines
+        """,
+        "salted_stats": f"""
+            WITH docs AS (
+              SELECT doc_id,
+                     {lang_guess_sql('text')} AS lang,
+                     {token_count_sql('text')} AS n_tokens
+              FROM documents
+            )
+            SELECT lang, doc_id % 13 AS bucket,
+                   count(doc_id) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS tok_sum,
+                   CAST(count(DISTINCT n_tokens) AS BIGINT) AS n_distinct_counts
+            FROM docs GROUP BY lang, doc_id % 13
+        """,
+        "rasterize_cells": f"""
+            WITH cells AS (
+              SELECT ix, iy,
+                     {RZ_X0!r} + (CAST(ix AS DOUBLE) + 0.5) * {CELL!r} AS x,
+                     {RZ_Y0!r} + (CAST(iy AS DOUBLE) + 0.5) * {CELL!r} AS y
+              FROM (SELECT unnest(range(0, {NCX})) AS ix),
+                   (SELECT unnest(range(0, {NCY})) AS iy)
+            ),
+            edges(muni_id, x1, y1, x2, y2) AS (VALUES
+            {muni_edges_sql_values()}
+            ),
+            hits AS (
+              SELECT c.ix, c.iy, e.muni_id
+              FROM cells c JOIN edges e
+                ON ((e.y1 > c.y) != (e.y2 > c.y))
+               AND (c.x < (e.x2 - e.x1) * (c.y - e.y1) / (e.y2 - e.y1) + e.x1)
+              GROUP BY c.ix, c.iy, e.muni_id
+              HAVING count(*) % 2 = 1
+            )
+            SELECT ix, iy, CAST(max(CAST(muni_id AS INTEGER)) AS BIGINT) AS value
+            FROM hits GROUP BY ix, iy
+        """,
+        "gradient_cells": f"""
+            WITH cells AS (
+              SELECT ix, iy, CAST({cell_value_sql('ix', 'iy')} AS DOUBLE) AS v
+              FROM (SELECT unnest(range(0, {NCX})) AS ix),
+                   (SELECT unnest(range(0, {NCY})) AS iy)
+            ),
+            g AS (
+              SELECT c.ix, c.iy,
+                CASE WHEN c.ix = 0
+                     THEN (r.v - c.v) / {CELL!r}
+                     WHEN c.ix = {NCX - 1}
+                     THEN (c.v - l.v) / {CELL!r}
+                     ELSE (r.v - l.v) / (2.0 * {CELL!r}) END AS gx,
+                CASE WHEN c.iy = 0
+                     THEN (u.v - c.v) / {CELL!r}
+                     WHEN c.iy = {NCY - 1}
+                     THEN (c.v - d.v) / {CELL!r}
+                     ELSE (u.v - d.v) / (2.0 * {CELL!r}) END AS gy
+              FROM cells c
+              LEFT JOIN cells l ON l.ix = c.ix - 1 AND l.iy = c.iy
+              LEFT JOIN cells r ON r.ix = c.ix + 1 AND r.iy = c.iy
+              LEFT JOIN cells d ON d.ix = c.ix AND d.iy = c.iy - 1
+              LEFT JOIN cells u ON u.ix = c.ix AND u.iy = c.iy + 1
+            )
+            SELECT ix, iy, abs(gx) + abs(gy) AS grad FROM g
+        """,
         "pip_within_distance": f"""
             WITH pages AS ({pages}),
             edges(muni_id, x1, y1, x2, y2) AS (VALUES
@@ -610,3 +828,6 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
     }
+    out["knn_cellwise"] = out["knn"]
+    out["pip_join_compact"] = out["pip_join"]
+    return out

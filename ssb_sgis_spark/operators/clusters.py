@@ -167,6 +167,7 @@ def connected_components(
     labels = labels.localCheckpoint(eager=True)
     sym = sym.localCheckpoint(eager=True)
 
+    prev_fp = None
     for _ in range(max_iter):
         # neighbor min
         nbr_min = (
@@ -190,14 +191,15 @@ def connected_components(
             .select(F.col("v"), F.coalesce(F.col("lbl2"), F.col("lbl")).alias("lbl"))
         )
         jumped = jumped.localCheckpoint(eager=True)
-        # labels only ever decrease, so the label sum is a convergence
-        # fingerprint — one agg on the checkpointed frame instead of a
-        # join-and-compare per round
-        new_sum = jumped.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).collect()[0][0]
-        old_sum = labels.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).collect()[0][0]
+        # convergence fingerprint: sum of label hashes — type-agnostic
+        # (works for string ids too; a decimal cast would NULL them and
+        # stop after one round) and carried across rounds so each round
+        # pays ONE driver aggregation, not two
+        new_fp = jumped.agg(F.sum(F.xxhash64("lbl").cast("decimal(38,0)"))).collect()[0][0]
         labels = jumped
-        if new_sum == old_sum:
+        if new_fp == prev_fp:
             break
+        prev_fp = new_fp
     return labels.select(F.col("v").alias(id_col), F.col("lbl").alias(component_col))
 
 

@@ -126,7 +126,16 @@ def _with_left_id(df1, left_id):
     (parquet scan + narrow ops) but not across nondeterministic sources."""
     if left_id is not None:
         return df1.withColumn("_lid", F.col(left_id)), True
-    return df1.withColumn("_lid", F.monotonically_increasing_id()), False
+    # checkpoint pins the generated ids: the pairs and anti-join branches
+    # both re-read this frame, and with a nondeterministic source the two
+    # recomputations could otherwise assign different ids (dropping or
+    # duplicating rows in difference/symdiff/update)
+    return (
+        df1.withColumn("_lid", F.monotonically_increasing_id()).localCheckpoint(
+            eager=True
+        ),
+        False,
+    )
 
 
 def clean_overlay(

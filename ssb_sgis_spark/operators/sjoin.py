@@ -404,7 +404,8 @@ def points_in_polygons_join(
         fp = polygons.semanticHash()
     except Exception:
         fp = cache_key
-    ck = (fp, cache_key, key_col, geometry_col, res, max_distance)
+    cap = compact_threshold if compact_threshold is not None else _COMPACT_THRESHOLD
+    ck = (fp, cache_key, key_col, geometry_col, res, max_distance, cap)
     cached = _COVER_CACHE.get(ck)
     if cached is not None:
         if cached[0] == "compact":
@@ -429,7 +430,6 @@ def points_in_polygons_join(
     if max_distance is None:
         covers = covers_for_polygons(ga, res)
         total_full = sum(c.full_count() for _, c, _ in covers)
-        cap = compact_threshold if compact_threshold is not None else _COMPACT_THRESHOLD
         if total_full > cap:
             _cover_cache_put(ck, ("compact", keys, ga, edge_table, res, covers))
             return _pip_join_compact(

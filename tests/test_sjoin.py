@@ -97,3 +97,20 @@ def test_compact_cover_path_matches_enumerated(spark, truth):
     a = sorted((r["uid"], r["muni_id"]) for r in enum.collect())
     b = sorted((r["uid"], r["muni_id"]) for r in compact.collect())
     assert a == b
+
+
+def test_connected_components_string_ids(spark):
+    """String vertex ids must converge correctly (the decimal-cast
+    fingerprint regression: NULL sums ended the loop after one round)."""
+    from ssb_sgis_spark.operators.clusters import connected_components
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")], "src string, dst string"
+    )
+    verts = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",), ("x",), ("y",), ("lone",)], "id string"
+    )
+    out = {r["id"]: r["component"] for r in connected_components(edges, verts).collect()}
+    assert out["a"] == out["b"] == out["c"] == out["d"] == "a"
+    assert out["x"] == out["y"] == "x"
+    assert out["lone"] == "lone"
