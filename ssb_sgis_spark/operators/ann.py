@@ -22,6 +22,7 @@ RandomState and ties break on vec_id.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -107,7 +108,8 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
 
 def _bucket_col(vec: Column, planes: np.ndarray) -> Column:
     """Sign-bit bucket id against fixed hyperplanes — native expressions
-    (one aggregate per plane over the array column)."""
+    (one aggregate per plane over the array column).  Kept for low-dim /
+    few-plane cases; the scale path is :func:`_bucket_udf`."""
     bits = []
     for i, p in enumerate(planes):
         lits = F.array(*[F.lit(float(v)) for v in p])
@@ -117,6 +119,21 @@ def _bucket_col(vec: Column, planes: np.ndarray) -> Column:
     for b in bits[1:]:
         out = out + b
     return out.cast("int")
+
+
+def _bucket_udf(planes: np.ndarray):
+    """Arrow-batched hyperplane bucketing: one numpy matmul per batch
+    ((B, dim) @ (dim, n_planes)) instead of n_planes interpreted
+    aggregate expressions per row — the high-dim scale path."""
+    shifts = (1 << np.arange(planes.shape[0], dtype=np.int64))
+
+    @F.pandas_udf("int")
+    def bucket(v: pd.Series) -> pd.Series:
+        m = np.vstack(v.to_numpy())
+        bits = (m @ planes.T >= 0).astype(np.int64)
+        return pd.Series((bits * shifts).sum(axis=1).astype(np.int32))
+
+    return bucket
 
 
 def ann_lsh_topk(
@@ -139,9 +156,10 @@ def ann_lsh_topk(
     recall/cost knob; a corpus vid lives in exactly one bucket so probes
     never duplicate candidates."""
     planes = _hyperplanes(dim, n_planes, seed)
+    bucket = _bucket_udf(planes)
     q = queries.select(
         F.col(query_id).alias("qid"), _as_double(F.col(vec_col)).alias("_qv")
-    ).withColumn("_bucket", _bucket_col(F.col("_qv"), planes))
+    ).withColumn("_bucket", bucket(F.col("_qv")))
     if multiprobe >= 1:
         probes = F.array(
             F.col("_bucket"),
@@ -150,7 +168,7 @@ def ann_lsh_topk(
         q = q.withColumn("_bucket", F.explode(probes))
     c = corpus.select(
         F.col(corpus_id).alias("vid"), _as_double(F.col(vec_col)).alias("_cv")
-    ).withColumn("_bucket", _bucket_col(F.col("_cv"), planes))
+    ).withColumn("_bucket", bucket(F.col("_cv")))
     scored = c.join(F.broadcast(q), "_bucket").select(
         "qid",
         "vid",

@@ -302,3 +302,91 @@ def get_grouped_centroids(
             ),
         ).drop("_gx", "_gy")
     return j.withColumnRenamed("_gx", out + "_x").withColumnRenamed("_gy", out + "_y")
+
+
+def get_rough_centerlines(
+    df: DataFrame, max_segment_length: float, geometry_col: str = "geometry"
+) -> DataFrame:
+    """Cheap centerline per (sliver) polygon — reference
+    ``centerlines.py:30-192`` (experimental there; "meant for slivers").
+    Method here: densify the exterior ring at ``max_segment_length``,
+    pair each boundary sample with the nearest non-adjacent sample
+    (ring index distance > 2 — across the sliver for any polygon whose
+    width is under ~3 segment lengths), take midpoints, dedup, and
+    chain them nearest-neighbor-first into a LineString.  Degenerate
+    polygons (too few samples) get their centroid as a point, like the
+    reference's circle fallback.  One Arrow batch pass; no pairwise work
+    across rows."""
+    from ..kernels.geom import centroid as geom_centroid
+
+    schema = df.schema
+
+    def densify(ring: np.ndarray, h: float) -> np.ndarray:
+        out = []
+        for a, b in zip(ring[:-1], ring[1:]):
+            seg = np.hypot(*(b - a))
+            n = max(int(np.ceil(seg / h)), 1)
+            for t in range(n):
+                out.append(a + (b - a) * (t / n))
+        return np.asarray(out)
+
+    def kernel(it):
+        for pdf in it:
+            ga = wkb.decode(pdf[geometry_col].tolist())
+            cents = geom_centroid(ga)
+            geoms = []
+            for g in range(len(ga)):
+                if ga.types[g] != wkb.T_POLYGON:
+                    geoms.append(pdf[geometry_col].iloc[g])
+                    continue
+                ring = ga.geom_parts(g)[0][0]
+                pts = densify(ring, max_segment_length)
+                n = len(pts)
+                if n < 8:
+                    geoms.append(
+                        wkb.encode_point(float(cents[g, 0]), float(cents[g, 1]))
+                    )
+                    continue
+                if n > 400:  # bound the O(N^2) pairing per sliver
+                    step = n // 400 + 1
+                    pts = pts[::step]
+                    n = len(pts)
+                d2 = (
+                    (pts[:, 0][:, None] - pts[:, 0][None, :]) ** 2
+                    + (pts[:, 1][:, None] - pts[:, 1][None, :]) ** 2
+                )
+                idx = np.arange(n)
+                ring_dist = np.minimum(
+                    np.abs(idx[:, None] - idx[None, :]),
+                    n - np.abs(idx[:, None] - idx[None, :]),
+                )
+                d2m = np.where(ring_dist > 2, d2, np.inf)
+                j = np.argmin(d2m, axis=1)
+                mids = (pts + pts[j]) / 2.0
+                mids = np.unique(np.round(mids, 6), axis=0)
+                if len(mids) < 2:
+                    geoms.append(
+                        wkb.encode_point(float(cents[g, 0]), float(cents[g, 1]))
+                    )
+                    continue
+                # chain midpoints nearest-neighbor-first from an extreme point
+                start = int(np.argmin(mids[:, 0] + mids[:, 1]))
+                left = np.ones(len(mids), dtype=bool)
+                order = [start]
+                left[start] = False
+                while left.any():
+                    cur = mids[order[-1]]
+                    cand = np.where(
+                        left,
+                        (mids[:, 0] - cur[0]) ** 2 + (mids[:, 1] - cur[1]) ** 2,
+                        np.inf,
+                    )
+                    nxt = int(np.argmin(cand))
+                    order.append(nxt)
+                    left[nxt] = False
+                geoms.append(wkb.encode_linestring(mids[order]))
+            o = pdf.copy()
+            o[geometry_col] = geoms
+            yield o
+
+    return df.mapInPandas(kernel, schema=schema)

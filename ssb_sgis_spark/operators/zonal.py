@@ -83,10 +83,21 @@ def zonal_stats(
                 for key, bb, edges in bc.value:
                     if bb[0] > tx1 or bb[2] < tx0 or bb[1] > ty1 or bb[3] < ty0:
                         continue
-                    mask = points_in_polygon(cx.ravel(), cy.ravel(), edges)
+                    # clip the PIP test to the polygon's bbox window — the
+                    # ray cast then runs on the overlap cells only, not the
+                    # whole tile per polygon
+                    jx0 = max(int((bb[0] - RZ_X0) / CELL) - ix0, 0)
+                    jx1 = min(int((bb[2] - RZ_X0) / CELL) - ix0 + 2, nx)
+                    jy0 = max(int((bb[1] - RZ_Y0) / CELL) - iy0, 0)
+                    jy1 = min(int((bb[3] - RZ_Y0) / CELL) - iy0 + 2, ny)
+                    if jx0 >= jx1 or jy0 >= jy1:
+                        continue
+                    wx = cx[jy0:jy1, jx0:jx1].ravel()
+                    wy = cy[jy0:jy1, jx0:jx1].ravel()
+                    mask = points_in_polygon(wx, wy, edges)
                     if not mask.any():
                         continue
-                    v = vals.ravel()[mask].astype(np.int64)
+                    v = vals[jy0:jy1, jx0:jx1].ravel()[mask].astype(np.int64)
                     out[key_col].append(key)
                     out["n_cells"].append(int(mask.sum()))
                     out["value_sum"].append(int(v.sum()))

@@ -267,3 +267,35 @@ def test_get_component_size(spark):
     out = get_component_size(lines, nodes)
     sizes = {r["component_size"] for r in out.select("component_size").distinct().collect()}
     assert len(sizes) == 2  # two components with different node counts
+
+
+def test_traveling_salesman(spark):
+    """The reference docstring example: the roundtrip over 8 points has
+    the known optimal length (80 + 2*sqrt(200))."""
+    from ssb_sgis_spark.operators.tsp import traveling_salesman_problem
+
+    pts = [(0, 0), (10, -10), (10, 10), (0, 10), (0, -10), (10, 0), (20, 0), (0, 20)]
+    df = spark.createDataFrame([(float(a), float(b)) for a, b in pts], "x double, y double")
+    tour = traveling_salesman_problem(df).collect()
+    assert len(tour) == 9  # closed: start repeated
+    assert (tour[0]["x"], tour[0]["y"]) == (tour[-1]["x"], tour[-1]["y"])
+    length = sum(
+        ((a["x"] - b["x"]) ** 2 + (a["y"] - b["y"]) ** 2) ** 0.5
+        for a, b in zip(tour, tour[1:])
+    )
+    # at least as good as the reference docstring's own route
+    ref_route = [(0, 0), (10, -10), (0, -10), (10, 0), (20, 0), (10, 10),
+                 (0, 10), (0, 20), (0, 0)]
+    ref_len = sum(
+        ((a[0] - b[0]) ** 2 + (a[1] - b[1]) ** 2) ** 0.5
+        for a, b in zip(ref_route, ref_route[1:])
+    )
+    assert length <= ref_len + 1e-9
+
+    open_tour = traveling_salesman_problem(df, return_to_start=False).collect()
+    assert len(open_tour) == 8
+    open_len = sum(
+        ((a["x"] - b["x"]) ** 2 + (a["y"] - b["y"]) ** 2) ** 0.5
+        for a, b in zip(open_tour, open_tour[1:])
+    )
+    assert open_len < length

@@ -329,3 +329,20 @@ def test_get_grouped_centroids(spark):
     out = {(r["grp"]): r["grouped_centroid"] for r in get_grouped_centroids(df, "grp").collect()}
     assert out["g1"] == f"{int(OX + 15)}_{int(OY + 5)}"
     assert out["g2"] == f"{int(OX + 5)}_{int(OY + 105)}"
+
+
+def test_get_rough_centerlines_sliver(spark):
+    """A 100x4 sliver's centerline runs along y=OY+2, spanning most of
+    the sliver's length."""
+    from ssb_sgis_spark.operators.polygons import get_rough_centerlines
+
+    df = spark.createDataFrame(
+        [(0, bytearray(wkb.encode_polygon([box_ring(OX, OY, OX + 100, OY + 4)])))],
+        "pid long, geometry binary",
+    )
+    out = get_rough_centerlines(df, max_segment_length=2.0).collect()
+    ga = wkb.decode([out[0]["geometry"]])
+    coords = ga.geom_rings(0)[0]
+    assert np.all(np.abs(coords[:, 1] - (OY + 2.0)) <= 2.0)  # near the midline
+    span = coords[:, 0].max() - coords[:, 0].min()
+    assert span >= 80  # runs along the sliver
