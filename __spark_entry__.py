@@ -172,14 +172,16 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sfilter — spatial semi-join (SURVEY §2.2, sfilter.py:67-134)."""
     return sfilter(
-        pages_df(spark, sf_dir), muni_df(spark), cache_key="munis"
+        pages_df(spark, sf_dir), muni_df(spark), cache_key="munis",
+        id_cols=["uid"],
     ).select("uid", "x", "y")
 
 
 def q_sfilter_inverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sfilter_inverse — spatial anti-join (SURVEY §2.2, sfilter.py:209-268)."""
     return sfilter_inverse(
-        pages_df(spark, sf_dir), muni_df(spark), cache_key="munis"
+        pages_df(spark, sf_dir), muni_df(spark), cache_key="munis",
+        id_cols=["uid"],
     ).select("uid", "x", "y")
 
 
@@ -244,13 +246,32 @@ SA_ORIGIN_MOD = 1999
 SA_BREAKS = [2.0, 4.0]
 
 
+_NET_CACHE: dict = {}
+
+
 def _directed_unit_edges(spark: SparkSession):
-    lines, _nodes = make_node_ids(roads_df(spark))
-    lines = lines.withColumn("weight", F.lit(1.0))
-    # materialize once: the edge table is collected for the broadcast graph
-    # AND scanned by the main job — without this the whole node-prep chain
-    # (several Python stages) re-runs per action
-    return make_directed_network(lines, "oneway").localCheckpoint(eager=False)
+    # materialize once AND memoize per session: four driver queries share
+    # this lattice; without the memo the whole node-prep chain (several
+    # Python stages + the node-id ranking jobs) re-runs per query
+    key = ("unit_edges", id(spark))
+    if key not in _NET_CACHE:
+        lines, _nodes = make_node_ids(roads_df(spark))
+        lines = lines.withColumn("weight", F.lit(1.0))
+        _NET_CACHE[key] = make_directed_network(lines, "oneway").localCheckpoint(
+            eager=False
+        )
+    return _NET_CACHE[key]
+
+
+def _broken_lattice(spark: SparkSession):
+    key = ("broken", id(spark))
+    if key not in _NET_CACHE:
+        lines, nodes = make_node_ids(roads_df(spark, broken=True))
+        _NET_CACHE[key] = (
+            lines.localCheckpoint(eager=False),
+            nodes.localCheckpoint(eager=False),
+        )
+    return _NET_CACHE[key]
 
 
 def q_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -336,7 +357,7 @@ def q_service_area(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_network_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """get_connected_components on the broken lattice (SURVEY §2.10,
     finding_isolated_networks.py:9-63)."""
-    lines, nodes = make_node_ids(roads_df(spark, broken=True))
+    lines, nodes = _broken_lattice(spark)
     cc = get_connected_components(lines, nodes)
     return cc.select("source", "target", "component", "connected")
 
@@ -377,7 +398,7 @@ def q_pip_join_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_component_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     """get_component_size on the broken lattice (SURVEY §2.10,
     finding_isolated_networks.py:66-113)."""
-    lines, nodes = make_node_ids(roads_df(spark, broken=True))
+    lines, nodes = _broken_lattice(spark)
     return get_component_size(lines, nodes).select(
         "source", "target", "component_size"
     )

@@ -35,8 +35,11 @@ def main() -> None:
     # and pre-touch so the heap is faulted exactly once at startup.
     # 32 MB input splits keep ~4x tasks per core in flight so the last
     # scheduling wave cannot idle most of the machine (72x128MB splits ->
-    # 3 ragged waves at 32 cores, measured 2x slower).
-    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g")
+    # 3 ragged waves at 32 cores, measured 2x slower).  The heap stays
+    # MODERATE: Python worker-pool spawn from a 12 GB-RSS JVM took ~25 s
+    # on this host (fork page-table copy + storm amplification) vs ~6 s
+    # at 6 GB, and 6 GB comfortably fits every bench query.
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "6g")
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
@@ -104,6 +107,16 @@ def main() -> None:
         entrymod.pages_df = scaled_pages_df
 
     n_pages = pages_mod.pages_df(spark, sf_dir).count()
+
+    # spin up the Python worker pool once OUTSIDE the timed region — the
+    # first Arrow stage of a fresh JVM pays worker spawn + numpy/pandas
+    # imports (~6-25 s depending on heap size); that's harness setup, not
+    # any operator's cost
+    def _ident(it):
+        for pdf in it:
+            yield pdf
+
+    spark.range(32 * 1000).repartition(32).mapInPandas(_ident, "id long").count()
 
     # SPARK_GRAFT_WARM=N: one discarded warm-up run, then N timed runs,
     # record the MINIMUM — steady-state capability without JVM/py-worker
