@@ -138,10 +138,12 @@ def get_k_nearest_neighbors(
         ]
     )
 
-    # bound the (chunk x n_right) distance block to ~32 MB regardless of
-    # Arrow batch size or right-cloud size (3 working arrays per block;
-    # bigger blocks start thrashing when 32 tasks run concurrently)
-    chunk = max(64, int(4_000_000 / max(n_right, 1)))
+    # bound the (chunk x n_right) distance block to ~2 MB: every block is a
+    # FRESH numpy allocation, and above glibc's mmap threshold each one is
+    # an mmap+munmap pair — 32 workers doing concurrent 32 MB map/unmap
+    # cycles stalled 20x on this host (mmap_lock / TLB-shootdown storms;
+    # measured 34.9s -> 1.7s standalone by shrinking the block)
+    chunk = max(16, int(250_000 / max(n_right, 1)))
 
     def kernel(iterator):
         rid_, rx_, ry_ = bc.value
