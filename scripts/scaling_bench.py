@@ -33,7 +33,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 QUERIES = os.environ.get("SPARK_GRAFT_SCALING_QUERIES", "pip_join")
 SCALE = os.environ.get("SPARK_GRAFT_SCALE", "2048")
-SESSIONS = int(os.environ.get("SPARK_GRAFT_SESSIONS", "3"))
+SESSIONS = int(os.environ.get("SPARK_GRAFT_SESSIONS", "4"))
 LEVELS = (8, 32)
 PAGES_PARQUET = f"/tmp/ssb_sgis_scaled_pages_x{SCALE}.parquet"
 
@@ -70,7 +70,11 @@ def run_level(cpus: int) -> dict:
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_QUERIES=QUERIES,
         SPARK_GRAFT_PAGES_PARQUET=PAGES_PARQUET,
-        SPARK_GRAFT_WARM="2",
+        SPARK_GRAFT_WARM="3",
+        # the flagship is pure JVM; 32 concurrent tasks want more heap
+        # than the bench default (6g is sized for Python-interop runs —
+        # measured 12.7s vs 6.1s at local[32] on the 935M-row input)
+        SPARK_GRAFT_DRIVER_MEM=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"),
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
@@ -109,7 +113,7 @@ def main() -> None:
         f"job on the same input ({n_pages:,} pages = sf0.1 x {SCALE},",
         "materialized parquet) at two local parallelism levels.",
         f"{SESSIONS} interleaved fresh-JVM sessions per level, 1 warm-up +",
-        "2 timed runs each; reported value = min across a level's samples",
+        "3 timed runs each; reported value = min across a level's samples",
         "(the host throws multi-second all-core kernel-jitter storms that",
         "hit individual samples in both directions — see raw samples below).",
         "",

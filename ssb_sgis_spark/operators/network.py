@@ -77,6 +77,26 @@ def make_node_ids(df: DataFrame, geometry_col: str = "geometry") -> tuple[DataFr
     # exclusive prefix-sum of bucket counts (tiny driver-side table,
     # broadcast back).  Bucket order is consistent with (y, x) order, so
     # the ids are identical to the global sort's.
+    # Small graphs skip the bucket machinery (its two extra driver jobs
+    # cost more than the single-partition window they avoid).
+    if grouped.count() <= 100_000:
+        nodes = grouped.withColumn(
+            "node_id",
+            F.row_number().over(Window.orderBy(F.col("y"), F.col("x"))).cast("long")
+            - 1,
+        )
+        src = nodes.select(
+            F.col("x").alias("x0"), F.col("y").alias("y0"),
+            F.col("node_id").alias("source"),
+        )
+        tgt = nodes.select(
+            F.col("x").alias("x1"), F.col("y").alias("y1"),
+            F.col("node_id").alias("target"),
+        )
+        lines = e.join(F.broadcast(src), ["x0", "y0"]).join(
+            F.broadcast(tgt), ["x1", "y1"]
+        )
+        return lines, nodes.select("node_id", "x", "y", "n")
     lo, hi = grouped.agg(F.min("y"), F.max("y")).first()
     nb = max(spark.sparkContext.defaultParallelism * 4, 1)
     h = max((hi - lo) / nb, 1e-300) if hi is not None and hi > lo else 1.0
