@@ -50,6 +50,40 @@ def _collect_right(right: DataFrame, id_col: str, x_col: str, y_col: str):
     return rid, rx, ry
 
 
+def _select_topk_tiesafe(d, kk: int):
+    """Row-wise positions of the ``kk`` smallest values ordered by
+    (value, column), EXACT under ties.
+
+    np.argpartition alone breaks ties at the kk-th boundary arbitrarily:
+    a candidate tied at the kk-th distance but with a smaller column
+    position (= smaller neighbor id over an id-sorted cloud) can be
+    discarded.  Here the partition is repaired for the (rare) rows where
+    a boundary tie exists: keep everything strictly below the kth value,
+    then tied entries in ascending column order.  O(n) fast path; the
+    per-row repair only runs on rows with an actual boundary tie.
+    """
+    n = d.shape[1]
+    if kk >= n:
+        return np.argsort(d, axis=1, kind="stable")[:, :kk]
+    part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+    vals = np.take_along_axis(d, part, axis=1)
+    kth = vals.max(axis=1)
+    total_tied = (d == kth[:, None]).sum(axis=1)
+    sel_tied = (vals == kth[:, None]).sum(axis=1)
+    for i in np.flatnonzero(total_tied > sel_tied):
+        row = d[i]
+        lt = np.flatnonzero(row < kth[i])
+        eq = np.flatnonzero(row == kth[i])
+        part[i] = np.concatenate([lt, eq[: kk - len(lt)]])
+    # order the kk candidates by (distance, position): stable sort on
+    # distance after a primary sort by position keeps position order on ties
+    pos_order = np.argsort(part, axis=1, kind="stable")
+    part = np.take_along_axis(part, pos_order, axis=1)
+    vals = np.take_along_axis(d, part, axis=1)
+    ord2 = np.argsort(vals, axis=1, kind="stable")
+    return np.take_along_axis(part, ord2, axis=1)
+
+
 def _topk_block(lx, ly, rx, ry, k: int):
     """Vectorized top-k for a left batch vs the whole right cloud.
 
@@ -57,26 +91,13 @@ def _topk_block(lx, ly, rx, ry, k: int):
     oracle.  Returns (neighbor_pos, dist) arrays of shape (batch, k),
     ordered by (distance, right_position) — right is pre-sorted by id, so
     ties resolve to ascending neighbor id, matching the oracle's
-    ``ORDER BY dist, vid`` window.
+    ``ORDER BY dist, vid`` window (tie-exact even at the kth boundary,
+    via :func:`_select_topk_tiesafe`).
     """
     dx = lx[:, None] - rx[None, :]
     dy = ly[:, None] - ry[None, :]
     d = np.sqrt(dx * dx + dy * dy)
-    n = d.shape[1]
-    if k < n:
-        part = np.argpartition(d, k - 1, axis=1)[:, :k]
-        pd_block = np.take_along_axis(d, part, axis=1)
-        # order the k candidates by (distance, id-position); stable sort on
-        # distance after a primary sort by position keeps id order for ties
-        pos_order = np.argsort(part, axis=1, kind="stable")
-        part = np.take_along_axis(part, pos_order, axis=1)
-        pd_block = np.take_along_axis(pd_block, pos_order, axis=1)
-        ord2 = np.argsort(pd_block, axis=1, kind="stable")
-        return (
-            np.take_along_axis(part, ord2, axis=1),
-            np.take_along_axis(pd_block, ord2, axis=1),
-        )
-    order = np.argsort(d, axis=1, kind="stable")[:, :k]
+    order = _select_topk_tiesafe(d, k)
     return order, np.take_along_axis(d, order, axis=1)
 
 
@@ -296,15 +317,26 @@ def knn_cellwise(
             .withColumn("knn_rank", F.col("knn_rank").cast("int"))
         )
 
-    def _split_proven(ranked, r):
-        """(proven rows, violating left ids) for ring radius r."""
+    def _split_proven(ranked, r, current_left):
+        """(proven rows, still-unproven left rows) for ring radius r.
+
+        Violators are derived from ``current_left``, NOT from ``ranked``:
+        a left row whose ring found ZERO candidates appears in neither a
+        groupBy over scored rows nor its complement, and deriving the
+        violator set from ranked would silently drop it (never escalate,
+        never reach the brute fallback, emit no rows — breaking the
+        exactly len(left)*k invariant).  current_left anti-join proven
+        keeps candidate-less rows escalating.
+        """
         per = ranked.groupBy(left_id).agg(
             F.max("knn_rank").alias("_n"), F.max("distance").alias("_kd")
         )
-        viol = per.filter(
-            (F.col("_n") < k_eff) | (F.col("_kd") > F.lit(float(r) * guarantee))
+        proven_ids = per.filter(
+            (F.col("_n") >= k_eff) & (F.col("_kd") <= F.lit(float(r) * guarantee))
         ).select(left_id)
-        return ranked.join(viol, on=left_id, how="left_anti"), viol
+        proven = ranked.join(proven_ids, on=left_id, how="left_semi")
+        remaining = current_left.join(proven_ids, on=left_id, how="left_anti")
+        return proven, remaining
 
     # round 1: halo-replicate the right side, left joins its own cell
     rightc1 = (
@@ -332,9 +364,9 @@ def knn_cellwise(
         .dropDuplicates([left_id, "neighbor_id"])
     )
     ranked = _topk(scored1).localCheckpoint()
-    proven, viol = _split_proven(ranked, 1)
+    proven, remaining = _split_proven(ranked, 1, leftc)
     results = [proven.select(left_id, "neighbor_id", "distance", "knn_rank")]
-    remaining = leftc.join(viol, on=left_id, how="left_semi").localCheckpoint()
+    remaining = remaining.localCheckpoint()
 
     r = 2
     rounds = 0
@@ -361,9 +393,9 @@ def knn_cellwise(
             .dropDuplicates([left_id, "neighbor_id"])
         )
         ranked_r = _topk(scored).localCheckpoint()
-        proven_r, viol = _split_proven(ranked_r, r)
+        proven_r, remaining = _split_proven(ranked_r, r, remaining)
         results.append(proven_r.select(left_id, "neighbor_id", "distance", "knn_rank"))
-        remaining = remaining.join(viol, on=left_id, how="left_semi").localCheckpoint()
+        remaining = remaining.localCheckpoint()
         r *= 2
         rounds += 1
 
@@ -389,14 +421,19 @@ def knn_cellwise(
             for pdf in it:
                 if not len(pdf):
                     continue
-                rxv = pdf[right_x].to_numpy(np.float64)
-                ryv = pdf[right_y].to_numpy(np.float64)
                 ridv = pdf[right_id].to_numpy()
+                # id-sort the partition so column position == id order and
+                # the tie-safe selector keeps the SMALLER id on boundary
+                # ties (the final window orders by distance, neighbor_id)
+                order = np.argsort(ridv, kind="stable")
+                ridv = ridv[order]
+                rxv = pdf[right_x].to_numpy(np.float64)[order]
+                ryv = pdf[right_y].to_numpy(np.float64)[order]
                 dx = vx_[:, None] - rxv[None, :]
                 dy = vy_[:, None] - ryv[None, :]
                 d = np.sqrt(dx * dx + dy * dy)
                 kk = min(k_eff, d.shape[1])
-                part = np.argpartition(d, kk - 1, axis=1)[:, :kk] if kk < d.shape[1] else np.argsort(d, axis=1, kind="stable")[:, :kk]
+                part = _select_topk_tiesafe(d, kk)
                 yield pd.DataFrame(
                     {
                         left_id: np.repeat(vid_, kk),

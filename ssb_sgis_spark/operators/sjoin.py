@@ -116,6 +116,13 @@ _COVER_SCHEMA = StructType(
                 )
             ),
         ),
+        # sub-cell test box (half-open; ±inf at un-subdivided borders):
+        # edge-dense PARTIAL cells are recursively bisected so no single
+        # cell can inflate the unrolled predicate width for every row
+        StructField("_bx0", DoubleType()),
+        StructField("_by0", DoubleType()),
+        StructField("_bx1", DoubleType()),
+        StructField("_by1", DoubleType()),
     ]
 )
 
@@ -157,13 +164,37 @@ def _cell_box(cell: int, res: int):
     return x0, y0, x0 + s, y0 + s
 
 
-def build_cover_df(spark, keys, ga, res: int, covers=None):
+INF = float("inf")
+
+# codegen-safe bound on the per-row unrolled predicate width: PARTIAL
+# cells whose clipped state exceeds this many near edges / breakpoints
+# are recursively bisected into sub-cell rows (disjoint half-open test
+# boxes, same join key), so ONE edge-dense coastal cell cannot inflate
+# the broadcast row width globally or push the generated join condition
+# past the JVM/codegen method limits
+_MAX_CELL_EDGES = 32
+_MAX_SUBDIV_DEPTH = 6
+
+
+def build_cover_df(spark, keys, ga, res: int, covers=None,
+                   max_edges: int = _MAX_CELL_EDGES,
+                   max_depth: int = _MAX_SUBDIV_DEPTH):
     """Cover rows with cell-clipped ray-cast state (module docstring).
 
     Returns ``(cover_df, n_near, n_rb)`` where the two counts are the
     fixed padded widths of the ``_near`` / ``_rb`` arrays (the unrolled
     predicate is generated to exactly that width).
+
+    Edge-dense PARTIAL cells are bisected into sub-cell rows until each
+    row's state fits ``max_edges`` (or ``max_depth`` halvings).  Sub-rows
+    keep the PARENT cell id as the join key and carry a half-open test
+    box ``(_bx0,_by0)..(_bx1,_by1)``; boxes share exact midpoint floats
+    and open out to ±inf at un-subdivided borders, so they tile the
+    plane exactly — every point matches exactly one sub-row per
+    (cell, polygon) regardless of float rounding at the cell border.
     """
+    import warnings
+
     m = _CLIP_MARGIN
     rows = []
     if covers is None:
@@ -171,7 +202,7 @@ def build_cover_df(spark, keys, ga, res: int, covers=None):
     for g, cover, edges in covers:
         key = keys[g]
         for c in cover.full:
-            rows.append([int(c), key, True, 0, [], []])
+            rows.append([int(c), key, True, 0, [], [], -INF, -INF, INF, INF])
         if edges is None or len(cover.partial) == 0:
             continue
         x1, y1, x2, y2 = edges
@@ -180,34 +211,80 @@ def build_cover_df(spark, keys, ga, res: int, covers=None):
         eymin = np.minimum(y1, y2)
         eymax = np.maximum(y1, y2)
         for c in cover.partial:
-            cx0, cy0, cx1, cy1 = _cell_box(int(c), res)
-            band = (eymax > cy0 - m) & (eymin < cy1 + m)
-            near = band & (exmax >= cx0 - m) & (exmin <= cx1 + m)
-            right = band & (exmin > cx1 + m)
-            ni = np.flatnonzero(near)
-            ri = np.flatnonzero(right)
-            # straddle parity of the right set == (# endpoints <= y) mod 2;
-            # endpoints below the band are constant for every in-cell y
-            bps = np.concatenate([y1[ri], y2[ri]])
-            rbase = int((bps <= cy0 - m).sum() % 2)
-            rb = sorted(float(b) for b in bps[(bps > cy0 - m) & (bps < cy1 + m)])
-            rows.append(
-                [
-                    int(c),
-                    key,
-                    False,
-                    rbase,
-                    rb,
+            clip0 = _cell_box(int(c), res)
+            # (clip box for edge classification, test box for the join
+            # predicate — open at borders not created by a bisection)
+            stack = [(clip0, (-INF, -INF, INF, INF), 0)]
+            while stack:
+                (cx0, cy0, cx1, cy1), tbox, depth = stack.pop()
+                band = (eymax > cy0 - m) & (eymin < cy1 + m)
+                near = band & (exmax >= cx0 - m) & (exmin <= cx1 + m)
+                right = band & (exmin > cx1 + m)
+                ni = np.flatnonzero(near)
+                ri = np.flatnonzero(right)
+                # straddle parity of the right set == (# endpoints <= y)
+                # mod 2; endpoints below the band are constant per cell
+                bps = np.concatenate([y1[ri], y2[ri]])
+                rbase = int((bps <= cy0 - m).sum() % 2)
+                in_band = bps[(bps > cy0 - m) & (bps < cy1 + m)]
+                # parity-cancel: only (# rb <= y) MOD 2 is used, so
+                # breakpoints with equal y cancel pairwise — interior
+                # vertices of a contiguous right-edge chain appear exactly
+                # twice (end of one edge, start of the next) and vanish,
+                # leaving ~2 survivors per chain.  Without this a
+                # near-horizontal dense arc (e.g. the top of a 5,000-vertex
+                # circle) keeps hundreds of same-y breakpoints in ANY band.
+                vals, counts = np.unique(in_band, return_counts=True)
+                rb = [float(v) for v, n in zip(vals, counts) if n % 2 == 1]
+                if (
+                    max(len(ni), len(rb)) > max_edges and depth < max_depth
+                ):
+                    xm = (cx0 + cx1) / 2.0
+                    ym = (cy0 + cy1) / 2.0
+                    tx0, ty0, tx1, ty1 = tbox
+                    stack += [
+                        ((cx0, cy0, xm, ym), (tx0, ty0, xm, ym), depth + 1),
+                        ((xm, cy0, cx1, ym), (xm, ty0, tx1, ym), depth + 1),
+                        ((cx0, ym, xm, cy1), (tx0, ym, xm, ty1), depth + 1),
+                        ((xm, ym, cx1, cy1), (xm, ym, tx1, ty1), depth + 1),
+                    ]
+                    continue
+                if max(len(ni), len(rb)) > max_edges:
+                    warnings.warn(
+                        f"PIP cover: cell {int(c)} still has "
+                        f"{max(len(ni), len(rb))} edges after {max_depth} "
+                        f"bisections; unrolled predicate width exceeds "
+                        f"{max_edges}"
+                    )
+                if len(ni) == 0:
+                    # boundary does not cross this sub-box (no near edge
+                    # within the margin): the whole box is inside iff the
+                    # right-set parity at its center is odd
+                    cy = (cy0 + cy1) / 2.0
+                    parity = (rbase + sum(1 for b in rb if b <= cy)) % 2
+                    if parity == 1:
+                        rows.append(
+                            [int(c), key, True, 0, [], [], *tbox]
+                        )
+                    continue
+                rows.append(
                     [
-                        (float(x1[i]), float(y1[i]), float(x2[i]), float(y2[i]))
-                        for i in ni
-                    ],
-                ]
-            )
+                        int(c),
+                        key,
+                        False,
+                        rbase,
+                        rb,
+                        [
+                            (float(x1[i]), float(y1[i]), float(x2[i]), float(y2[i]))
+                            for i in ni
+                        ],
+                        *tbox,
+                    ]
+                )
     n_near = max((len(r[5]) for r in rows), default=0)
     n_rb = max((len(r[4]) for r in rows), default=0)
     for r in rows:
-        r[4] = r[4] + [float("inf")] * (n_rb - len(r[4]))
+        r[4] = r[4] + [INF] * (n_rb - len(r[4]))
         r[5] = r[5] + [_PAD_EDGE] * (n_near - len(r[5]))
     df = spark.createDataFrame(
         [tuple(r) for r in rows],
@@ -216,23 +293,40 @@ def build_cover_df(spark, keys, ga, res: int, covers=None):
     return df, n_near, n_rb
 
 
+def _in_test_box(x: Column, y: Column) -> Column:
+    """Half-open sub-cell test box membership (±inf at open borders —
+    compares are always true there, so un-subdivided rows pass freely)."""
+    return (
+        (x >= F.col("_bx0"))
+        & (x < F.col("_bx1"))
+        & (y >= F.col("_by0"))
+        & (y < F.col("_by1"))
+    )
+
+
 def _pip_pred_col(x: Column, y: Column, n_near: int, n_rb: int) -> Column:
     """The PIP predicate as a fixed-width unrolled native expression —
     whole-stage-codegen compatible (no higher-order functions), same
     float64 arithmetic as the numpy kernel (kernels/geom.py:217-226) and
-    the DuckDB oracle.  Padded slots contribute 0 by construction."""
+    the DuckDB oracle.  Padded slots contribute 0 by construction.
+    Guarded by the sub-cell test box so subdivided cover rows stay
+    disjoint (exactly one row matches per point and polygon)."""
     parity = F.col("_rbase")
     for i in range(1, n_rb + 1):
         parity = parity + (F.element_at(F.col("_rb"), i) <= y).cast("long")
     for i in range(1, n_near + 1):
         e = F.element_at(F.col("_near"), i)
+        # multiply-then-divide, matching the numpy kernel and the DuckDB
+        # oracle's ((x2-x1)*(py-y1))/(y2-y1)+x1 order exactly — a
+        # divide-then-multiply form rounds differently and can flip the
+        # parity of points within ~1 ulp of an edge crossing
         crossing = ((e["ay"] > y) != (e["by"] > y)) & (
             x
-            < (e["bx"] - e["ax"]) * F.try_divide(y - e["ay"], e["by"] - e["ay"])
+            < F.try_divide((e["bx"] - e["ax"]) * (y - e["ay"]), e["by"] - e["ay"])
             + e["ax"]
         )
         parity = parity + F.when(crossing, F.lit(1)).otherwise(F.lit(0))
-    return F.col("_full") | ((parity % 2) == 1)
+    return _in_test_box(x, y) & (F.col("_full") | ((parity % 2) == 1))
 
 
 # when the enumerated FULL-cell cover would exceed this many rows, switch
@@ -353,8 +447,16 @@ _COVER_CACHE_MAX = 16
 
 
 def _cover_cache_put(ck, value):
+    if ck[0] is None and ck[1] is None:
+        # semanticHash failed AND no explicit cache_key: the key would
+        # collapse to (None, None, params) and a second, DIFFERENT polygon
+        # frame with the same params would read the first frame's stale
+        # cover — skip caching entirely instead
+        return
     if len(_COVER_CACHE) >= _COVER_CACHE_MAX:
-        _, old = _COVER_CACHE.popitem()
+        # FIFO: evict the OLDEST insertion (dict preserves insertion
+        # order; popitem() would evict the newest)
+        old = _COVER_CACHE.pop(next(iter(_COVER_CACHE)))
         try:
             if old[0] == "enum":
                 old[5].unpersist()
@@ -481,15 +583,22 @@ def _pip_join_with_cover(
                 (pts["_cell"] == cover_df["cell"]) & pred,
                 "inner",
             )
-            .drop("cell", "_cell", "_full", "_rbase", "_rb", "_near")
+            .drop("cell", "_cell", "_full", "_rbase", "_rb", "_near",
+                  "_bx0", "_by0", "_bx1", "_by1")
             .withColumnRenamed("_key", key_col)
         )
     else:
-        # distance refine: exact point-to-edge distance kernel (Arrow batch)
+        # distance refine: exact point-to-edge distance kernel (Arrow
+        # batch); the test-box conjunct keeps subdivided cover rows
+        # disjoint (at most one candidate row per point and polygon)
         cand = pts.join(
-            F.broadcast(cover_df), pts["_cell"] == cover_df["cell"], "inner"
+            F.broadcast(cover_df),
+            (pts["_cell"] == cover_df["cell"])
+            & _in_test_box(F.col(x_col), F.col(y_col)),
+            "inner",
         ).drop("cell")
-        partial = cand.drop("_full", "_rbase", "_rb", "_near")
+        partial = cand.drop("_full", "_rbase", "_rb", "_near",
+                            "_bx0", "_by0", "_bx1", "_by1")
         bc_edges = spark.sparkContext.broadcast(edge_table)
         out_schema = partial.schema
         max_d2 = float(max_distance) * float(max_distance)

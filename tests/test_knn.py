@@ -105,6 +105,47 @@ def test_all_distances_is_cross_product(spark, frames):
     assert out.count() == 10 * 50
 
 
+def test_knn_cellwise_zero_candidate_rows_escalate(spark, frames):
+    """A left row whose 3x3 halo (and later rings) holds NO right points
+    must still emit exactly k rows — regression for the violator set
+    being derived from scored rows (zero-candidate rows appeared in
+    neither proven nor violators, so they were silently dropped)."""
+    left, right, lp, rp = frames
+    # one outlier far outside the right cloud's bounding box: its cell
+    # neighborhood is empty at any reasonable res, so it exercises the
+    # escalate -> brute-fallback path end to end
+    outlier = spark.createDataFrame(
+        pd.DataFrame({"uid": [10_000_001], "x": [9.9e6], "y": [9.9e6]})
+    )
+    lx = left.select("uid", "x", "y").limit(20).unionByName(outlier)
+    out = knn_cellwise(lx, right, k=3, res=9).toPandas()
+    assert len(out) == 21 * 3
+    got = out[out["uid"] == 10_000_001].sort_values("knn_rank")
+    assert len(got) == 3
+    # and the outlier's neighbors match the brute-force answer
+    d = np.sqrt(
+        (9.9e6 - rp["px"].to_numpy()) ** 2 + (9.9e6 - rp["py"].to_numpy()) ** 2
+    )
+    idx = np.lexsort((rp["vid"].to_numpy(), d))[:3]
+    assert list(got["neighbor_id"]) == list(rp["vid"].to_numpy()[idx])
+
+
+def test_select_topk_tiesafe_boundary_ties():
+    """argpartition repair: a candidate tied at the kth distance with a
+    SMALLER column position must win over an arbitrarily-partitioned one."""
+    from ssb_sgis_spark.operators.knn import _select_topk_tiesafe
+
+    rng = np.random.default_rng(7)
+    for _ in range(50):
+        # lattice-like values force heavy ties
+        d = rng.integers(0, 5, size=(8, 40)).astype(np.float64)
+        k = 6
+        got = _select_topk_tiesafe(d, k)
+        for i in range(d.shape[0]):
+            want = np.lexsort((np.arange(d.shape[1]), d[i]))[:k]
+            assert list(got[i]) == list(want)
+
+
 def test_knn_cellwise_matches_broadcast(spark, frames):
     """Cell-partitioned kNN == broadcast kNN wherever the ring guarantee
     holds (the gridloop tiled ≡ global invariant, tests/test_bounds.py:33-89)."""

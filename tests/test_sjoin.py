@@ -99,6 +99,45 @@ def test_compact_cover_path_matches_enumerated(spark, truth):
     assert a == b
 
 
+def test_dense_polygon_bounded_predicate_width(spark, truth):
+    """One 5,000-vertex polygon among the munis must NOT inflate the
+    unrolled PIP predicate width globally: dense PARTIAL cells are
+    bisected into sub-cell rows (bounded `_near`/`_rb`), and the join
+    rows still match brute force exactly."""
+    from ssb_sgis_spark.kernels import wkb as kwkb
+    from ssb_sgis_spark.operators.sjoin import (
+        _MAX_CELL_EDGES,
+        _decode_polygon_side,
+        build_cover_df,
+    )
+
+    uids, want = truth
+    t = np.linspace(0.0, 2.0 * np.pi, 5001)
+    cx, cy, r = 262000.0, 6650000.0, 8000.0
+    ring = np.column_stack([cx + r * np.cos(t), cy + r * np.sin(t)])
+    ring[-1] = ring[0]
+    dense = spark.createDataFrame(
+        [("zzz_dense", "dense", bytearray(kwkb.encode_polygon([ring])))],
+        "muni_id string, name string, geometry binary",
+    )
+    polys = muni_df(spark).unionByName(dense)
+
+    keys, ga, _ = _decode_polygon_side(polys, "muni_id", "geometry")
+    # the resolution the join itself would pick (13 = muni-scale cells)
+    _, n_near, n_rb = build_cover_df(spark, keys, ga, 13)
+    assert n_near <= _MAX_CELL_EDGES, f"n_near={n_near} not bounded"
+    assert n_rb <= _MAX_CELL_EDGES, f"n_rb={n_rb} not bounded"
+
+    got = points_in_polygons_join(pages_df(spark, SF), polys)
+    rows = {(q["uid"], q["muni_id"]) for q in got.select("uid", "muni_id").collect()}
+    x, y = pages_np(uids)
+    m = points_in_polygon(
+        x, y, (ring[:-1, 0], ring[:-1, 1], ring[1:, 0], ring[1:, 1])
+    )
+    want_dense = want | {(u, "zzz_dense") for u in uids[m]}
+    assert rows == want_dense
+
+
 def test_connected_components_string_ids(spark):
     """String vertex ids must converge correctly (the decimal-cast
     fingerprint regression: NULL sums ended the loop after one round)."""
