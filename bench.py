@@ -123,7 +123,11 @@ def main() -> None:
     # cold starts.  The sandbox's single-box kernel occasionally throws
     # fork/CoW storms (system-time spikes) that distort single samples by
     # 5-10x; min-of-N is the standard answer for that class of noise.
-    warm = int(os.environ.get("SPARK_GRAFT_WARM", "0") or 0)
+    # DEFAULT is warm (1 discarded + min-of-2): recorded per-round numbers
+    # must reproduce run-to-run — cold single samples varied 16.3-46.9 s
+    # on the flagship query across identical binaries, manufacturing
+    # phantom 3.5x regressions.  Set SPARK_GRAFT_WARM=0 for cold timing.
+    warm = int(os.environ.get("SPARK_GRAFT_WARM", "2") or 0)
     errors: dict[str, str] = {}
     for name, fn in qs.items():
         print(f"# bench start {name}", file=sys.stderr, flush=True)

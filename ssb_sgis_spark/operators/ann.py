@@ -169,12 +169,25 @@ def ann_lsh_topk(
     c = corpus.select(
         F.col(corpus_id).alias("vid"), _as_double(F.col(vec_col)).alias("_cv")
     ).withColumn("_bucket", bucket(F.col("_cv")))
+
+    # candidate rescoring as an Arrow-batched numpy kernel: the
+    # aggregate/zip_with higher-order functions are CodegenFallback and
+    # evaluate interpreted per element — a (B, dim) vectorized
+    # dot/norm per batch replaces ~3*dim interpreted ops per candidate
+    @F.pandas_udf("double")
+    def _cos_batch(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = np.vstack(a.to_numpy())
+        mb = np.vstack(b.to_numpy())
+        num = np.einsum("ij,ij->i", ma, mb)
+        den = np.sqrt(np.einsum("ij,ij->i", ma, ma)) * np.sqrt(
+            np.einsum("ij,ij->i", mb, mb)
+        )
+        return pd.Series(num / den)
+
     scored = c.join(F.broadcast(q), "_bucket").select(
         "qid",
         "vid",
-        (_dot(F.col("_qv"), F.col("_cv")) / (_norm(F.col("_qv")) * _norm(F.col("_cv")))).alias(
-            "_cos"
-        ),
+        _cos_batch(F.col("_qv"), F.col("_cv")).alias("_cos"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("_cos"), F.asc("vid"))
     return (

@@ -220,21 +220,26 @@ def split_lines_by_nearest_point(
     )
     boxes = xy_to_point_wkb(boxes, "x", "y", geometry_col)
 
-    # candidate_pairs works off geometry bounds; pad the point bounds
-    from .overlay import with_bounds, _BOUNDS
+    # cell-exploded equi-join on the quadtree cell (the overlay's
+    # candidate machinery, same as neighbors.get_neighbor_indices) — a
+    # raw bbox theta join has no equi-key, so Spark would plan a
+    # BroadcastNestedLoopJoin: O(points x lines) comparisons, a
+    # scale-killer on real networks
+    from .geomtable import with_bounds
 
-    l = with_bounds(lines.select(line_id, geometry_col), geometry_col)
-    p = with_bounds(boxes, geometry_col)
     d = float(max_distance)
-    pairs = p.alias("p").join(
-        l.alias("l"),
-        (F.col("p.minx") - d <= F.col("l.maxx"))
-        & (F.col("p.maxx") + d >= F.col("l.minx"))
-        & (F.col("p.miny") - d <= F.col("l.maxy"))
-        & (F.col("p.maxy") + d >= F.col("l.miny")),
-    ).select(
-        "_pid", "_px", "_py", F.col("l." + line_id).alias(line_id),
-        F.col("l." + geometry_col).alias("_lgeom"),
+    p = with_bounds(boxes, geometry_col)
+    p = (
+        p.withColumn("minx", F.col("minx") - d)
+        .withColumn("miny", F.col("miny") - d)
+        .withColumn("maxx", F.col("maxx") + d)
+        .withColumn("maxy", F.col("maxy") + d)
+    )
+    cand, _ = candidate_pairs(p, lines.select(line_id, geometry_col), geometry_col)
+    pairs = cand.select(
+        "_pid", "_px", "_py",
+        F.col(line_id + "__r").alias(line_id),
+        F.col(geometry_col + "__r").alias("_lgeom"),
     )
 
     proj_schema = T.StructType(

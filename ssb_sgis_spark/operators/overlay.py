@@ -26,6 +26,7 @@ always column ``geometry``.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -104,6 +105,13 @@ def candidate_pairs(
         broadcast_right = (
             df2.limit(BROADCAST_RIGHT_MAX + 1).count() <= BROADCAST_RIGHT_MAX
         )
+    # spread the left side BEFORE the explode+join: AQE coalesces small
+    # upstream shuffles (e.g. a distinct) to 1-2 partitions, which would
+    # run the explode, the join AND the downstream geometry kernel
+    # single-threaded.  Repartitioning here moves each left geometry once
+    # (pre-explode), vs repartitioning the pair table which moves both
+    # geometries per candidate pair.
+    l = l.repartition(df1.sparkSession.sparkContext.defaultParallelism)
     lc = bbox_cells_exploded(l, res)
     rc = bbox_cells_exploded(
         r, res, minx="minx_2", miny="miny_2", maxx="maxx_2", maxy="maxy_2"
@@ -226,13 +234,66 @@ def _out_schema(df1, df2, geometry_col, lmap, rmap, sides="both"):
     return T.StructType(fields)
 
 
+def _detect_boxes(ga):
+    """Vectorized axis-aligned-rectangle detection over a GeomArray.
+
+    Returns ``(mask, x0, y0, x1, y1)``; mask rows are single-part,
+    single-ring, 5-point closed rectangles whose edges alternate
+    x-only / y-only steps.  Everything is numpy on the ragged offset
+    arrays — no per-geometry Python.  Boxes are the dominant shape of
+    tile/grid/bbox overlays, and their boolean ops are closed-form, so
+    detecting them wholesale lets the kernel skip the O(E log E)
+    arrangement per pair (measured ~2.5 ms/pair -> ~µs)."""
+    n = len(ga)
+    mask = np.zeros(n, bool)
+    x0 = np.zeros(n)
+    y0 = np.zeros(n)
+    x1 = np.zeros(n)
+    y1 = np.zeros(n)
+    if n == 0:
+        return mask, x0, y0, x1, y1
+    go, po, ro = ga.geom_offsets, ga.part_offsets, ga.ring_offsets
+    cand = (go[1:] - go[:-1]) == 1
+    p0 = po[go[:-1].clip(0, len(po) - 2)]
+    nrings = po[np.minimum(go[:-1] + 1, len(po) - 1)] - p0
+    cand &= nrings == 1
+    r0 = p0.clip(0, len(ro) - 2)
+    cand &= (ro[r0 + 1] - ro[r0]) == 5
+    idx = np.flatnonzero(cand)
+    if not len(idx):
+        return mask, x0, y0, x1, y1
+    s = ro[r0[idx]]
+    pts = ga.coords[s[:, None] + np.arange(5)]  # (m, 5, 2)
+    closed = (pts[:, 0] == pts[:, 4]).all(axis=1)
+    xs, ys = pts[:, :4, 0], pts[:, :4, 1]
+    bx0, bx1 = xs.min(axis=1), xs.max(axis=1)
+    by0, by1 = ys.min(axis=1), ys.max(axis=1)
+    on_corner = (
+        ((xs == bx0[:, None]) | (xs == bx1[:, None])).all(axis=1)
+        & ((ys == by0[:, None]) | (ys == by1[:, None])).all(axis=1)
+    )
+    stepx = pts[:, 1:, 0] != pts[:, :-1, 0]
+    stepy = pts[:, 1:, 1] != pts[:, :-1, 1]
+    alternating = (stepx ^ stepy).all(axis=1)
+    ok = closed & on_corner & alternating & (bx1 > bx0) & (by1 > by0)
+    sel = idx[ok]
+    mask[sel] = True
+    x0[sel], y0[sel] = bx0[ok], by0[ok]
+    x1[sel], y1[sel] = bx1[ok], by1[ok]
+    return mask, x0, y0, x1, y1
+
+
+def _box_ring(x0, y0, x1, y1) -> np.ndarray:
+    return np.array(
+        [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], dtype=np.float64
+    )
+
+
 def _intersection(df1, df2, geometry_col, lmap, rmap, res, add_area=False) -> DataFrame:
     pairs, _ = candidate_pairs(df1, df2, geometry_col, res)
-    # the geometry kernel is the CPU-bound stage: spread it over every core
-    # (a broadcast join leaves pairs in the left side's few partitions)
-    pairs = pairs.repartition(
-        df1.sparkSession.sparkContext.defaultParallelism
-    )
+    # parallelism comes from candidate_pairs' pre-explode repartition of
+    # the left side; a second repartition here would re-shuffle every
+    # pair row with BOTH geometry payloads for no extra spread
     schema = _out_schema(df1, df2, geometry_col, lmap, rmap)
     if add_area:
         schema = T.StructType(schema.fields + [T.StructField("area", T.DoubleType())])
@@ -246,11 +307,39 @@ def _intersection(df1, df2, geometry_col, lmap, rmap, res, add_area=False) -> Da
         for pdf in it:
             if not len(pdf):
                 continue
-            ga = _decode_col(pdf, gl)
-            gb = _decode_col(pdf, gr)
+            # decode each DISTINCT geometry once: candidate pairs repeat
+            # the small side's geometries many times (361 grid tiles fan
+            # out to ~10^5 pair rows), and the ragged WKB decode was the
+            # kernel's main cost, not the boolean op itself
+            acodes, auniq = pd.factorize(pdf[gl])
+            bcodes, buniq = pd.factorize(pdf[gr])
+            ga = wkb.decode(list(auniq))
+            gb = wkb.decode(list(buniq))
+            # box x box pairs are closed-form (clip rectangles): detect
+            # them wholesale and skip the O(E log E) arrangement — the
+            # dominant case for tile/grid overlays.  Output coords equal
+            # the exact input-coordinate max/min combos the arrangement
+            # would emit for axis-aligned crossings.
+            am_u, ax0_u, ay0_u, ax1_u, ay1_u = _detect_boxes(ga)
+            bm_u, bx0_u, by0_u, bx1_u, by1_u = _detect_boxes(gb)
+            both = am_u[acodes] & bm_u[bcodes]
+            ix0 = np.maximum(ax0_u[acodes], bx0_u[bcodes])
+            iy0 = np.maximum(ay0_u[acodes], by0_u[bcodes])
+            ix1 = np.minimum(ax1_u[acodes], bx1_u[bcodes])
+            iy1 = np.minimum(ay1_u[acodes], by1_u[bcodes])
+            fast = both & (ix0 < ix1) & (iy0 < iy1)
             keep, geoms, areas = [], [], []
-            for i in range(len(pdf)):
-                out = overlay_parts([ga.geom_parts(i)], [gb.geom_parts(i)], "intersection")
+            for i in np.flatnonzero(fast):
+                keep.append(i)
+                geoms.append(
+                    wkb.encode_polygon([_box_ring(ix0[i], iy0[i], ix1[i], iy1[i])])
+                )
+                if add_area:
+                    areas.append((ix1[i] - ix0[i]) * (iy1[i] - iy0[i]))
+            for i in np.flatnonzero(~both):
+                out = overlay_parts(
+                    [ga.geom_parts(acodes[i])], [gb.geom_parts(bcodes[i])], "intersection"
+                )
                 if out:
                     keep.append(i)
                     geoms.append(wkb.encode_geom(out, wkb.T_POLYGON))

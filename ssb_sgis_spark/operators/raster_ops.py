@@ -65,10 +65,11 @@ def rasterize_polygons(
     containing its center (MergeAlg.replace), else ``fill``."""
     spark = polygons.sparkSession
     rows = polygons.select(value_col, geometry_col).collect()
+    ga = wkb.decode([r[geometry_col] for r in rows])
+    bbs = geom_bounds(ga)
     polys = []
     for i, r in enumerate(rows):
-        ga = wkb.decode([r[geometry_col]])
-        rings = ga.geom_rings(0)
+        rings = ga.geom_rings(i)
         if not rings:
             continue
         edges = (
@@ -77,16 +78,21 @@ def rasterize_polygons(
             np.concatenate([rr[1:, 0] for rr in rings]),
             np.concatenate([rr[1:, 1] for rr in rings]),
         )
-        bb = geom_bounds(ga)[0]
-        polys.append((int(r[value_col]), tuple(bb), edges))
+        polys.append((int(r[value_col]), tuple(bbs[i]), edges))
     bc = spark.sparkContext.broadcast(polys)
 
     import math
 
     ntx = math.ceil(ncx / tile)
     nty = math.ceil(ncy / tile)
+    # range() born pre-partitioned: one tile row per task slot without a
+    # repartition shuffle stage (spark.range defaults to very few
+    # partitions for tiny counts, which would serialize the burn)
     tiles = (
-        spark.range(ntx * nty)
+        spark.range(
+            ntx * nty,
+            numPartitions=min(ntx * nty, spark.sparkContext.defaultParallelism),
+        )
         .select(
             (F.col("id") % ntx).cast("int").alias("tile_ix"),
             (F.col("id") / ntx).cast("int").alias("tile_iy"),
@@ -132,9 +138,7 @@ def rasterize_polygons(
                 out["payload"].append(bytearray(vals.astype("<i4").tobytes()))
             yield pd.DataFrame(out)
 
-    return tiles.repartition(
-        spark.sparkContext.defaultParallelism
-    ).mapInPandas(kernel, schema=schema)
+    return tiles.mapInPandas(kernel, schema=schema)
 
 
 def _label_regions(vals: np.ndarray) -> np.ndarray:

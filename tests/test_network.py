@@ -235,6 +235,10 @@ def test_split_lines_by_nearest_point(spark):
     ga = wkbk.decode([r["geometry"] for r in split_rows])
     lens = sorted(geom_length(ga))
     assert lens[0] == pytest.approx(30.0) and lens[1] == pytest.approx(70.0)
+    # plan sanity: the point-line candidate join must be an equi (hash)
+    # join on the quadtree cell, never a nested-loop bbox theta join
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan, plan[:2000]
 
 
 def test_change_line_endpoint(spark):
