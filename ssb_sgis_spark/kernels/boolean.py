@@ -38,7 +38,26 @@ from __future__ import annotations
 
 import numpy as np
 
-SNAP = 1e-6  # vertex quantum for connectivity keys
+SNAP = 1e-6  # vertex quantum for connectivity keys (default grid size)
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def _grid_size(quantum: float):
+    """Scoped override of the vertex quantum — the reference's
+    ``grid_size`` knob (``overlay.py:58-60``: precision grid passed to
+    GEOS).  Every helper reads the module attribute at call time, and
+    kernels run single-threaded per worker process, so a scoped global
+    swap is race-free."""
+    global SNAP
+    old = SNAP
+    SNAP = float(quantum)
+    try:
+        yield
+    finally:
+        SNAP = old
 
 
 # --------------------------------------------------------------- primitives
@@ -329,6 +348,7 @@ def overlay_parts(
     group_a: list[list[list[np.ndarray]]],
     group_b: list[list[list[np.ndarray]]],
     op: str,
+    grid_size: float | None = None,
 ) -> list[list[np.ndarray]]:
     """Boolean op between two groups of multipolygons (parts form).
 
@@ -339,8 +359,16 @@ def overlay_parts(
     groupby-left union-of-right difference
     (``overlay.py:338-345`` + ``:473-474``).
 
+    ``grid_size`` overrides the vertex quantum for this call (the
+    reference's precision knob, ``overlay.py:58-60``): vertices within
+    ``grid_size`` of each other share a connectivity key, and result
+    rings below ``grid_size**2`` area are dropped.
+
     Returns the result as ONE multipolygon in parts form ([] if empty).
     """
+    if grid_size is not None:
+        with _grid_size(grid_size):
+            return overlay_parts(group_a, group_b, op)
     polys: list[tuple[int, list[np.ndarray]]] = []
     for grp_flag, group in ((0, group_a), (1, group_b)):
         for mp in group:

@@ -359,3 +359,73 @@ def parse_wkt(wkt: str) -> bytes:
                     polys.append(rings_of(inner[start:i]))
         return encode_multipolygon(polys)
     raise ValueError(f"unsupported WKT: {wkt[:40]}")
+
+
+def parse_geojson(geom: dict) -> bytes:
+    """GeoJSON geometry dict -> WKB (the reference's to_gdf dict/GeoJSON
+    ingestion, ``conversion.py:120-350``)."""
+    t = geom.get("type")
+    c = geom.get("coordinates")
+    if t == "Point":
+        return encode_point(float(c[0]), float(c[1]))
+    if t == "MultiPoint":
+        return encode_multipoint(np.asarray(c, dtype=np.float64))
+    if t == "LineString":
+        return encode_linestring(np.asarray(c, dtype=np.float64))
+    if t == "MultiLineString":
+        return encode_multilinestring([np.asarray(l, dtype=np.float64) for l in c])
+    if t == "Polygon":
+        return encode_polygon([np.asarray(r, dtype=np.float64) for r in c])
+    if t == "MultiPolygon":
+        return encode_multipolygon(
+            [[np.asarray(r, dtype=np.float64) for r in p] for p in c]
+        )
+    raise ValueError(f"unsupported GeoJSON geometry type: {t!r}")
+
+
+def _wkt_coords(pts: np.ndarray) -> str:
+    return ", ".join(f"{_fmt(x)} {_fmt(y)}" for x, y in pts)
+
+
+def to_wkt(ga: "GeomArray", g: int) -> str:
+    """WKT text of geometry row ``g`` (writer side of parse_wkt).
+    GeomArray types are LOGICAL (multi collapsed into its base type), so
+    single vs MULTI is decided by the part/ring structure."""
+    t = ga.types[g]
+    parts = ga.geom_parts(g)
+    if not parts:
+        return "GEOMETRYCOLLECTION EMPTY"
+    if t == T_POINT:
+        pts = [r[0] for part in parts for r in part]
+        if len(pts) == 1:
+            return f"POINT ({_fmt(pts[0][0])} {_fmt(pts[0][1])})"
+        return (
+            "MULTIPOINT ("
+            + ", ".join(f"({_fmt(p[0])} {_fmt(p[1])})" for p in pts)
+            + ")"
+        )
+    if t == T_LINE:
+        lines = [r for part in parts for r in part]
+        if len(lines) == 1:
+            return f"LINESTRING ({_wkt_coords(lines[0])})"
+        return (
+            "MULTILINESTRING ("
+            + ", ".join(f"({_wkt_coords(r)})" for r in lines)
+            + ")"
+        )
+    if t == T_POLYGON:
+        if len(parts) == 1:
+            return (
+                "POLYGON ("
+                + ", ".join(f"({_wkt_coords(r)})" for r in parts[0])
+                + ")"
+            )
+        return (
+            "MULTIPOLYGON ("
+            + ", ".join(
+                "(" + ", ".join(f"({_wkt_coords(r)})" for r in rings) + ")"
+                for rings in parts
+            )
+            + ")"
+        )
+    raise ValueError(f"unsupported geometry type id {t} for WKT output")

@@ -30,11 +30,17 @@ destinations; this class reproduces that surface Spark-first:
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+# reference ``networkanalysis.py:127``: points connect through up to 50
+# candidate nodes when search_factor widens the search (k is clamped to
+# the node count downstream)
+CONNECT_K = 50
 
 from .geomtable import with_length
 from .knn import get_k_nearest_neighbors
@@ -67,11 +73,61 @@ class NetworkAnalysis:
         lines: DataFrame,
         rules: NetworkAnalysisRules | None = None,
         geometry_col: str = "geometry",
+        log: bool = True,
     ):
         self.rules = rules or NetworkAnalysisRules()
         self.geometry_col = geometry_col
         self._raw_lines = lines
         self._prepared = None
+        self.log = log
+        self._log_rows: list[dict] = []
+
+    # ------------------------------------------------------------- log
+    def _log_run(self, method, t0, origins, destinations, result):
+        """Append one run-log row (reference ``networkanalysis.py:1259-
+        1330``: endtime / minutes_elapsed / method / origins_count /
+        destinations_count / percent_missing / cost_mean + the rules)."""
+        if not self.log:
+            return
+        n_o = origins.count() if origins is not None else None
+        n_d = destinations.count() if destinations is not None else None
+        stats = result.agg(
+            F.count(F.lit(1)).alias("_n"),
+            (F.avg("cost") if "cost" in result.columns else F.lit(None)).alias(
+                "_mean"
+            ),
+        ).first()
+        expected = (n_o or 0) * (n_d if n_d is not None else 1)
+        missing = (
+            round(100.0 * (expected - stats["_n"]) / expected, 2)
+            if expected
+            else None
+        )
+        self._log_rows.append(
+            {
+                "endtime": time.strftime("%Y-%m-%d %H:%M:%S"),
+                "minutes_elapsed": round((time.time() - t0) / 60.0, 3),
+                "method": method,
+                "origins_count": n_o,
+                "destinations_count": n_d,
+                "percent_missing": missing,
+                "cost_mean": float(stats["_mean"]) if stats["_mean"] is not None else None,
+                "weight": self.rules.weight,
+                "search_tolerance": self.rules.search_tolerance,
+                "search_factor": self.rules.search_factor,
+                "split_lines": self.rules.split_lines,
+            }
+        )
+
+    def log_df(self, spark) -> DataFrame:
+        """The run log as a DataFrame (empty-safe)."""
+        schema = (
+            "endtime string, minutes_elapsed double, method string, "
+            "origins_count long, destinations_count long, "
+            "percent_missing double, cost_mean double, weight string, "
+            "search_tolerance double, search_factor double, split_lines boolean"
+        )
+        return spark.createDataFrame(self._log_rows, schema)
 
     # ------------------------------------------------------------ prep
     def _edges(self, extra_points: DataFrame | None = None):
@@ -117,7 +173,9 @@ class NetworkAnalysis:
     def _connect(self, points: DataFrame, nodes: DataFrame, id_col: str):
         """(id, node_id) candidate pairs within search_tolerance, widened
         by search_factor around each point's closest node."""
-        k = 8 if self.rules.search_factor > 0 else 1
+        # reference parity: up to 50 candidate nodes per point when the
+        # search widens (get_k_nearest_neighbors clamps k to n_nodes)
+        k = CONNECT_K if self.rules.search_factor > 0 else 1
         nn = get_k_nearest_neighbors(
             points, nodes.withColumnRenamed("x", "px").withColumnRenamed("y", "py"),
             k=k, left_id=id_col, right_id="node_id",
@@ -145,6 +203,7 @@ class NetworkAnalysis:
     ) -> DataFrame:
         """(origin, destination, cost) — min over zero-weight connector
         pairs (reference ``od_cost_matrix``, ``networkanalysis.py:145-418``)."""
+        t0 = time.time()
         pts = origins.select(F.col("x"), F.col("y")).unionByName(
             destinations.select("x", "y")
         )
@@ -166,6 +225,7 @@ class NetworkAnalysis:
                 .filter(F.col("_r") <= destination_count)
                 .drop("_r")
             )
+        self._log_run("od_cost_matrix", t0, origins, destinations, out)
         return out
 
     def _best_nodes(self, points: DataFrame, nodes: DataFrame, id_col: str):
@@ -180,14 +240,17 @@ class NetworkAnalysis:
         )
 
     def get_route(self, origins: DataFrame, destinations: DataFrame) -> DataFrame:
+        t0 = time.time()
         pts = origins.select("x", "y").unionByName(destinations.select("x", "y"))
         edges, nodes = self._edges(pts if self.rules.split_lines else None)
         o = self._best_nodes(origins, nodes, "origin")
         d = self._best_nodes(destinations, nodes, "destination")
-        return _route(
+        out = _route(
             edges.select("source", "target", "_w"), o, d,
             weight_col="_w", origin_id="origin", dest_id="destination",
         )
+        self._log_run("get_route", t0, origins, destinations, out)
+        return out
 
     def get_k_routes(
         self,
@@ -197,34 +260,43 @@ class NetworkAnalysis:
         k: int,
         drop_middle_percent: float,
     ) -> DataFrame:
+        t0 = time.time()
         pts = origins.select("x", "y").unionByName(destinations.select("x", "y"))
         edges, nodes = self._edges(pts if self.rules.split_lines else None)
         o = self._best_nodes(origins, nodes, "origin")
         d = self._best_nodes(destinations, nodes, "destination")
-        return _k_routes(
+        out = _k_routes(
             edges.select("source", "target", "_w"), o, d,
             k=k, drop_middle_percent=drop_middle_percent,
             weight_col="_w", origin_id="origin", dest_id="destination",
         )
+        self._log_run("get_k_routes", t0, origins, destinations, out)
+        return out
 
     def service_area(self, origins: DataFrame, breaks: list[float]) -> DataFrame:
+        t0 = time.time()
         edges, nodes = self._edges(
             origins.select("x", "y") if self.rules.split_lines else None
         )
         o = self._best_nodes(origins, nodes, "origin")
-        return _sa(
+        out = _sa(
             edges.select("source", "target", "_w"), o, breaks,
             weight_col="_w", origin_id="origin",
         )
+        self._log_run("service_area", t0, origins, None, out)
+        return out
 
     def precice_service_area(
         self, origins: DataFrame, breaks: list[float]
     ) -> DataFrame:
+        t0 = time.time()
         edges, nodes = self._edges(
             origins.select("x", "y") if self.rules.split_lines else None
         )
         o = self._best_nodes(origins, nodes, "origin")
-        return _psa(
+        out = _psa(
             edges.select("source", "target", "_w", self.geometry_col), o, breaks,
             weight_col="_w", origin_id="origin", geometry_col=self.geometry_col,
         )
+        self._log_run("precice_service_area", t0, origins, None, out)
+        return out

@@ -158,8 +158,13 @@ def clean_overlay(
     left_id: str | None = None,
     right_id: str | None = None,
     add_area: bool = False,
+    grid_size: float | None = None,
 ) -> DataFrame:
     """Distributed polygon overlay (reference ``overlay.py:31-151``).
+
+    ``grid_size``: precision quantum forwarded to the boolean kernel
+    (reference ``overlay.py:58-60``) — vertices within ``grid_size``
+    merge and result slivers below ``grid_size**2`` are dropped.
 
     ``add_area`` (intersection only): emit an ``area`` column computed
     inside the same kernel batch — the parts are already decoded there, so
@@ -189,23 +194,23 @@ def clean_overlay(
     }
 
     if how == "intersection":
-        return _intersection(df1, df2, geometry_col, lmap, rmap, res, add_area)
+        return _intersection(df1, df2, geometry_col, lmap, rmap, res, add_area, grid_size)
     if how == "difference":
-        return _difference(df1, df2, geometry_col, lmap, res, left_id)
+        return _difference(df1, df2, geometry_col, lmap, res, left_id, grid_size)
     if how == "symmetric_difference":
-        return _symdiff(df1, df2, geometry_col, lmap, rmap, res, left_id, right_id)
+        return _symdiff(df1, df2, geometry_col, lmap, rmap, res, left_id, right_id, grid_size)
     if how == "union":
-        inter = _intersection(df1, df2, geometry_col, lmap, rmap, res)
-        sym = _symdiff(df1, df2, geometry_col, lmap, rmap, res, left_id, right_id)
+        inter = _intersection(df1, df2, geometry_col, lmap, rmap, res, grid_size=grid_size)
+        sym = _symdiff(df1, df2, geometry_col, lmap, rmap, res, left_id, right_id, grid_size)
         return inter.unionByName(sym)
     if how == "identity":
-        inter = _intersection(df1, df2, geometry_col, lmap, rmap, res)
-        diff = _difference(df1, df2, geometry_col, lmap, res, left_id)
+        inter = _intersection(df1, df2, geometry_col, lmap, rmap, res, grid_size=grid_size)
+        diff = _difference(df1, df2, geometry_col, lmap, res, left_id, grid_size)
         for c, dt in rtypes.items():
             diff = diff.withColumn(c, typed_null(dt))
         return inter.unionByName(diff.select(*inter.columns))
     # update = difference(df1, df2) + df2 rows (overlay.py:260-263)
-    diff = _difference(df1, df2, geometry_col, lmap, res, left_id)
+    diff = _difference(df1, df2, geometry_col, lmap, res, left_id, grid_size)
     d2 = df2.select(
         *[
             F.col(c).alias(lmap.get(c, c))
@@ -289,7 +294,7 @@ def _box_ring(x0, y0, x1, y1) -> np.ndarray:
     )
 
 
-def _intersection(df1, df2, geometry_col, lmap, rmap, res, add_area=False) -> DataFrame:
+def _intersection(df1, df2, geometry_col, lmap, rmap, res, add_area=False, grid_size=None) -> DataFrame:
     pairs, _ = candidate_pairs(df1, df2, geometry_col, res)
     # parallelism comes from candidate_pairs' pre-explode repartition of
     # the left side; a second repartition here would re-shuffle every
@@ -328,6 +333,11 @@ def _intersection(df1, df2, geometry_col, lmap, rmap, res, add_area=False) -> Da
             ix1 = np.minimum(ax1_u[acodes], bx1_u[bcodes])
             iy1 = np.minimum(ay1_u[acodes], by1_u[bcodes])
             fast = both & (ix0 < ix1) & (iy0 < iy1)
+            if grid_size is not None:
+                # mirror the kernel's vertex quantum: a box whose width
+                # or height is below grid_size has its opposite edges
+                # share a connectivity key and degenerates to nothing
+                fast &= (ix1 - ix0 >= grid_size) & (iy1 - iy0 >= grid_size)
             keep, geoms, areas = [], [], []
             for i in np.flatnonzero(fast):
                 keep.append(i)
@@ -338,7 +348,8 @@ def _intersection(df1, df2, geometry_col, lmap, rmap, res, add_area=False) -> Da
                     areas.append((ix1[i] - ix0[i]) * (iy1[i] - iy0[i]))
             for i in np.flatnonzero(~both):
                 out = overlay_parts(
-                    [ga.geom_parts(acodes[i])], [gb.geom_parts(bcodes[i])], "intersection"
+                    [ga.geom_parts(acodes[i])], [gb.geom_parts(bcodes[i])],
+                    "intersection", grid_size=grid_size,
                 )
                 if out:
                     keep.append(i)
@@ -357,7 +368,7 @@ def _intersection(df1, df2, geometry_col, lmap, rmap, res, add_area=False) -> Da
     return pairs.mapInPandas(kernel, schema=schema)
 
 
-def _difference(df1, df2, geometry_col, lmap, res, left_id=None) -> DataFrame:
+def _difference(df1, df2, geometry_col, lmap, res, left_id=None, grid_size=None) -> DataFrame:
     """df1 minus union of intersecting df2 (groupby-left, reference
     ``overlay.py:338-345``); lefts with no candidates pass through."""
     d1, _ = _with_left_id(df1, left_id)
@@ -373,7 +384,7 @@ def _difference(df1, df2, geometry_col, lmap, res, left_id=None) -> DataFrame:
         gb = _decode_col(pdf, gr)
         left_parts = ga.geom_parts(0)
         rights = [gb.geom_parts(i) for i in range(len(pdf))]
-        out = overlay_parts([left_parts], rights, "difference")
+        out = overlay_parts([left_parts], rights, "difference", grid_size=grid_size)
         row = pdf.iloc[: 1 if out else 0][lcols].copy()
         row.columns = [lmap[c] for c in lcols]
         row["geometry"] = (
@@ -395,11 +406,11 @@ def _difference(df1, df2, geometry_col, lmap, res, left_id=None) -> DataFrame:
     return diffed.unionByName(untouched)
 
 
-def _symdiff(df1, df2, geometry_col, lmap, rmap, res, left_id=None, right_id=None) -> DataFrame:
+def _symdiff(df1, df2, geometry_col, lmap, rmap, res, left_id=None, right_id=None, grid_size=None) -> DataFrame:
     """(df1 − df2) ∪ (df2 − df1), with the other side's columns null —
     reference ``overlay.py:320-335`` + ``:388-396``."""
-    left = _difference(df1, df2, geometry_col, lmap, res, left_id)
-    right = _difference(df2, df1, geometry_col, dict(rmap), res, right_id)
+    left = _difference(df1, df2, geometry_col, lmap, res, left_id, grid_size)
+    right = _difference(df2, df1, geometry_col, dict(rmap), res, right_id, grid_size)
     rtypes = {
         rmap[f.name]: f.dataType
         for f in df2.schema.fields

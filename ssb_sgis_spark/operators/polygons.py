@@ -147,6 +147,128 @@ def to_lines(df: DataFrame, geometry_col: str = "geometry") -> DataFrame:
     return df.mapInPandas(kernel, schema=schema)
 
 
+def to_lines_split(*dfs: DataFrame, geometry_col: str = "geometry") -> DataFrame:
+    """Cross-frame ``to_lines`` (reference ``general.py:402-510``): every
+    input frame's geometries become boundary lines, and each line is
+    SPLIT at its intersections with lines from the OTHER frames (ArcGIS
+    "feature to line").  Output carries the union of all frames' columns
+    (other frames' columns null per row), one row per split piece.
+
+    Physical plan: per-frame boundary extraction (:func:`to_lines`) →
+    union with a frame tag → cell-exploded candidate self-join filtered
+    to cross-frame pairs → one grouped Arrow kernel per left line that
+    computes all segment×segment intersection parameters vectorized and
+    re-emits the split polyline pieces.  Lines with no cross-frame
+    candidates pass through untouched (anti-join, no Python)."""
+    from ..kernels.boolean import _seg_intersections
+    from .geomtable import make_all_singlepart
+    from .overlay import candidate_pairs
+
+    if not dfs:
+        raise ValueError("to_lines_split needs at least one frame")
+    if len(dfs) == 1:
+        return to_lines(dfs[0], geometry_col)
+
+    spark = dfs[0].sparkSession
+    tagged = []
+    for i, df in enumerate(dfs):
+        tagged.append(to_lines(df, geometry_col).withColumn("_frame", F.lit(i)))
+    u = tagged[0]
+    for t in tagged[1:]:
+        u = u.unionByName(t, allowMissingColumns=True)
+    u = u.withColumn("_lineid", F.monotonically_increasing_id()).localCheckpoint()
+
+    attr_cols = [c for c in u.columns if c not in (geometry_col, "_lineid")]
+    pairs, _ = candidate_pairs(
+        u.select("_lineid", "_frame", *[c for c in attr_cols if c != "_frame"],
+                 geometry_col),
+        u.select("_lineid", "_frame", geometry_col),
+        geometry_col,
+    )
+    pairs = pairs.filter(F.col("_frame") != F.col("_frame__r")).select(
+        "_lineid", *[c for c in attr_cols if c != "_frame"], "_frame",
+        geometry_col, F.col(geometry_col + "__r").alias("_rgeom"),
+    )
+
+    out_schema = T.StructType(
+        [u.schema[c] for c in attr_cols] + [T.StructField(geometry_col, T.BinaryType())]
+    )
+
+    def split_kernel(key, pdf):
+        left = wkb.decode([pdf[geometry_col].iloc[0]])
+        lines = [r for part in left.geom_parts(0) for r in part]
+        rga = wkb.decode(pdf["_rgeom"].tolist())
+        rsegs = []
+        for g in range(len(rga)):
+            for part in rga.geom_parts(g):
+                for r in part:
+                    if len(r) >= 2:
+                        rsegs.append(r)
+        if rsegs:
+            rx1 = np.concatenate([r[:-1, 0] for r in rsegs])
+            ry1 = np.concatenate([r[:-1, 1] for r in rsegs])
+            rx2 = np.concatenate([r[1:, 0] for r in rsegs])
+            ry2 = np.concatenate([r[1:, 1] for r in rsegs])
+        else:
+            rx1 = ry1 = rx2 = ry2 = np.empty(0)
+        pieces = []
+        for pl in lines:
+            n = len(pl) - 1
+            if n < 1:
+                continue
+            cuts: dict[int, list[float]] = {}
+            vcuts: set[int] = set()
+            m = len(rx1)
+            if m and n:
+                ii = np.repeat(np.arange(n), m)
+                jj = np.tile(np.arange(m), n)
+                ta, tb, ca, ca2, cb, cb2 = _seg_intersections(
+                    pl[:-1, 0][ii], pl[:-1, 1][ii], pl[1:, 0][ii], pl[1:, 1][ii],
+                    rx1[jj], ry1[jj], rx2[jj], ry2[jj],
+                )
+                for arr in (ta, ca, ca2):
+                    valid = ~np.isnan(arr)
+                    hit = valid & (arr > 1e-12) & (arr < 1 - 1e-12)
+                    for k in np.flatnonzero(hit):
+                        cuts.setdefault(int(ii[k]), []).append(float(arr[k]))
+                    # intersections landing ON an interior vertex still
+                    # split the line there (ArcGIS feature-to-line)
+                    for k in np.flatnonzero(valid & (arr <= 1e-12)):
+                        vcuts.add(int(ii[k]))
+                    for k in np.flatnonzero(valid & (arr >= 1 - 1e-12)):
+                        vcuts.add(int(ii[k]) + 1)
+            vcuts.discard(0)
+            vcuts.discard(n)
+            # assemble pieces: walk vertices, breaking at each cut point
+            cur = [pl[0]]
+            for s in range(n):
+                a, b = pl[s], pl[s + 1]
+                for t in sorted(set(cuts.get(s, []))):
+                    p = a + (b - a) * t
+                    cur.append(p)
+                    pieces.append(np.array(cur))
+                    cur = [p]
+                cur.append(b)
+                if (s + 1) in vcuts:
+                    pieces.append(np.array(cur))
+                    cur = [b]
+            if len(cur) >= 2:
+                pieces.append(np.array(cur))
+        rows = pdf.iloc[[0] * len(pieces)][attr_cols].copy()
+        rows[geometry_col] = [wkb.encode_linestring(p) for p in pieces]
+        return rows
+
+    split = (
+        pairs.groupBy("_lineid").applyInPandas(split_kernel, schema=out_schema)
+    )
+    untouched = u.join(
+        pairs.select("_lineid").distinct(), "_lineid", "left_anti"
+    ).select(*attr_cols, geometry_col)
+    return make_all_singlepart(
+        split.unionByName(untouched), geometry_col
+    )
+
+
 def bounds_to_points(df: DataFrame, geometry_col: str = "geometry") -> DataFrame:
     """Per-row bbox corners as a MultiPoint (reference ``bounds.py:411-439``)."""
 

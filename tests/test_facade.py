@@ -40,6 +40,49 @@ def test_network_analysis_facade_od(spark):
     route = na.get_route(orig, dest).collect()
     assert len(route) == abs(7 - 2) + abs(9 - 3)  # unit edges
 
+    # run log (reference networkanalysis.py:1259-1330): one row per run
+    # with method, elapsed, counts, percent_missing and the rules
+    log = na.log_df(spark).collect()
+    assert [r["method"] for r in log] == ["od_cost_matrix", "get_route"]
+    od_row = log[0]
+    assert od_row["origins_count"] == 1 and od_row["destinations_count"] == 1
+    assert od_row["percent_missing"] == 0.0
+    assert od_row["cost_mean"] == pytest.approx(abs(7 - 2) + abs(9 - 3))
+    assert od_row["weight"] == "wt" and od_row["search_tolerance"] == 500.0
+    assert od_row["minutes_elapsed"] >= 0.0
+
+
+def test_network_analysis_search_factor_k50(spark):
+    """search_factor > 0 widens the connector search to up to 50
+    candidate nodes (reference networkanalysis.py:127) — on a lattice,
+    a point equidistant-ish from several nodes must still route through
+    the cheapest connector pair, not just its single nearest node."""
+    from ssb_sgis_spark.operators.networkanalysis import (
+        CONNECT_K,
+        NetworkAnalysis,
+        NetworkAnalysisRules,
+    )
+
+    assert CONNECT_K == 50
+    lines = roads_df(spark).withColumn("wt", F.lit(1.0))
+    na = NetworkAnalysis(
+        lines,
+        NetworkAnalysisRules(weight="wt", search_tolerance=500.0, search_factor=50.0),
+        log=False,
+    )
+    ox, oy = node_xy(2, 3)
+    dx, dy = node_xy(4, 3)
+    orig = spark.createDataFrame(
+        [(0, ox + 10.0, oy + 10.0)], "origin long, x double, y double"
+    )
+    dest = spark.createDataFrame(
+        [(1, dx - 10.0, dy - 10.0)], "destination long, x double, y double"
+    )
+    got = na.od_cost_matrix(orig, dest).collect()
+    assert len(got) == 1
+    # zero-weight connectors: min over candidate pairs = Manhattan cost
+    assert got[0]["cost"] == pytest.approx(2.0)
+
 
 def test_network_analysis_weight_validation(spark):
     from ssb_sgis_spark.operators.networkanalysis import (

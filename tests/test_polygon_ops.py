@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 
 from ssb_sgis_spark.kernels import wkb
 from ssb_sgis_spark.kernels.boolean import polygon_area
+from ssb_sgis_spark.kernels.geom import length as geom_length
 from ssb_sgis_spark.operators.clip import (
     clean_clip,
     get_gaps,
@@ -346,3 +347,65 @@ def test_get_rough_centerlines_sliver(spark):
     assert np.all(np.abs(coords[:, 1] - (OY + 2.0)) <= 2.0)  # near the midline
     span = coords[:, 0].max() - coords[:, 0].min()
     assert span >= 80  # runs along the sliver
+
+
+def test_to_lines_split_cross_frame(spark):
+    """Reference general.py:402-510 docstring example: two overlapping
+    boxes -> 6 split line pieces (3 per frame), total length = both
+    perimeters, each frame's rows carrying only its own column."""
+    from ssb_sgis_spark.operators.polygons import to_lines_split
+
+    p1 = spark.createDataFrame(
+        [(1, bytearray(wkb.encode_polygon([box_ring(OX, OY, OX + 1, OY + 1)])))],
+        "poly1 long, geometry binary",
+    )
+    p2 = spark.createDataFrame(
+        [(1, bytearray(wkb.encode_polygon([box_ring(OX + 0.5, OY + 0.5, OX + 1.5, OY + 1.5)])))],
+        "poly2 long, geometry binary",
+    )
+    rows = to_lines_split(p1, p2).collect()
+    assert len(rows) == 6
+    n1 = sum(1 for r in rows if r["poly1"] is not None)
+    n2 = sum(1 for r in rows if r["poly2"] is not None)
+    assert n1 == 3 and n2 == 3
+    assert all((r["poly1"] is None) != (r["poly2"] is None) for r in rows)
+    ga = wkb.decode([r["geometry"] for r in rows])
+    total = float(np.sum(geom_length(ga)))
+    assert total == pytest.approx(8.0)  # 2 box perimeters, nothing lost
+    # split points are at the crossing coordinates
+    verts = {tuple(v) for i in range(len(ga)) for v in ga.geom_rings(i)[0][[0, -1]]}
+    assert (OX + 0.5, OY + 1.0) in verts and (OX + 1.0, OY + 0.5) in verts
+
+
+def test_to_lines_split_single_frame_passthrough(spark):
+    from ssb_sgis_spark.operators.polygons import to_lines, to_lines_split
+
+    p1 = spark.createDataFrame(
+        [(1, bytearray(wkb.encode_polygon([box_ring(OX, OY, OX + 1, OY + 1)])))],
+        "poly1 long, geometry binary",
+    )
+    a = to_lines_split(p1).collect()
+    b = to_lines(p1).collect()
+    assert [bytes(r["geometry"]) for r in a] == [bytes(r["geometry"]) for r in b]
+
+
+def test_overlay_grid_size_collapses_slivers(spark):
+    """grid_size plumb-through (reference overlay.py:58-60): a 1e-6-wide
+    overlap survives the default quantum but collapses at grid_size=1e-3."""
+    from ssb_sgis_spark.operators.overlay import clean_overlay
+
+    a = spark.createDataFrame(
+        [(0, bytearray(wkb.encode_polygon([box_ring(OX, OY, OX + 10, OY + 10)])))],
+        "aid long, geometry binary",
+    )
+    # right box overlaps the left by exactly 1e-4 in x
+    b = spark.createDataFrame(
+        [(0, bytearray(wkb.encode_polygon([box_ring(OX + 10 - 1e-4, OY, OX + 20, OY + 10)])))],
+        "bid long, geometry binary",
+    )
+    dflt = clean_overlay(a, b, "intersection", add_area=True).collect()
+    assert len(dflt) == 1 and dflt[0]["area"] == pytest.approx(1e-3, rel=1e-3)
+    coarse = clean_overlay(
+        a, b, "intersection", add_area=True, grid_size=1e-2
+    ).collect()
+    assert coarse == []
