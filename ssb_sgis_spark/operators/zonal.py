@@ -31,11 +31,19 @@ def zonal_stats(
     tiles: DataFrame,
     key_col: str = "muni_id",
     geometry_col: str = "geometry",
+    x0: float = RZ_X0,
+    y0: float = RZ_Y0,
+    cell: float = CELL,
+    tile: int = TILE,
 ) -> DataFrame:
     """Per-polygon (n_cells, value_sum, value_min, value_max) over the
     tiled integer raster.  The polygon side is collected + broadcast
     (thousands of rows, same stance as the PIP join); the tile side is
-    the distributed one."""
+    the distributed one.
+
+    ``x0/y0/cell/tile`` parameterize the grid georeferencing so
+    file-backed rasters (:mod:`..sources.geotiff`) reuse the same
+    kernel; defaults are the synthetic tile source's constants."""
     spark = polygons.sparkSession
     rows = polygons.select(key_col, geometry_col).collect()
     keys = [r[0] for r in rows]
@@ -68,16 +76,20 @@ def zonal_stats(
     def kernel(it):
         for pdf in it:
             out = {key_col: [], "n_cells": [], "value_sum": [], "value_min": [], "value_max": []}
+            # file-backed frames (sources/geotiff.py) carry explicit cell
+            # origins so edge blocks of any height stay grid-exact; the
+            # synthetic source derives them from the tile index
+            has_origin = "ix0" in pdf.columns and "iy0" in pdf.columns
             for _, row in pdf.iterrows():
-                ix0 = row["tile_ix"] * TILE
-                iy0 = row["tile_iy"] * TILE
+                ix0 = int(row["ix0"]) if has_origin else row["tile_ix"] * tile
+                iy0 = int(row["iy0"]) if has_origin else row["tile_iy"] * tile
                 nx, ny = row["nx"], row["ny"]
                 vals = np.frombuffer(bytes(row["payload"]), dtype="<i4").reshape(ny, nx)
                 gx, gy = np.meshgrid(
                     np.arange(ix0, ix0 + nx), np.arange(iy0, iy0 + ny), indexing="xy"
                 )
-                cx = RZ_X0 + (gx + 0.5) * CELL
-                cy = RZ_Y0 + (gy + 0.5) * CELL
+                cx = x0 + (gx + 0.5) * cell
+                cy = y0 + (gy + 0.5) * cell
                 tx0, ty0 = cx.min(), cy.min()
                 tx1, ty1 = cx.max(), cy.max()
                 for key, bb, edges in bc.value:
@@ -86,10 +98,10 @@ def zonal_stats(
                     # clip the PIP test to the polygon's bbox window — the
                     # ray cast then runs on the overlap cells only, not the
                     # whole tile per polygon
-                    jx0 = max(int((bb[0] - RZ_X0) / CELL) - ix0, 0)
-                    jx1 = min(int((bb[2] - RZ_X0) / CELL) - ix0 + 2, nx)
-                    jy0 = max(int((bb[1] - RZ_Y0) / CELL) - iy0, 0)
-                    jy1 = min(int((bb[3] - RZ_Y0) / CELL) - iy0 + 2, ny)
+                    jx0 = max(int((bb[0] - x0) / cell) - ix0, 0)
+                    jx1 = min(int((bb[2] - x0) / cell) - ix0 + 2, nx)
+                    jy0 = max(int((bb[1] - y0) / cell) - iy0, 0)
+                    jy1 = min(int((bb[3] - y0) / cell) - iy0 + 2, ny)
                     if jx0 >= jx1 or jy0 >= jy1:
                         continue
                     wx = cx[jy0:jy1, jx0:jx1].ravel()
