@@ -30,7 +30,13 @@ from ssb_sgis_spark.functions.text import (
     token_count_col,
     token_count_sql,
 )
-from ssb_sgis_spark.operators.ann import ann_lsh_topk, cosine_topk, cosine_topk_sql
+from ssb_sgis_spark.operators.ann import (
+    ann_lsh_topk,
+    cosine_pairs,
+    cosine_pairs_sql,
+    cosine_topk,
+    cosine_topk_sql,
+)
 from ssb_sgis_spark.operators.clusters import cluster_points_within_distance
 from ssb_sgis_spark.operators.dedup import (
     dedupe_exact,
@@ -240,6 +246,7 @@ def q_buffdissexp_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ANN_K = 5
 ANN_QUERY_MOD = 20
+COSINE_PAIR_TAU = 0.3  # 990 pairs at sf0.01; nearest cosine 6.9e-5 away
 OD_ORIGIN_MOD = 999  # odd: uid = 8*orderkey+linenumber is never 0 mod 8
 OD_DEST_MOD = 1301
 SA_ORIGIN_MOD = 1999
@@ -328,6 +335,17 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), "embedding"
     )
     return ann_lsh_topk(queries, emb, ANN_K, corpus_id="vec_id")
+
+
+def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT embedding-cosine near-duplicate pairs (blocked all-pairs
+    matmul, no cross join, no driver collect — `operators/ann.py`
+    cosine_pairs).  cos rounded to 6 dp on both sides: BLAS vs
+    sequential summation differ in the last ulp."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_pairs(emb, COSINE_PAIR_TAU).select(
+        "a_id", "b_id", F.round(F.col("cos"), 6).alias("cos")
+    )
 
 
 def q_od_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -537,6 +555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": q_doc_stats,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
+        "cosine_pairs": q_cosine_pairs,
         "od_cost": q_od_cost,
         "service_area": q_service_area,
         "network_components": q_network_components,
@@ -659,6 +678,7 @@ def oracle_sql() -> dict[str, str]:
             ANN_K,
             corpus_id="vec_id",
         ),
+        "cosine_pairs": cosine_pairs_sql("embeddings", COSINE_PAIR_TAU),
         "od_cost": f"""
             WITH o AS ({origins_sql(OD_ORIGIN_MOD, 'origin')}),
                  d AS ({origins_sql(OD_DEST_MOD, 'destination')})

@@ -101,6 +101,140 @@ def cosine_topk_sql(
     """
 
 
+def cosine_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 4,
+) -> DataFrame:
+    """EXACT embedding-cosine near-duplicate pairs: every (a, b) with
+    ``a < b`` and ``cos(a, b) >= threshold``.
+
+    Scale shape — blocked all-pairs, no cross join, no driver collect:
+    each row hashes to one of ``n_blocks`` blocks; a row is shipped to
+    every block-PAIR it participates in (explode, ~n_blocks copies), the
+    pairs groupBy brings block i and block j together, and one Arrow
+    kernel computes the full (Bi x Bj) normalized matmul per group and
+    emits only the over-threshold entries.  Work is O(n^2 / n_blocks^2)
+    per task with n_blocks^2/2 tasks — the standard distributed exact
+    all-pairs layout; raise ``n_blocks`` with corpus size so each block
+    fits an executor's memory.  For 10^12-row corpora use
+    :func:`cosine_pairs_lsh` (candidates only where hashes collide).
+    """
+    nb = int(n_blocks)
+    v = vectors.select(
+        F.col(id_col).alias("_vid"), _as_double(F.col(vec_col)).alias("_v")
+    ).withColumn("_blk", F.pmod(F.xxhash64(F.col("_vid")), F.lit(nb)).cast("int"))
+    # row with block b -> left side of (b, j>=b) and right side of (i<b, b);
+    # the diagonal (b, b) gets the row ONCE (side=left) and self-joins
+    left = v.withColumn(
+        "_bj", F.explode(F.sequence(F.col("_blk"), F.lit(nb - 1)))
+    ).select(F.col("_blk").alias("_bi"), "_bj", F.lit(0).alias("_side"), "_vid", "_v")
+    right = v.filter(F.lit(nb) > 1).withColumn(
+        "_bi", F.explode(F.sequence(F.lit(0), F.col("_blk") - 1))
+    ).select("_bi", F.col("_blk").alias("_bj"), F.lit(1).alias("_side"), "_vid", "_v")
+    both = left.unionByName(right)
+
+    thr = float(threshold)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        diag = pdf["_bi"].iloc[0] == pdf["_bj"].iloc[0]
+        a = pdf[pdf["_side"] == 0]
+        b = a if diag else pdf[pdf["_side"] == 1]
+        if not len(a) or not len(b):
+            return pd.DataFrame({"a_id": [], "b_id": [], "cos": []})
+        ma = np.vstack(a["_v"].to_numpy())
+        mb = ma if diag else np.vstack(b["_v"].to_numpy())
+        ma_n = ma / np.linalg.norm(ma, axis=1, keepdims=True)
+        mb_n = ma_n if diag else mb / np.linalg.norm(mb, axis=1, keepdims=True)
+        cos = ma_n @ mb_n.T
+        ia, ib = np.nonzero(cos >= thr)
+        aid = a["_vid"].to_numpy()[ia]
+        bid = b["_vid"].to_numpy()[ib]
+        if diag:
+            # matrix holds both (i,j) and (j,i): keep one, drop self-pairs
+            keep = aid < bid
+            lo, hi, cv = aid[keep], bid[keep], cos[ia[keep], ib[keep]]
+        else:
+            # each unordered cross-block pair appears exactly once, but
+            # hash blocks don't respect id order — normalize, don't filter
+            lo, hi = np.minimum(aid, bid), np.maximum(aid, bid)
+            cv = cos[ia, ib]
+        return pd.DataFrame({"a_id": lo, "b_id": hi, "cos": cv})
+
+    return both.groupBy("_bi", "_bj").applyInPandas(
+        kernel, schema="a_id long, b_id long, cos double"
+    )
+
+
+def cosine_pairs_sql(
+    rel: str, threshold: float, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> str:
+    """DuckDB mirror of :func:`cosine_pairs` (brute cross join).  The
+    emitted ``cos`` is rounded to 6 dp on BOTH sides: BLAS matmul and
+    DuckDB's sequential list_dot_product can differ in the last ulp."""
+    return f"""
+    SELECT a_id, b_id, round(cos, 6) AS cos FROM (
+      SELECT a.{id_col} AS a_id, b.{id_col} AS b_id,
+             list_dot_product(CAST(a.{vec_col} AS DOUBLE[]), CAST(b.{vec_col} AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(a.{vec_col} AS DOUBLE[]), CAST(a.{vec_col} AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(b.{vec_col} AS DOUBLE[]), CAST(b.{vec_col} AS DOUBLE[]))))
+             AS cos
+      FROM {rel} a JOIN {rel} b ON a.{id_col} < b.{id_col}
+    ) WHERE cos >= {threshold}
+    """
+
+
+def cosine_pairs_lsh(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    dim: int = 64,
+    seed: int = 7,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """Approximate cosine near-dup pairs: candidates only where LSH
+    buckets collide (direct or 1-bit multiprobe), exact cosine rescore.
+    Same contract as MinHash near_dup: recall < 1 by design, cost
+    ~n * bucket_size instead of n^2."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket = _bucket_udf(planes)
+    v = vectors.select(
+        F.col(id_col).alias("_vid"), _as_double(F.col(vec_col)).alias("_v")
+    ).withColumn("_b0", bucket(F.col("_v")))
+    probes = F.array(
+        F.col("_b0"), *[F.col("_b0").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+    ) if multiprobe >= 1 else F.array(F.col("_b0"))
+    a = v.withColumn("_bucket", F.explode(probes))
+    b = v.withColumnRenamed("_vid", "_wid").withColumnRenamed("_v", "_w").withColumnRenamed(
+        "_b0", "_bucket"
+    )
+
+    @F.pandas_udf("double")
+    def _cos_batch(x: pd.Series, y: pd.Series) -> pd.Series:
+        mx = np.vstack(x.to_numpy())
+        my = np.vstack(y.to_numpy())
+        num = np.einsum("ij,ij->i", mx, my)
+        den = np.sqrt(np.einsum("ij,ij->i", mx, mx)) * np.sqrt(
+            np.einsum("ij,ij->i", my, my)
+        )
+        return pd.Series(num / den)
+
+    cand = (
+        a.join(b, "_bucket")
+        .filter(F.col("_vid") < F.col("_wid"))
+        .dropDuplicates(["_vid", "_wid"])
+    )
+    return (
+        cand.withColumn("cos", _cos_batch(F.col("_v"), F.col("_w")))
+        .filter(F.col("cos") >= threshold)
+        .select(F.col("_vid").alias("a_id"), F.col("_wid").alias("b_id"), "cos")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.randn(n_planes, dim)

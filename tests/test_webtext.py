@@ -62,3 +62,44 @@ def test_extract_text_byte_identical(spark):
     for r in rows:
         assert r["extracted_text"] == r["text"]
         assert extract_text_from_html(r["html"]) == r["text"]
+
+
+def test_cosine_pairs_exact_blocked_vs_brute(spark):
+    """cosine_pairs (blocked all-pairs matmul) == brute-force numpy pairs,
+    including across-block and diagonal-block pairs."""
+    import numpy as np
+
+    from ssb_sgis_spark.operators.ann import cosine_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = emb.collect()
+    m = np.vstack([np.array(r["embedding"], dtype=np.float64) for r in rows])
+    ids = np.array([r["vec_id"] for r in rows])
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cos = mn @ mn.T
+    tau = 0.3
+    ia, ib = np.nonzero(np.triu(cos >= tau, k=1))
+    expect = {
+        (min(ids[i], ids[j]), max(ids[i], ids[j])) for i, j in zip(ia, ib)
+    }
+    got_rows = cosine_pairs(emb, tau, n_blocks=3).collect()
+    got = {(r["a_id"], r["b_id"]) for r in got_rows}
+    assert len(got_rows) == len(got)  # no duplicate pairs
+    assert got == expect and len(expect) > 0
+    # cosine values match the brute computation
+    lookup = {(ids[i], ids[j]): cos[i, j] for i, j in zip(ia, ib)}
+    lookup.update({(ids[j], ids[i]): cos[i, j] for i, j in zip(ia, ib)})
+    for r in got_rows:
+        assert abs(r["cos"] - lookup[(r["a_id"], r["b_id"])]) < 1e-9
+
+
+def test_cosine_pairs_lsh_recall(spark):
+    from ssb_sgis_spark.operators.ann import cosine_pairs, cosine_pairs_lsh
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {(r["a_id"], r["b_id"]) for r in cosine_pairs(emb, 0.3).collect()}
+    approx_rows = cosine_pairs_lsh(emb, 0.3, n_planes=4).collect()
+    approx = {(r["a_id"], r["b_id"]) for r in approx_rows}
+    assert len(approx_rows) == len(approx)  # multiprobe must not duplicate
+    assert approx <= exact  # rescoring is exact -> no false positives
+    assert len(approx & exact) / len(exact) > 0.3
