@@ -54,7 +54,11 @@ from ssb_sgis_spark.operators.network import (
     od_cost_matrix,
     service_area_nodes,
 )
-from ssb_sgis_spark.operators.raster_ops import raster_gradient, rasterize_polygons
+from ssb_sgis_spark.operators.raster_ops import (
+    raster_gradient,
+    rasterize_cells_df,
+    rasterize_polygons,
+)
 from ssb_sgis_spark.operators.skew import salted_agg
 from ssb_sgis_spark.operators.textops import extract_text
 from ssb_sgis_spark.operators.zonal import zonal_stats
@@ -451,38 +455,12 @@ def q_rasterize_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     polys = muni_df(spark).orderBy("muni_id").select(
         F.col("muni_id").cast("int").alias("val"), "geometry"
     )
-    tiles = rasterize_polygons(
+    # fused burn+explode: one Python stage (rasterize_cells_df) instead of
+    # the rasterize -> decode -> explode chain
+    return rasterize_cells_df(
         polys, "val", CELL, RZ_X0, RZ_Y0, ncx=NCX, ncy=NCY, tile=64,
         fill=RZ_VAL_FILL,
     )
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
-
-    schema = T.StructType(
-        [
-            T.StructField("ix", T.LongType()),
-            T.StructField("iy", T.LongType()),
-            T.StructField("value", T.LongType()),
-        ]
-    )
-
-    def cells(it):
-        for pdf in it:
-            for _, row in pdf.iterrows():
-                vals = np.frombuffer(bytes(row["payload"]), dtype="<i4").reshape(
-                    row["ny"], row["nx"]
-                )
-                jy, jx = np.nonzero(vals != RZ_VAL_FILL)
-                yield pd.DataFrame(
-                    {
-                        "ix": jx + row["tile_ix"] * 64,
-                        "iy": jy + row["tile_iy"] * 64,
-                        "value": vals[jy, jx].astype(np.int64),
-                    }
-                )
-
-    return tiles.mapInPandas(cells, schema=schema)
 
 
 def q_gradient_cells(spark: SparkSession, sf_dir: str) -> DataFrame:

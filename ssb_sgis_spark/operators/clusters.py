@@ -167,16 +167,15 @@ def connected_components(
     labels = labels.localCheckpoint(eager=True)
     sym = sym.localCheckpoint(eager=True)
 
-    prev_fp = None
-    for _ in range(max_iter):
+    def step(lbls):
         # neighbor min
         nbr_min = (
-            sym.join(labels, sym["b"] == labels["v"])
+            sym.join(lbls, sym["b"] == lbls["v"])
             .groupBy("a")
             .agg(F.min("lbl").alias("nlbl"))
         )
         new = (
-            labels.join(nbr_min, labels["v"] == nbr_min["a"], "left")
+            lbls.join(nbr_min, lbls["v"] == nbr_min["a"], "left")
             .select(
                 F.col("v"),
                 F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias(
@@ -186,11 +185,18 @@ def connected_components(
         )
         # pointer jumping: lbl <- lbl(lbl)
         l2 = new.selectExpr("v as v2", "lbl as lbl2")
-        jumped = (
+        return (
             new.join(l2, new["lbl"] == l2["v2"], "left")
             .select(F.col("v"), F.coalesce(F.col("lbl2"), F.col("lbl")).alias("lbl"))
         )
-        jumped = jumped.localCheckpoint(eager=True)
+
+    prev_fp = None
+    for _ in range(max_iter):
+        # TWO propagation steps per checkpoint/fingerprint: the per-round
+        # fixed costs (eager checkpoint + driver agg = 2 actions) dominate
+        # the per-step shuffles until the graph is huge, and a step past
+        # convergence is a no-op, so halving the rounds is semantics-free
+        jumped = step(step(labels)).localCheckpoint(eager=True)
         # convergence fingerprint: sum of label hashes — type-agnostic
         # (works for string ids too; a decimal cast would NULL them and
         # stop after one round) and carried across rounds so each round

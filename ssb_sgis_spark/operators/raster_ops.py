@@ -47,6 +47,110 @@ def _decode_payload(row, dtype="<i4") -> np.ndarray:
     )
 
 
+def _collect_poly_edges(polygons: DataFrame, value_col: str, geometry_col: str):
+    """Driver-side (value, bbox, edge-arrays) list for broadcast — the
+    polygon side of a rasterize is the small side by design."""
+    rows = polygons.select(value_col, geometry_col).collect()
+    ga = wkb.decode([r[geometry_col] for r in rows])
+    bbs = geom_bounds(ga)
+    polys = []
+    for i, r in enumerate(rows):
+        rings = ga.geom_rings(i)
+        if not rings:
+            continue
+        edges = (
+            np.concatenate([rr[:-1, 0] for rr in rings]),
+            np.concatenate([rr[:-1, 1] for rr in rings]),
+            np.concatenate([rr[1:, 0] for rr in rings]),
+            np.concatenate([rr[1:, 1] for rr in rings]),
+        )
+        polys.append((int(r[value_col]), tuple(bbs[i]), edges))
+    return polys
+
+
+def _burn_tile(tile_ix, tile_iy, tile, ncx, ncy, x0, y0, res, fill, polys):
+    """Burn one tile window; returns (ix0, iy0, vals[ny, nx])."""
+    ix0 = int(tile_ix) * tile
+    iy0 = int(tile_iy) * tile
+    nx = min(tile, ncx - ix0)
+    ny = min(tile, ncy - iy0)
+    gx, gy = np.meshgrid(
+        np.arange(ix0, ix0 + nx), np.arange(iy0, iy0 + ny), indexing="xy"
+    )
+    cx = x0 + (gx + 0.5) * res
+    cy = y0 + (gy + 0.5) * res
+    vals = np.full(cx.shape, fill, dtype=np.int32)
+    tx0, ty0, tx1, ty1 = cx.min(), cy.min(), cx.max(), cy.max()
+    for val, bb, edges in polys:  # row order: later replaces
+        if bb[0] > tx1 or bb[2] < tx0 or bb[1] > ty1 or bb[3] < ty0:
+            continue
+        mask = points_in_polygon(cx.ravel(), cy.ravel(), edges).reshape(cx.shape)
+        vals[mask] = val
+    return ix0, iy0, vals
+
+
+def _tile_frame(spark, ntx: int, nty: int):
+    """Tile-index frame born pre-partitioned (no repartition shuffle)."""
+    return spark.range(
+        ntx * nty,
+        numPartitions=min(ntx * nty, spark.sparkContext.defaultParallelism),
+    ).select(
+        (F.col("id") % ntx).cast("int").alias("tile_ix"),
+        (F.col("id") / ntx).cast("int").alias("tile_iy"),
+    )
+
+
+def rasterize_cells_df(
+    polygons: DataFrame,
+    value_col: str,
+    res: float,
+    x0: float,
+    y0: float,
+    ncx: int,
+    ncy: int,
+    tile: int = 64,
+    fill: int = 0,
+    geometry_col: str = "geometry",
+) -> DataFrame:
+    """Burn + explode fused: emit the non-fill cells ``(ix, iy, value)``
+    directly from the burn kernel — one Python stage instead of the
+    rasterize->decode->explode chain (each extra Arrow stage costs more
+    than the whole burn at bench scale; at lake scale it's one fewer
+    pass over every tile)."""
+    import math
+
+    spark = polygons.sparkSession
+    bc = spark.sparkContext.broadcast(
+        _collect_poly_edges(polygons, value_col, geometry_col)
+    )
+    ntx = math.ceil(ncx / tile)
+    nty = math.ceil(ncy / tile)
+    tiles = _tile_frame(spark, ntx, nty)
+
+    def kernel(it):
+        for pdf in it:
+            outs = []
+            for tix, tiy in zip(pdf["tile_ix"], pdf["tile_iy"]):
+                ix0, iy0, vals = _burn_tile(
+                    tix, tiy, tile, ncx, ncy, x0, y0, res, fill, bc.value
+                )
+                jy, jx = np.nonzero(vals != fill)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "ix": (ix0 + jx).astype(np.int64),
+                            "iy": (iy0 + jy).astype(np.int64),
+                            "value": vals[jy, jx].astype(np.int64),
+                        }
+                    )
+                )
+            yield pd.concat(outs) if outs else pd.DataFrame(
+                {"ix": [], "iy": [], "value": []}
+            )
+
+    return tiles.mapInPandas(kernel, schema="ix long, iy long, value long")
+
+
 def rasterize_polygons(
     polygons: DataFrame,
     value_col: str,
@@ -63,82 +167,31 @@ def rasterize_polygons(
     ``Raster.from_gdf``): cell (ix, iy) center = (x0+(ix+.5)res,
     y0+(iy+.5)res); a cell takes the value of the LAST polygon row
     containing its center (MergeAlg.replace), else ``fill``."""
-    spark = polygons.sparkSession
-    rows = polygons.select(value_col, geometry_col).collect()
-    ga = wkb.decode([r[geometry_col] for r in rows])
-    bbs = geom_bounds(ga)
-    polys = []
-    for i, r in enumerate(rows):
-        rings = ga.geom_rings(i)
-        if not rings:
-            continue
-        edges = (
-            np.concatenate([rr[:-1, 0] for rr in rings]),
-            np.concatenate([rr[:-1, 1] for rr in rings]),
-            np.concatenate([rr[1:, 0] for rr in rings]),
-            np.concatenate([rr[1:, 1] for rr in rings]),
-        )
-        polys.append((int(r[value_col]), tuple(bbs[i]), edges))
-    bc = spark.sparkContext.broadcast(polys)
-
     import math
 
+    spark = polygons.sparkSession
+    bc = spark.sparkContext.broadcast(
+        _collect_poly_edges(polygons, value_col, geometry_col)
+    )
     ntx = math.ceil(ncx / tile)
     nty = math.ceil(ncy / tile)
-    # range() born pre-partitioned: one tile row per task slot without a
-    # repartition shuffle stage (spark.range defaults to very few
-    # partitions for tiny counts, which would serialize the burn)
-    tiles = (
-        spark.range(
-            ntx * nty,
-            numPartitions=min(ntx * nty, spark.sparkContext.defaultParallelism),
-        )
-        .select(
-            (F.col("id") % ntx).cast("int").alias("tile_ix"),
-            (F.col("id") / ntx).cast("int").alias("tile_iy"),
-        )
-    )
-
-    schema = T.StructType(
-        [
-            T.StructField("tile_ix", T.IntegerType()),
-            T.StructField("tile_iy", T.IntegerType()),
-            T.StructField("nx", T.IntegerType()),
-            T.StructField("ny", T.IntegerType()),
-            T.StructField("payload", T.BinaryType()),
-        ]
-    )
+    tiles = _tile_frame(spark, ntx, nty)
 
     def kernel(it):
         for pdf in it:
-            out = {f.name: [] for f in schema.fields}
-            for _, row in pdf.iterrows():
-                ix0 = int(row["tile_ix"]) * tile
-                iy0 = int(row["tile_iy"]) * tile
-                nx = min(tile, ncx - ix0)
-                ny = min(tile, ncy - iy0)
-                gx, gy = np.meshgrid(
-                    np.arange(ix0, ix0 + nx), np.arange(iy0, iy0 + ny), indexing="xy"
+            out = {"tile_ix": [], "tile_iy": [], "nx": [], "ny": [], "payload": []}
+            for tix, tiy in zip(pdf["tile_ix"], pdf["tile_iy"]):
+                _, _, vals = _burn_tile(
+                    tix, tiy, tile, ncx, ncy, x0, y0, res, fill, bc.value
                 )
-                cx = x0 + (gx + 0.5) * res
-                cy = y0 + (gy + 0.5) * res
-                vals = np.full(cx.shape, fill, dtype=np.int32)
-                tx0, ty0, tx1, ty1 = cx.min(), cy.min(), cx.max(), cy.max()
-                for val, bb, edges in bc.value:  # row order: later replaces
-                    if bb[0] > tx1 or bb[2] < tx0 or bb[1] > ty1 or bb[3] < ty0:
-                        continue
-                    mask = points_in_polygon(cx.ravel(), cy.ravel(), edges).reshape(
-                        cx.shape
-                    )
-                    vals[mask] = val
-                out["tile_ix"].append(row["tile_ix"])
-                out["tile_iy"].append(row["tile_iy"])
-                out["nx"].append(nx)
-                out["ny"].append(ny)
+                out["tile_ix"].append(tix)
+                out["tile_iy"].append(tiy)
+                out["ny"].append(vals.shape[0])
+                out["nx"].append(vals.shape[1])
                 out["payload"].append(bytearray(vals.astype("<i4").tobytes()))
             yield pd.DataFrame(out)
 
-    return tiles.mapInPandas(kernel, schema=schema)
+    return tiles.mapInPandas(kernel, schema=_TILE_SCHEMA)
 
 
 def _label_regions(vals: np.ndarray) -> np.ndarray:

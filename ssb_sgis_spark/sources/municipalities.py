@@ -103,15 +103,32 @@ def muni_geom_array(nx: int = DEFAULT_NX, ny: int = DEFAULT_NY, seed: int = SEED
     return ids, wkb.decode(bufs)
 
 
+_MUNI_DF_CACHE: dict = {}
+
+
 def muni_df(
     spark: SparkSession, nx: int = DEFAULT_NX, ny: int = DEFAULT_NY, seed: int = SEED
 ) -> DataFrame:
-    """Spark DataFrame (muni_id string, name string, geometry binary WKB)."""
+    """Spark DataFrame (muni_id string, name string, geometry binary WKB).
+
+    Memoized per (session, params): the frame is a deterministic local
+    relation, and re-running createDataFrame + analysis for every query
+    that joins against municipalities costs ~1 s each at bench scale."""
+    key = (spark.sparkContext.applicationId, nx, ny, seed)
+    got = _MUNI_DF_CACHE.get(key)
+    if got is not None:
+        return got
     items = muni_rings(nx, ny, seed)
     rows = [
         (mid, f"muni_{mid}", bytearray(wkb.encode_polygon(rings))) for mid, rings in items
     ]
-    return spark.createDataFrame(rows, "muni_id string, name string, geometry binary")
+    df = spark.createDataFrame(
+        rows, "muni_id string, name string, geometry binary"
+    ).localCheckpoint()
+    if len(_MUNI_DF_CACHE) > 8:
+        _MUNI_DF_CACHE.pop(next(iter(_MUNI_DF_CACHE)))
+    _MUNI_DF_CACHE[key] = df
+    return df
 
 
 def muni_edges_sql_values(nx: int = DEFAULT_NX, ny: int = DEFAULT_NY, seed: int = SEED) -> str:
