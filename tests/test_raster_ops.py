@@ -106,3 +106,33 @@ def test_raster_gradient_matches_reference_example(spark):
             r["tile_ix"] * TILE : r["tile_ix"] * TILE + r["nx"],
         ] = vals
     np.testing.assert_allclose(got, want)
+
+
+def test_rasterize_cells_df_matches_tile_path(spark):
+    """Fused burn+explode (rasterize_cells_df) == explode of the tiled
+    rasterize_polygons output, including the edge (partial) tiles."""
+    from ssb_sgis_spark.operators.raster_ops import rasterize_cells_df
+
+    polys = spark.createDataFrame(
+        [
+            (1, bytearray(wkb.encode_polygon([box_ring(X0, Y0, X0 + 40, Y0 + 80)]))),
+            (2, bytearray(wkb.encode_polygon([box_ring(X0 + 30, Y0, X0 + 60, Y0 + 80)]))),
+        ],
+        "val long, geometry binary",
+    )
+    # ncx=7, ncy=6 with tile=4 -> partial edge tiles
+    cells = rasterize_cells_df(
+        polys, "val", RES, X0, Y0, ncx=7, ncy=6, tile=4, fill=0
+    ).collect()
+    tiles = rasterize_polygons(
+        polys, "val", RES, X0, Y0, ncx=7, ncy=6, tile=4, fill=0
+    ).collect()
+    expect = {}
+    for r in tiles:
+        vals = np.frombuffer(bytes(r["payload"]), dtype="<i4").reshape(r["ny"], r["nx"])
+        jy, jx = np.nonzero(vals != 0)
+        for y, x in zip(jy, jx):
+            expect[(r["tile_ix"] * 4 + x, r["tile_iy"] * 4 + y)] = int(vals[y, x])
+    got = {(r["ix"], r["iy"]): r["value"] for r in cells}
+    assert len(cells) == len(got)  # no duplicate cells
+    assert got == expect and len(expect) > 0
