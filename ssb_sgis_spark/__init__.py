@@ -62,6 +62,7 @@ from .operators.grid import (
     points_in_bounds,
 )
 from .operators.gridloop import gridloop
+from .operators.ivf import ivf_topk, train_ivf_centroids
 from .operators.knn import (
     get_all_distances,
     get_k_nearest_neighbors,
@@ -125,6 +126,7 @@ from .operators.sjoin import (
 )
 from .operators.skew import salted_agg
 from .operators.textops import extract_text
+from .streaming.dedup import dedup_stream
 from .operators.tsp import traveling_salesman_problem
 from .operators.zonal import zonal_stats
 from .sources.geotiff import Raster, geotiff_tiles_df, read_meta, write_geotiff

@@ -1,0 +1,176 @@
+"""IVF (inverted-file) approximate nearest neighbor — the k-means
+coarse-quantizer scale path, complementing the LSH path in
+:mod:`.ann`.
+
+Shape at 10^12 rows:
+
+* **Train** — distributed Lloyd's k-means over the embedding column:
+  assignment is one Arrow-batched ``(B, dim) @ (dim, C)`` matmul per
+  batch against broadcast centroids; the update step is a map-side
+  partial (per-partition sum + count per centroid) followed by one tiny
+  ``groupBy(centroid)`` combine — the classic two-stage aggregation, no
+  driver-side data beyond the ``(C, dim)`` centroid matrix itself.
+* **Index** — every corpus row gets its nearest centroid id
+  (``_cid``); that column IS the posting-list partition key.
+* **Probe** — each query scores the centroid matrix (driver-free,
+  same Arrow kernel), takes its ``n_probe`` closest centroids, explodes,
+  and equi-joins the posting lists on ``_cid`` — touching
+  ~``n_probe/C`` of the corpus instead of all of it; candidates are
+  rescored with exact cosine and a window takes top-k.
+
+Determinism: centroid init picks the ``n_centroids`` corpus rows with
+the smallest ``xxhash64(id)`` (seeded), assignment ties break to the
+lowest centroid id, and Lloyd runs a FIXED ``n_iter`` rounds (no
+data-dependent early exit), so the index is reproducible run-to-run.
+``n_probe == n_centroids`` degenerates to exact brute force — the
+recall tests pin that invariant.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def _assign_udf(centroids: np.ndarray):
+    """Arrow-batched nearest-centroid id (cosine; ties -> lowest cid)."""
+    cn = _normalize(centroids).T.copy()  # (dim, C)
+
+    @F.pandas_udf("int")
+    def assign(v: pd.Series) -> pd.Series:
+        m = _normalize(np.vstack(v.to_numpy()))
+        sims = m @ cn
+        # argmax with lowest-index tie-break (np.argmax already does)
+        return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
+
+    return assign
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 64,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> np.ndarray:
+    """(C, dim) float64 centroid matrix via distributed Lloyd's."""
+    c = corpus.select(
+        F.col(id_col).alias("_vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    # deterministic seeded init: rows with the smallest hash of (seed, id)
+    init = (
+        c.withColumn("_h", F.xxhash64(F.lit(seed), F.col("_vid")))
+        .orderBy("_h", "_vid")
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = np.vstack([np.asarray(r["_v"], dtype=np.float64) for r in init])
+
+    for _ in range(n_iter):
+        assign = _assign_udf(centroids)
+        dim = centroids.shape[1]
+        ncen = centroids.shape[0]
+
+        def partial(it):
+            # map-side combine: per-partition (cid, count, sum-vector)
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                m = np.vstack(pdf["_v"].to_numpy())
+                cid = pdf["_cid"].to_numpy()
+                out = []
+                for u in np.unique(cid):
+                    sel = m[cid == u]
+                    out.append((int(u), len(sel), sel.sum(axis=0).tolist()))
+                yield pd.DataFrame(out, columns=["_cid", "_n", "_sum"])
+
+        parts = (
+            c.withColumn("_cid", assign(F.col("_v")))
+            .mapInPandas(partial, schema="_cid int, _n long, _sum array<double>")
+            .groupBy("_cid")
+            .agg(
+                F.sum("_n").alias("n"),
+                F.array(
+                    *[F.sum(F.col("_sum")[i]).alias(f"s{i}") for i in range(dim)]
+                ).alias("s"),
+            )
+            .collect()
+        )
+        new = centroids.copy()  # empty centroids keep their position
+        for r in parts:
+            if r["n"]:
+                new[r["_cid"]] = np.asarray(r["s"], dtype=np.float64) / r["n"]
+        centroids = new
+    return centroids
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id: str = "qid",
+    corpus_id: str = "vid",
+    vec_col: str = "embedding",
+    n_centroids: int = 64,
+    n_probe: int = 8,
+    n_iter: int = 5,
+    seed: int = 7,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """(qid, vid, rank): cosine top-k via IVF posting lists.  Pass a
+    pre-trained ``centroids`` matrix to reuse an index across query
+    batches (the production pattern — train once, probe forever)."""
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, n_centroids, n_iter, corpus_id, vec_col, seed
+        )
+    n_probe = min(n_probe, centroids.shape[0])
+    assign = _assign_udf(centroids)
+    cn = _normalize(centroids).T.copy()
+
+    posted = corpus.select(
+        F.col(corpus_id).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_cv"),
+    ).withColumn("_cid", assign(F.col("_cv")))
+
+    @F.pandas_udf("array<int>")
+    def probe(v: pd.Series) -> pd.Series:
+        m = _normalize(np.vstack(v.to_numpy()))
+        sims = m @ cn
+        # n_probe highest-sim centroids, deterministic order
+        order = np.argsort(-sims, kind="stable", axis=1)[:, :n_probe]
+        return pd.Series([row.astype(np.int32).tolist() for row in order])
+
+    q = queries.select(
+        F.col(query_id).alias("qid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_qv"),
+    ).withColumn("_cid", F.explode(probe(F.col("_qv"))))
+
+    @F.pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = np.vstack(a.to_numpy())
+        mb = np.vstack(b.to_numpy())
+        num = np.einsum("ij,ij->i", ma, mb)
+        den = np.sqrt(np.einsum("ij,ij->i", ma, ma)) * np.sqrt(
+            np.einsum("ij,ij->i", mb, mb)
+        )
+        return pd.Series(num / den)
+
+    scored = posted.join(F.broadcast(q), "_cid").select(
+        "qid", "vid", _cos(F.col("_qv"), F.col("_cv")).alias("_cos")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("_cos"), F.asc("vid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vid", F.col("rank").cast("int").alias("rank"))
+    )

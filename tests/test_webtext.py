@@ -103,3 +103,50 @@ def test_cosine_pairs_lsh_recall(spark):
     assert len(approx_rows) == len(approx)  # multiprobe must not duplicate
     assert approx <= exact  # rescoring is exact -> no false positives
     assert len(approx & exact) / len(exact) > 0.3
+
+
+def test_ivf_full_probe_equals_brute(spark):
+    """Probing every posting list must reproduce brute-force top-k
+    exactly (IVF partitions the corpus; rescoring is exact)."""
+    from ssb_sgis_spark.operators.ivf import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    exact = {
+        (r["qid"], r["vid"], r["rank"])
+        for r in cosine_topk(queries, emb, 5, corpus_id="vec_id").collect()
+    }
+    full = {
+        (r["qid"], r["vid"], r["rank"])
+        for r in ivf_topk(
+            queries, emb, 5, corpus_id="vec_id", n_centroids=16, n_probe=16,
+            n_iter=3,
+        ).collect()
+    }
+    assert full == exact
+
+
+def test_ivf_partial_probe_recall_and_determinism(spark):
+    from ssb_sgis_spark.operators.ivf import ivf_topk, train_ivf_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    exact = {
+        (r["qid"], r["vid"])
+        for r in cosine_topk(queries, emb, 5, corpus_id="vec_id").collect()
+    }
+    cents = train_ivf_centroids(emb, n_centroids=16, n_iter=3)
+    got1 = ivf_topk(queries, emb, 5, corpus_id="vec_id", n_probe=4,
+                    centroids=cents).collect()
+    got2 = ivf_topk(queries, emb, 5, corpus_id="vec_id", n_probe=4,
+                    centroids=cents).collect()
+    s1 = {(r["qid"], r["vid"], r["rank"]) for r in got1}
+    s2 = {(r["qid"], r["vid"], r["rank"]) for r in got2}
+    assert s1 == s2  # deterministic index + probe
+    pairs = {(r["qid"], r["vid"]) for r in got1}
+    recall = len(pairs & exact) / len(exact)
+    assert recall > 0.5  # label-clustered embeddings, 4/16 lists probed
