@@ -264,6 +264,7 @@ def knn_cellwise(
     right_x: str = "px",
     right_y: str = "py",
     max_rings: int = 4,
+    brute_threshold: int = 100_000,
 ) -> DataFrame:
     """Cell-partitioned kNN for huge right sides (no broadcast), with
     multi-round ring escalation.
@@ -370,7 +371,12 @@ def knn_cellwise(
 
     r = 2
     rounds = 0
-    while rounds < max_rings and not remaining.isEmpty():
+    # adaptive exit: once the violator set is broadcast-small, the one-pass
+    # distributed brute fallback is cheaper than another ring round (each
+    # round pays checkpoint + window + join fixed costs for a shrinking
+    # set; the brute pass scores all of them in a single stage)
+    n_rem = remaining.count()
+    while rounds < max_rings and n_rem > brute_threshold:
         cells = (
             remaining.withColumn("_o", F.explode(F.array(*_offsets(r))))
             .withColumn(
@@ -396,10 +402,11 @@ def knn_cellwise(
         proven_r, remaining = _split_proven(ranked_r, r, remaining)
         results.append(proven_r.select(left_id, "neighbor_id", "distance", "knn_rank"))
         remaining = remaining.localCheckpoint()
+        n_rem = remaining.count()
         r *= 2
         rounds += 1
 
-    if not remaining.isEmpty():
+    if n_rem:
         # distributed brute fallback for the residue: broadcast the (small)
         # violator set, every right partition emits its local top-k, one
         # final window picks the global top-k
