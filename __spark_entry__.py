@@ -80,6 +80,7 @@ from ssb_sgis_spark.sources.roads import (
     roads_df,
 )
 from ssb_sgis_spark.sources.documents import (
+    NEAR_OFFSET,
     docs_df,
     docs_with_dups_df,
     docs_with_dups_sql,
@@ -251,6 +252,7 @@ def q_buffdissexp_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANN_K = 5
 ANN_QUERY_MOD = 20
 COSINE_PAIR_TAU = 0.3  # 990 pairs at sf0.01; nearest cosine 6.9e-5 away
+_IVF_CENTROIDS: dict = {}  # (app_id, sf_dir) -> trained coarse quantizer
 OD_ORIGIN_MOD = 999  # odd: uid = 8*orderkey+linenumber is never 0 mod 8
 OD_DEST_MOD = 1301
 SA_ORIGIN_MOD = 1999
@@ -350,6 +352,63 @@ def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs(emb, COSINE_PAIR_TAU).select(
         "a_id", "b_id", F.round(F.col("cos"), 6).alias("cos")
     )
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN at FULL probe (n_probe == n_centroids): posting lists +
+    rescore + window must reproduce brute-force top-k exactly — the same
+    scale-path-vs-oracle pattern as pip_join_compact."""
+    from ssb_sgis_spark.operators.ivf import ivf_topk
+
+    from ssb_sgis_spark.operators.ivf import train_ivf_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % ANN_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    # train once per session per sf_dir (the production pattern the
+    # operator documents: train once, probe forever)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cents = _IVF_CENTROIDS.get(key)
+    if cents is None:
+        cents = train_ivf_centroids(emb, n_centroids=16, n_iter=3, id_col="vec_id")
+        _IVF_CENTROIDS[key] = cents
+    return ivf_topk(
+        queries, emb, ANN_K, corpus_id="vec_id",
+        n_centroids=16, n_probe=16, centroids=cents,
+    )
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming stateful dedup (applyInPandasWithState) run availableNow
+    over the duplicated corpus split into 2 file batches; the admitted
+    DISTINCT content hashes are order-free, so the result is
+    deterministic and equals SQL\'s DISTINCT md5(text)."""
+    import tempfile
+
+    from ssb_sgis_spark.streaming.dedup import dedup_stream
+
+    d = docs_with_dups_df(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="stream_dedup_")
+    src, sink, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
+    # two file batches -> at least two micro-batch admissions through state
+    d.filter(F.col("doc_id") < NEAR_OFFSET).coalesce(2).write.mode(
+        "overwrite"
+    ).parquet(src)
+    d.filter(F.col("doc_id") >= NEAR_OFFSET).coalesce(2).write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema(d.schema).parquet(src)
+    q = (
+        dedup_stream(stream, "text", n_shards=8)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(sink).select("content_hash").distinct()
 
 
 def q_od_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -533,7 +592,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": q_doc_stats,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "cosine_pairs": q_cosine_pairs,
+        "stream_dedup": q_stream_dedup,
         "od_cost": q_od_cost,
         "service_area": q_service_area,
         "network_components": q_network_components,
@@ -657,6 +718,16 @@ def oracle_sql() -> dict[str, str]:
             corpus_id="vec_id",
         ),
         "cosine_pairs": cosine_pairs_sql("embeddings", COSINE_PAIR_TAU),
+        "ann_ivf": cosine_topk_sql(
+            f"(SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id % {ANN_QUERY_MOD} = 0)",
+            "embeddings",
+            ANN_K,
+            corpus_id="vec_id",
+        ),
+        "stream_dedup": f"""
+            SELECT DISTINCT md5(text) AS content_hash
+            FROM ({docs_with_dups_sql()})
+        """,
         "od_cost": f"""
             WITH o AS ({origins_sql(OD_ORIGIN_MOD, 'origin')}),
                  d AS ({origins_sql(OD_DEST_MOD, 'destination')})
