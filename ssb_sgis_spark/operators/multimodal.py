@@ -3,11 +3,12 @@
 Media are opaque ``binary`` payloads with typed metadata columns — the
 lakehouse convention for multimodal training data.  The Spark-side
 plumbing (schemas, batching, partitioning, UDF signatures, frame
-slicing, block-mean resize) is REAL and tested; only the codec is
-stubbed: this container has no image/audio libraries, so ``DECODERS``
-maps format → either a deterministic fake (raw uint8 buffers reshaped
-per metadata) or ``NotImplementedError`` for real formats (jpeg/png/
-mp3/...), clearly marked for the day a codec wheel is present.
+slicing, block-mean resize) is REAL and tested.  Codecs: BMP (24-bit
+uncompressed) and WAV (PCM 8/16-bit) are decoded FOR REAL in pure
+struct+numpy (they are compression-free containers); compressed
+formats (jpeg/png/mp4) stay stubbed with ``NotImplementedError`` —
+this container has no codec libraries — clearly marked in ``DECODERS``
+for the day a codec wheel is present.
 
 All kernels are ``mapInPandas`` over Arrow batches: payload bytes →
 numpy (zero-copy frombuffer) → vectorized feature math — the identical
@@ -42,12 +43,102 @@ def _decode_stub(fmt: str):
     )
 
 
+# ---------------------------------------------------------- real codecs
+# BMP (24-bit uncompressed) and WAV (PCM 8/16-bit) are container formats
+# with no compression — parseable with struct + numpy alone, so these
+# decoders are REAL, not fakes.  The payload header is authoritative;
+# the metadata columns are advisory.
+
+def _decode_bmp(payload: bytes, *_) -> np.ndarray:
+    """24-bit uncompressed BMP -> (1, h, w, 3) uint8 RGB (top-down)."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only 24-bit uncompressed BMP supported (bpp={bpp}, comp={comp})")
+    habs = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    a = (
+        np.frombuffer(payload, np.uint8, habs * stride, off)
+        .reshape(habs, stride)[:, : w * 3]
+        .reshape(habs, w, 3)
+    )
+    if h > 0:  # positive height = bottom-up row order
+        a = a[::-1]
+    return np.ascontiguousarray(a[..., ::-1])[None]  # BGR -> RGB
+
+
+def encode_bmp(rgb: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> 24-bit bottom-up BMP bytes."""
+    import struct
+
+    h, w, _ = rgb.shape
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = rgb[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    data = rows.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    return header + data
+
+
+def _decode_wav(payload: bytes, *_) -> np.ndarray:
+    """PCM WAV (8-bit unsigned / 16-bit signed) ->
+    (1, 1, n_samples, channels); dtype uint8 or int16."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, channels, _rate, _bps, _align, bits = fmt
+    if audio_format != 1 or bits not in (8, 16):
+        raise ValueError(f"only PCM 8/16-bit WAV supported (fmt={audio_format}, bits={bits})")
+    dt = np.uint8 if bits == 8 else np.dtype("<i2")
+    a = np.frombuffer(data, dtype=dt)
+    a = a[: (len(a) // channels) * channels].reshape(-1, channels)
+    return a[None, None]
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """(n_samples, channels) uint8/int16 -> PCM WAV bytes."""
+    import struct
+
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    bits = samples.dtype.itemsize * 8
+    ch = samples.shape[1]
+    data = np.ascontiguousarray(samples.astype(samples.dtype.newbyteorder("<"))).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * bits // 8, ch * bits // 8, bits)
+    return (
+        struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(data), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
+        + struct.pack("<4sI", b"data", len(data)) + data
+    )
+
+
 DECODERS = {
     "raw": _decode_raw,
-    # real formats intentionally stubbed:
+    "bmp": _decode_bmp,   # real: 24-bit uncompressed
+    "wav": _decode_wav,   # real: PCM 8/16-bit
+    # compressed formats intentionally stubbed (no codec libs in env):
     "jpeg": None,
     "png": None,
-    "wav": None,
     "mp4": None,
 }
 
@@ -110,9 +201,10 @@ def media_features(df: DataFrame) -> DataFrame:
             for mid, a in zip(pdf["media_id"], arrs):
                 rows["media_id"].append(int(mid))
                 m = a.reshape(-1, a.shape[-1]).mean(axis=0)
+                # mono/stereo audio has < 3 channels: repeat the last one
                 rows["mean_r_x1000"].append(int(m[0] * 1000))
-                rows["mean_g_x1000"].append(int(m[1] * 1000))
-                rows["mean_b_x1000"].append(int(m[2] * 1000))
+                rows["mean_g_x1000"].append(int(m[min(1, len(m) - 1)] * 1000))
+                rows["mean_b_x1000"].append(int(m[min(2, len(m) - 1)] * 1000))
                 rows["std_x1000"].append(int(a.std() * 1000))
             yield pd.DataFrame(rows)
 

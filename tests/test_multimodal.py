@@ -56,3 +56,58 @@ def test_unknown_codec_raises(spark):
     )
     with pytest.raises(NotImplementedError):
         decode_batch(pdf)
+
+
+def test_bmp_roundtrip_including_stride_padding():
+    """24-bit BMP with w=5 (row stride padded to 16 bytes) round-trips."""
+    import numpy as np
+
+    from ssb_sgis_spark.operators.multimodal import _decode_bmp, encode_bmp
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(7, 5, 3)).astype(np.uint8)
+    got = _decode_bmp(encode_bmp(img))
+    assert got.shape == (1, 7, 5, 3)
+    np.testing.assert_array_equal(got[0], img)
+
+
+def test_wav_roundtrip_8_and_16_bit():
+    import numpy as np
+
+    from ssb_sgis_spark.operators.multimodal import _decode_wav, encode_wav
+
+    rng = np.random.RandomState(4)
+    stereo16 = rng.randint(-32768, 32767, size=(1001, 2)).astype(np.int16)
+    got = _decode_wav(encode_wav(stereo16, rate=8000))
+    assert got.shape == (1, 1, 1001, 2) and got.dtype == np.int16
+    np.testing.assert_array_equal(got[0, 0], stereo16)
+    mono8 = rng.randint(0, 256, size=533).astype(np.uint8)
+    got8 = _decode_wav(encode_wav(mono8))
+    assert got8.shape == (1, 1, 533, 1)
+    np.testing.assert_array_equal(got8[0, 0, :, 0], mono8)
+
+
+def test_media_features_over_real_codecs(spark):
+    """media_features runs over genuinely-encoded BMP and WAV payloads."""
+    import numpy as np
+
+    from ssb_sgis_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_bmp,
+        encode_wav,
+        media_features,
+    )
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, size=(8, 6, 3)).astype(np.uint8)
+    snd = rng.randint(0, 256, size=(400, 1)).astype(np.uint8)
+    rows = [
+        (1, "image", "bmp", 6, 8, 3, 1, bytearray(encode_bmp(img))),
+        (2, "audio", "wav", 400, 1, 1, 1, bytearray(encode_wav(snd))),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in media_features(df).collect()}
+    assert got[1]["mean_r_x1000"] == int(img[:, :, 0].mean() * 1000)
+    assert got[1]["mean_b_x1000"] == int(img[:, :, 2].mean() * 1000)
+    assert got[2]["mean_r_x1000"] == int(snd.mean() * 1000)
+    assert got[2]["std_x1000"] == int(snd.std() * 1000)
