@@ -132,5 +132,11 @@ from .operators.zonal import zonal_stats
 from .sources.geotiff import Raster, geotiff_tiles_df, read_meta, write_geotiff
 from .sources.io import check_files, exists, read_parquet_url
 
-__all__ = [n for n in dir() if not n.startswith("_")]
+import types as _types
+
+__all__ = [
+    n
+    for n, v in list(globals().items())
+    if not n.startswith("_") and not isinstance(v, _types.ModuleType)
+]
 __version__ = "0.3.0"

@@ -46,6 +46,33 @@ def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def cos_batch_udf():
+    """Arrow-batched exact cosine over two array columns — ONE shared
+    kernel for every rescoring path (LSH, IVF, pair verify); numpy
+    einsum dot/norms per batch instead of interpreted HOF expressions."""
+
+    @F.pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = np.vstack(a.to_numpy())
+        mb = np.vstack(b.to_numpy())
+        num = np.einsum("ij,ij->i", ma, mb)
+        den = np.sqrt(np.einsum("ij,ij->i", ma, ma)) * np.sqrt(
+            np.einsum("ij,ij->i", mb, mb)
+        )
+        return pd.Series(num / den)
+
+    return _cos
+
+
+def _probe_masks(n_planes: int, multiprobe: int) -> list[int]:
+    """All XOR masks with popcount <= multiprobe (0 < mask), standard
+    multiprobe LSH: probe every bucket within Hamming distance
+    ``multiprobe`` of the query's bucket."""
+    return [
+        m for m in range(1, 1 << n_planes) if bin(m).count("1") <= multiprobe
+    ]
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -123,6 +150,7 @@ def cosine_pairs(
     :func:`cosine_pairs_lsh` (candidates only where hashes collide).
     """
     nb = int(n_blocks)
+    id_type = vectors.schema[id_col].dataType.simpleString()
     v = vectors.select(
         F.col(id_col).alias("_vid"), _as_double(F.col(vec_col)).alias("_v")
     ).withColumn("_blk", F.pmod(F.xxhash64(F.col("_vid")), F.lit(nb)).cast("int"))
@@ -164,7 +192,7 @@ def cosine_pairs(
         return pd.DataFrame({"a_id": lo, "b_id": hi, "cos": cv})
 
     return both.groupBy("_bi", "_bj").applyInPandas(
-        kernel, schema="a_id long, b_id long, cos double"
+        kernel, schema=f"a_id {id_type}, b_id {id_type}, cos double"
     )
 
 
@@ -206,22 +234,18 @@ def cosine_pairs_lsh(
         F.col(id_col).alias("_vid"), _as_double(F.col(vec_col)).alias("_v")
     ).withColumn("_b0", bucket(F.col("_v")))
     probes = F.array(
-        F.col("_b0"), *[F.col("_b0").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+        F.col("_b0"),
+        *[
+            F.col("_b0").bitwiseXOR(F.lit(m))
+            for m in _probe_masks(n_planes, multiprobe)
+        ],
     ) if multiprobe >= 1 else F.array(F.col("_b0"))
     a = v.withColumn("_bucket", F.explode(probes))
     b = v.withColumnRenamed("_vid", "_wid").withColumnRenamed("_v", "_w").withColumnRenamed(
         "_b0", "_bucket"
     )
 
-    @F.pandas_udf("double")
-    def _cos_batch(x: pd.Series, y: pd.Series) -> pd.Series:
-        mx = np.vstack(x.to_numpy())
-        my = np.vstack(y.to_numpy())
-        num = np.einsum("ij,ij->i", mx, my)
-        den = np.sqrt(np.einsum("ij,ij->i", mx, mx)) * np.sqrt(
-            np.einsum("ij,ij->i", my, my)
-        )
-        return pd.Series(num / den)
+    _cos_batch = cos_batch_udf()
 
     cand = (
         a.join(b, "_bucket")
@@ -297,7 +321,10 @@ def ann_lsh_topk(
     if multiprobe >= 1:
         probes = F.array(
             F.col("_bucket"),
-            *[F.col("_bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+            *[
+                F.col("_bucket").bitwiseXOR(F.lit(m))
+                for m in _probe_masks(n_planes, multiprobe)
+            ],
         )
         q = q.withColumn("_bucket", F.explode(probes))
     c = corpus.select(
@@ -308,15 +335,7 @@ def ann_lsh_topk(
     # aggregate/zip_with higher-order functions are CodegenFallback and
     # evaluate interpreted per element — a (B, dim) vectorized
     # dot/norm per batch replaces ~3*dim interpreted ops per candidate
-    @F.pandas_udf("double")
-    def _cos_batch(a: pd.Series, b: pd.Series) -> pd.Series:
-        ma = np.vstack(a.to_numpy())
-        mb = np.vstack(b.to_numpy())
-        num = np.einsum("ij,ij->i", ma, mb)
-        den = np.sqrt(np.einsum("ij,ij->i", ma, ma)) * np.sqrt(
-            np.einsum("ij,ij->i", mb, mb)
-        )
-        return pd.Series(num / den)
+    _cos_batch = cos_batch_udf()
 
     scored = c.join(F.broadcast(q), "_bucket").select(
         "qid",

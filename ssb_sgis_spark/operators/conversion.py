@@ -55,6 +55,8 @@ def geojson_to_wkb(
             d = json.loads(v) if isinstance(v, str) else v
             if d.get("type") == "Feature":
                 d = d["geometry"]
+            if d is None:  # RFC 7946 allows Feature.geometry = null
+                return None
             return wkb.parse_geojson(d)
 
         return s.map(one)

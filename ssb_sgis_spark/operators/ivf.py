@@ -34,6 +34,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .ann import _as_double, cos_batch_udf
+
 
 def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
@@ -63,8 +65,7 @@ def train_ivf_centroids(
 ) -> np.ndarray:
     """(C, dim) float64 centroid matrix via distributed Lloyd's."""
     c = corpus.select(
-        F.col(id_col).alias("_vid"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+        F.col(id_col).alias("_vid"), _as_double(F.col(vec_col)).alias("_v")
     )
     # deterministic seeded init: rows with the smallest hash of (seed, id)
     init = (
@@ -138,8 +139,7 @@ def ivf_topk(
     cn = _normalize(centroids).T.copy()
 
     posted = corpus.select(
-        F.col(corpus_id).alias("vid"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_cv"),
+        F.col(corpus_id).alias("vid"), _as_double(F.col(vec_col)).alias("_cv")
     ).withColumn("_cid", assign(F.col("_cv")))
 
     @F.pandas_udf("array<int>")
@@ -151,20 +151,10 @@ def ivf_topk(
         return pd.Series([row.astype(np.int32).tolist() for row in order])
 
     q = queries.select(
-        F.col(query_id).alias("qid"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_qv"),
+        F.col(query_id).alias("qid"), _as_double(F.col(vec_col)).alias("_qv")
     ).withColumn("_cid", F.explode(probe(F.col("_qv"))))
 
-    @F.pandas_udf("double")
-    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
-        ma = np.vstack(a.to_numpy())
-        mb = np.vstack(b.to_numpy())
-        num = np.einsum("ij,ij->i", ma, mb)
-        den = np.sqrt(np.einsum("ij,ij->i", ma, ma)) * np.sqrt(
-            np.einsum("ij,ij->i", mb, mb)
-        )
-        return pd.Series(num / den)
-
+    _cos = cos_batch_udf()
     scored = posted.join(F.broadcast(q), "_cid").select(
         "qid", "vid", _cos(F.col("_qv"), F.col("_cv")).alias("_cos")
     )

@@ -137,6 +137,7 @@ def get_k_nearest_neighbors(
             left, right, min(k, n_right_est), res,
             left_id=left_id, left_x=left_x, left_y=left_y,
             right_id=right_id, right_x=right_x, right_y=right_y,
+            n_right=n_right_est,
         )
         if max_distance is not None:
             out = out.filter(F.col("distance") <= max_distance)
@@ -265,6 +266,8 @@ def knn_cellwise(
     right_y: str = "py",
     max_rings: int = 4,
     brute_threshold: int = 100_000,
+    brute_work: int = 2_000_000_000,
+    n_right: int | None = None,
 ) -> DataFrame:
     """Cell-partitioned kNN for huge right sides (no broadcast), with
     multi-round ring escalation.
@@ -371,12 +374,21 @@ def knn_cellwise(
 
     r = 2
     rounds = 0
-    # adaptive exit: once the violator set is broadcast-small, the one-pass
-    # distributed brute fallback is cheaper than another ring round (each
-    # round pays checkpoint + window + join fixed costs for a shrinking
-    # set; the brute pass scores all of them in a single stage)
+    # adaptive exit: once the violator set is broadcast-small AND the
+    # brute pass's total work (violators x right rows, every right
+    # partition scores every violator) is bounded, one distributed brute
+    # stage beats another ring round (each round pays checkpoint +
+    # window + join fixed costs for a shrinking set).  Gating on the
+    # count alone would be wrong at scale: 90k violators x 10^8 right
+    # rows is ~10^13 distance evaluations, far worse than one more ring.
     n_rem = remaining.count()
-    while rounds < max_rings and n_rem > brute_threshold:
+    if n_right is None:
+        n_right = right_c.count()
+
+    def _go_brute(nr):
+        return nr <= brute_threshold and nr * n_right <= brute_work
+
+    while rounds < max_rings and not _go_brute(n_rem) and n_rem > 0:
         cells = (
             remaining.withColumn("_o", F.explode(F.array(*_offsets(r))))
             .withColumn(

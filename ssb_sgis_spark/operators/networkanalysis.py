@@ -86,9 +86,21 @@ class NetworkAnalysis:
     def _log_run(self, method, t0, origins, destinations, result):
         """Append one run-log row (reference ``networkanalysis.py:1259-
         1330``: endtime / minutes_elapsed / method / origins_count /
-        destinations_count / percent_missing / cost_mean + the rules)."""
+        destinations_count / percent_missing / cost_mean + the rules).
+
+        Returns the result FRAME TO HAND BACK to the caller: logging is
+        eager (the reference's geopandas semantics), so the result is
+        ``localCheckpoint``-ed first and the caller's own action reuses
+        those blocks instead of recomputing the whole analysis.  Returns
+        ``result`` untouched when logging is off (fully lazy path).
+
+        ``percent_missing`` follows the reference's OD definition
+        (expected = |origins| x |destinations|) and is only emitted for
+        od_cost_matrix — for get_route / service_area the row count is
+        edges / origins-x-breaks and the ratio would be meaningless."""
         if not self.log:
-            return
+            return result
+        result = result.localCheckpoint()
         n_o = origins.count() if origins is not None else None
         n_d = destinations.count() if destinations is not None else None
         stats = result.agg(
@@ -97,7 +109,7 @@ class NetworkAnalysis:
                 "_mean"
             ),
         ).first()
-        expected = (n_o or 0) * (n_d if n_d is not None else 1)
+        expected = (n_o or 0) * (n_d or 0) if method == "od_cost_matrix" else None
         missing = (
             round(100.0 * (expected - stats["_n"]) / expected, 2)
             if expected
@@ -118,6 +130,7 @@ class NetworkAnalysis:
                 "split_lines": self.rules.split_lines,
             }
         )
+        return result
 
     def log_df(self, spark) -> DataFrame:
         """The run log as a DataFrame (empty-safe)."""
@@ -225,8 +238,7 @@ class NetworkAnalysis:
                 .filter(F.col("_r") <= destination_count)
                 .drop("_r")
             )
-        self._log_run("od_cost_matrix", t0, origins, destinations, out)
-        return out
+        return self._log_run("od_cost_matrix", t0, origins, destinations, out)
 
     def _best_nodes(self, points: DataFrame, nodes: DataFrame, id_col: str):
         """One (deterministic, nearest) node per point for path queries."""
@@ -249,8 +261,7 @@ class NetworkAnalysis:
             edges.select("source", "target", "_w"), o, d,
             weight_col="_w", origin_id="origin", dest_id="destination",
         )
-        self._log_run("get_route", t0, origins, destinations, out)
-        return out
+        return self._log_run("get_route", t0, origins, destinations, out)
 
     def get_k_routes(
         self,
@@ -270,8 +281,7 @@ class NetworkAnalysis:
             k=k, drop_middle_percent=drop_middle_percent,
             weight_col="_w", origin_id="origin", dest_id="destination",
         )
-        self._log_run("get_k_routes", t0, origins, destinations, out)
-        return out
+        return self._log_run("get_k_routes", t0, origins, destinations, out)
 
     def service_area(self, origins: DataFrame, breaks: list[float]) -> DataFrame:
         t0 = time.time()
@@ -283,8 +293,7 @@ class NetworkAnalysis:
             edges.select("source", "target", "_w"), o, breaks,
             weight_col="_w", origin_id="origin",
         )
-        self._log_run("service_area", t0, origins, None, out)
-        return out
+        return self._log_run("service_area", t0, origins, None, out)
 
     def precice_service_area(
         self, origins: DataFrame, breaks: list[float]
@@ -298,5 +307,4 @@ class NetworkAnalysis:
             edges.select("source", "target", "_w", self.geometry_col), o, breaks,
             weight_col="_w", origin_id="origin", geometry_col=self.geometry_col,
         )
-        self._log_run("precice_service_area", t0, origins, None, out)
-        return out
+        return self._log_run("precice_service_area", t0, origins, None, out)

@@ -110,8 +110,12 @@ def candidate_pairs(
     # run the explode, the join AND the downstream geometry kernel
     # single-threaded.  Repartitioning here moves each left geometry once
     # (pre-explode), vs repartitioning the pair table which moves both
-    # geometries per candidate pair.
-    l = l.repartition(df1.sparkSession.sparkContext.defaultParallelism)
+    # geometries per candidate pair.  Gated on the static partition
+    # count: a well-partitioned left frame (parquet scan, prior overlay
+    # in a chain) skips the extra full shuffle of its WKB payload.
+    par = df1.sparkSession.sparkContext.defaultParallelism
+    if l.rdd.getNumPartitions() < par:
+        l = l.repartition(par)
     lc = bbox_cells_exploded(l, res)
     rc = bbox_cells_exploded(
         r, res, minx="minx_2", miny="miny_2", maxx="maxx_2", maxy="maxy_2"

@@ -232,10 +232,19 @@ def to_lines_split(*dfs: DataFrame, geometry_col: str = "geometry") -> DataFrame
                     for k in np.flatnonzero(hit):
                         cuts.setdefault(int(ii[k]), []).append(float(arr[k]))
                     # intersections landing ON an interior vertex still
-                    # split the line there (ArcGIS feature-to-line)
-                    for k in np.flatnonzero(valid & (arr <= 1e-12)):
+                    # split the line there (ArcGIS feature-to-line).  The
+                    # tests are TWO-SIDED: collinear projections (ca/ca2)
+                    # are raw parameters that can land far outside [0,1]
+                    # for collinear-but-disjoint segments (ubiquitous in
+                    # grid data) — those never touch this segment and
+                    # must not mark a vertex split.
+                    for k in np.flatnonzero(
+                        valid & (arr >= -1e-12) & (arr <= 1e-12)
+                    ):
                         vcuts.add(int(ii[k]))
-                    for k in np.flatnonzero(valid & (arr >= 1 - 1e-12)):
+                    for k in np.flatnonzero(
+                        valid & (arr >= 1 - 1e-12) & (arr <= 1 + 1e-12)
+                    ):
                         vcuts.add(int(ii[k]) + 1)
             vcuts.discard(0)
             vcuts.discard(n)

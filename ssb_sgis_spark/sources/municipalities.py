@@ -126,7 +126,11 @@ def muni_df(
         rows, "muni_id string, name string, geometry binary"
     ).localCheckpoint()
     if len(_MUNI_DF_CACHE) > 8:
-        _MUNI_DF_CACHE.pop(next(iter(_MUNI_DF_CACHE)))
+        old = _MUNI_DF_CACHE.pop(next(iter(_MUNI_DF_CACHE)))
+        try:  # release the evicted frame's checkpoint blocks
+            old.unpersist()
+        except Exception:
+            pass
     _MUNI_DF_CACHE[key] = df
     return df
 

@@ -409,3 +409,39 @@ def test_overlay_grid_size_collapses_slivers(spark):
         a, b, "intersection", add_area=True, grid_size=1e-2
     ).collect()
     assert coarse == []
+
+
+def test_to_lines_split_collinear_disjoint_no_spurious_cuts(spark):
+    """Collinear-but-disjoint cross-frame boxes (grid data) must NOT mark
+    vertex splits: the collinear projection parameters land outside [0,1]
+    and never touch the segment (review regression)."""
+    from ssb_sgis_spark.operators.polygons import to_lines_split
+
+    # poly2 is an L whose bbox CONTAINS poly1's bbox (so the candidate
+    # pair reaches the split kernel), but no edges intersect: poly2's
+    # bottom edge (y=OY, x in [OX+2, OX+3]) is collinear-but-DISJOINT
+    # with poly1's bottom edge (y=OY, x in [OX, OX+1]).  The old
+    # one-sided vertex test saw the out-of-range collinear projections
+    # (t = -2, -3) and split poly1 at a vertex nothing touches.
+    p1 = spark.createDataFrame(
+        [(1, bytearray(wkb.encode_polygon([box_ring(OX, OY, OX + 1, OY + 1)])))],
+        "poly1 long, geometry binary",
+    )
+    ell = np.array(
+        [
+            (OX + 2, OY), (OX + 3, OY), (OX + 3, OY + 2),
+            (OX - 1, OY + 2), (OX - 1, OY + 1.5), (OX + 2, OY + 1.5),
+            (OX + 2, OY),
+        ]
+    )
+    p2 = spark.createDataFrame(
+        [(1, bytearray(wkb.encode_polygon([ell])))],
+        "poly2 long, geometry binary",
+    )
+    rows = to_lines_split(p1, p2).collect()
+    assert len(rows) == 2  # nothing actually intersects: no splits
+    ga = wkb.decode([r["geometry"] for r in rows])
+    lens = sorted(float(v) for v in geom_length(ga))
+    assert lens[0] == pytest.approx(4.0)  # poly1 ring unbroken
+    for g in range(2):
+        assert len(ga.geom_rings(g)) == 1  # one unbroken piece each
