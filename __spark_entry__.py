@@ -411,6 +411,27 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(sink).select("content_hash").distinct()
 
 
+def q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate GROUPS — the canonical dedup output:
+    exact cosine pairs (blocked all-pairs) fed through the distributed
+    connected-components operator; every vector labeled with its
+    group's min vec_id (singletons label themselves)."""
+    from ssb_sgis_spark.operators.clusters import connected_components
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    edges = cosine_pairs(emb, COSINE_PAIR_TAU).selectExpr(
+        "a_id as src", "b_id as dst"
+    )
+    comp = connected_components(
+        edges, emb.select("vec_id"), id_col="vec_id", component_col="grp"
+    )
+    return (
+        emb.select("vec_id")
+        .join(comp, "vec_id", "left")
+        .select("vec_id", F.coalesce(F.col("grp"), F.col("vec_id")).alias("grp"))
+    )
+
+
 def q_od_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     """od_cost_matrix over the unit-weight lattice (SURVEY §2.11,
     networkanalysis.py:145-418): broadcast graph + partitioned origins;
@@ -594,6 +615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "cosine_pairs": q_cosine_pairs,
+        "dup_groups": q_dup_groups,
         "stream_dedup": q_stream_dedup,
         "od_cost": q_od_cost,
         "service_area": q_service_area,
@@ -718,6 +740,31 @@ def oracle_sql() -> dict[str, str]:
             corpus_id="vec_id",
         ),
         "cosine_pairs": cosine_pairs_sql("embeddings", COSINE_PAIR_TAU),
+        "dup_groups": f"""
+            WITH RECURSIVE pairs AS (
+              SELECT a.vec_id AS u, b.vec_id AS v FROM (
+                SELECT a.vec_id,
+                       CAST(a.embedding AS DOUBLE[]) AS e,
+                       sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                             CAST(a.embedding AS DOUBLE[]))) AS n
+                FROM embeddings a) a
+              JOIN (
+                SELECT b.vec_id,
+                       CAST(b.embedding AS DOUBLE[]) AS e,
+                       sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                             CAST(b.embedding AS DOUBLE[]))) AS n
+                FROM embeddings b) b
+                ON a.vec_id < b.vec_id
+               AND list_dot_product(a.e, b.e) / (a.n * b.n) >= {COSINE_PAIR_TAU}
+            ),
+            sym AS (SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs),
+            cc(vid, lbl) AS (
+              SELECT vec_id, vec_id FROM embeddings
+              UNION
+              SELECT s.u, c.lbl FROM sym s JOIN cc c ON c.vid = s.v
+            )
+            SELECT vid AS vec_id, CAST(min(lbl) AS BIGINT) AS grp FROM cc GROUP BY vid
+        """,
         "ann_ivf": cosine_topk_sql(
             f"(SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id % {ANN_QUERY_MOD} = 0)",
             "embeddings",
