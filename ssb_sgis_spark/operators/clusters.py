@@ -77,17 +77,25 @@ def polygon_pair_edges(
     )
 
     def refine(it):
+        from .overlay import _detect_boxes
+
         for pdf in it:
             if not len(pdf):
                 continue
             ga = wkb.decode(pdf[geometry_col].tolist())
             gb = wkb.decode(pdf["_geom2"].tolist())
-            keep = [
+            # box x box pairs that survived the bbox-overlap filter are
+            # intersecting by definition — skip the per-pair kernel for
+            # the dominant tile/grid shape (same fast path as overlay)
+            am, *_ = _detect_boxes(ga)
+            bm, *_ = _detect_boxes(gb)
+            both = am & bm
+            keep = list(np.flatnonzero(both)) + [
                 i
-                for i in range(len(pdf))
+                for i in np.flatnonzero(~both)
                 if parts_intersect(ga.geom_parts(i), gb.geom_parts(i))
             ]
-            o = pdf.iloc[keep][[id_col, "_dst"]].copy()
+            o = pdf.iloc[sorted(keep)][[id_col, "_dst"]].copy()
             o.columns = ["src", "dst"]
             yield o
 
