@@ -61,3 +61,73 @@ def check_files(
                     continue
             out.append(p)
     return sorted(out)
+
+
+def write_geoparquet(
+    df: DataFrame,
+    path: str,
+    geometry_col: str = "geometry",
+    crs: str | None = None,
+) -> DataFrame:
+    """Distributed GeoParquet writer (reference ``write_geopandas``,
+    ``io/dapla_functions.py:59-119`` — which delegates to geopandas'
+    GeoParquet writer).
+
+    Spark's parquet sink cannot attach custom footer key-value metadata,
+    so each EXECUTOR partition writes its own file through pyarrow with
+    the GeoParquet 1.0 ``geo`` schema metadata (encoding=WKB, primary
+    column, per-file bbox computed from the engine's own bounds kernel)
+    — the layout geopandas/GDAL read back as a GeoDataFrame.  Returns
+    the write manifest ``(file, n_rows, minx, miny, maxx, maxy)`` — one
+    row per written file (the same lineage stance as plans/manifest).
+    """
+    import json
+
+    import numpy as np
+    import pandas as pd
+
+    from ..kernels import wkb as _wkb
+    from ..kernels.geom import bounds as _bounds
+
+    os.makedirs(path, exist_ok=True)
+    schema_str = "file string, n_rows long, minx double, miny double, maxx double, maxy double"
+
+    def writer(it):
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ga = _wkb.decode(pdf[geometry_col].tolist())
+            bb = _bounds(ga)
+            fbox = [
+                float(np.nanmin(bb[:, 0])), float(np.nanmin(bb[:, 1])),
+                float(np.nanmax(bb[:, 2])), float(np.nanmax(bb[:, 3])),
+            ]
+            geo = {
+                "version": "1.0.0",
+                "primary_column": geometry_col,
+                "columns": {
+                    geometry_col: {
+                        "encoding": "WKB",
+                        "geometry_types": [],
+                        "bbox": fbox,
+                        **({"crs": crs} if crs else {}),
+                    }
+                },
+            }
+            table = pa.Table.from_pandas(pdf, preserve_index=False)
+            table = table.replace_schema_metadata(
+                {**(table.schema.metadata or {}), b"geo": json.dumps(geo).encode()}
+            )
+            fname = os.path.join(path, f"part-{uuid.uuid4().hex}.parquet")
+            pq.write_table(table, fname)
+            yield pd.DataFrame(
+                [(fname, len(pdf), *fbox)],
+                columns=["file", "n_rows", "minx", "miny", "maxx", "maxy"],
+            )
+
+    return df.mapInPandas(writer, schema=schema_str)

@@ -147,3 +147,39 @@ def test_partition_metrics(spark, points):
     m = partition_metrics(df.repartition(6), key_col="uid").collect()
     assert sum(r["n_rows"] for r in m) == 400
     assert len(m) <= 6
+
+
+def test_write_geoparquet_metadata_and_roundtrip(spark, tmp_path):
+    """write_geoparquet: every file carries GeoParquet 1.0 'geo' footer
+    metadata with a correct bbox; rows round-trip through spark.read."""
+    import json
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from ssb_sgis_spark.kernels import wkb
+    from ssb_sgis_spark.sources.io import write_geoparquet
+
+    def box(x0, y0, x1, y1):
+        return wkb.encode_polygon(
+            [np.array([(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)], float)]
+        )
+
+    rows = [(i, bytearray(box(i * 10.0, 0.0, i * 10.0 + 5, 5.0))) for i in range(20)]
+    df = spark.createDataFrame(rows, "gid long, geometry binary").repartition(3)
+    out = str(tmp_path / "gpq")
+    manifest = write_geoparquet(df, out, crs="EPSG:25833").collect()
+    assert sum(r["n_rows"] for r in manifest) == 20
+    assert 1 <= len(manifest) <= 3
+    for r in manifest:
+        md = pq.read_table(r["file"]).schema.metadata
+        geo = json.loads(md[b"geo"])
+        assert geo["version"] == "1.0.0"
+        assert geo["primary_column"] == "geometry"
+        col = geo["columns"]["geometry"]
+        assert col["encoding"] == "WKB" and col["crs"] == "EPSG:25833"
+        assert col["bbox"] == [r["minx"], r["miny"], r["maxx"], r["maxy"]]
+    back = spark.read.parquet(out)
+    assert back.count() == 20
+    assert {row["gid"] for row in back.collect()} == set(range(20))
