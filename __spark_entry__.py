@@ -29,6 +29,9 @@ from ssb_sgis_spark.functions.text import (
     stopword_count_sql,
     token_count_col,
     token_count_sql,
+    distinct_token_count_col,
+    distinct_token_count_sql,
+    top_bigram_count_col,
 )
 from ssb_sgis_spark.operators.ann import (
     ann_lsh_topk,
@@ -135,6 +138,32 @@ def _pip_oracle(select: str) -> str:
         _PIP_ORACLE_CORE.format(pages=pages_sql(), edges=muni_edges_sql_values())
         + select
     )
+
+
+def _url_stats_oracle(pages: str) -> str:
+    from ssb_sgis_spark.functions.url import (
+        canonical_url_sql,
+        domain_sql,
+        path_depth_sql,
+        tld_sql,
+    )
+
+    return f"""
+        WITH pages AS ({pages}),
+        urls AS (
+            SELECT {domain_sql()} AS domain,
+                   {tld_sql()} AS tld,
+                   CAST({path_depth_sql()} AS BIGINT) AS path_depth,
+                   {canonical_url_sql()} AS canon
+            FROM pages
+        )
+        SELECT domain,
+               CAST(count(*) AS BIGINT) AS n_pages,
+               CAST(count(DISTINCT canon) AS BIGINT) AS n_canon,
+               max(path_depth) AS max_depth,
+               min(tld) AS tld
+        FROM urls GROUP BY domain
+    """
 
 
 # ------------------------------------------------------------------ queries
@@ -321,6 +350,46 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         stopword_count_col(t).alias("stopword_n"),
         lang_guess_col(t).alias("lang_guess"),
         fingerprint_col(t).alias("fingerprint"),
+    )
+
+
+def q_rep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals, computed PER ROW (sorted-array
+    fold for the top-bigram count — no explode, no shuffle: at 10^12
+    docs the unnest→groupBy plan is a petabyte shuffle, this is a
+    map-only stage)."""
+    t = F.col("text")
+    return docs_df(spark, sf_dir).select(
+        "doc_id",
+        token_count_col(t).alias("n_tokens"),
+        distinct_token_count_col(t).alias("n_distinct"),
+        top_bigram_count_col(t).alias("top_bigram_n"),
+    )
+
+
+def q_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain URL statistics — host/registered-domain/TLD/path-depth
+    extraction and recrawl canonicalization as native regexp exprs, then
+    ONE map-side-combined groupBy on the (low-cardinality) domain."""
+    from ssb_sgis_spark.functions.url import (
+        canonical_url_col,
+        domain_col,
+        path_depth_col,
+        tld_col,
+    )
+
+    u = F.col("url")
+    enriched = pages_df(spark, sf_dir).select(
+        domain_col(u).alias("domain"),
+        tld_col(u).alias("tld"),
+        path_depth_col(u).cast("long").alias("path_depth"),
+        canonical_url_col(u).alias("canon"),
+    )
+    return enriched.groupBy("domain").agg(
+        F.count("*").alias("n_pages"),
+        F.count_distinct("canon").alias("n_canon"),
+        F.max("path_depth").alias("max_depth"),
+        F.min("tld").alias("tld"),
     )
 
 
@@ -611,6 +680,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup": q_near_dup,
         "simhash": q_simhash,
         "doc_stats": q_doc_stats,
+        "rep_stats": q_rep_stats,
+        "url_stats": q_url_stats,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -733,6 +804,21 @@ def oracle_sql() -> dict[str, str]:
                    {fingerprint_sql()} AS fingerprint
             FROM documents
         """,
+        "rep_stats": f"""
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS b
+                   FROM toks, unnest(range(1, len(t))) AS r(i)),
+            cnt AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+            top AS (SELECT doc_id, max(c) AS m FROM cnt GROUP BY doc_id)
+            SELECT toks.doc_id AS doc_id,
+                   {token_count_sql('text')} AS n_tokens,
+                   {distinct_token_count_sql('text')} AS n_distinct,
+                   CAST(coalesce(top.m, 0) AS BIGINT) AS top_bigram_n
+            FROM toks
+            JOIN documents USING (doc_id)
+            LEFT JOIN top ON top.doc_id = toks.doc_id
+        """,
+        "url_stats": _url_stats_oracle(pages),
         "ann_topk": cosine_topk_sql(
             f"(SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id % {ANN_QUERY_MOD} = 0)",
             "embeddings",

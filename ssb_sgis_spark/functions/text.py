@@ -124,3 +124,56 @@ def lang_guess_sql(t: str = "text") -> str:
 
 def fingerprint_sql(t: str = "text") -> str:
     return f"md5(array_to_string(list_sort(list_distinct(string_split({t}, ' '))), ' '))"
+
+
+# ---- repetition signals (Gopher-style quality rules) -----------------
+#
+# Repetitious documents (boilerplate, keyword stuffing, scraper loops)
+# are the single biggest bulk-filter in web-corpus pipelines.  Both
+# signals below are PER-ROW native expressions — no explode, no shuffle:
+# the usual unnest→groupBy plan turns every 500-token document into 500
+# shuffle rows, which at 10^12 documents is the difference between a
+# map-only stage and a petabyte shuffle.
+
+
+def distinct_token_count_col(text: Column) -> Column:
+    return F.size(F.array_distinct(tokens_col(text))).cast("long")
+
+
+def distinct_token_count_sql(t: str = "text") -> str:
+    return f"CAST(len(list_distinct(string_split({t}, ' '))) AS BIGINT)"
+
+
+def bigrams_col(text: Column) -> Column:
+    toks = tokens_col(text)
+    n = F.size(toks)
+    return F.zip_with(
+        F.slice(toks, F.lit(1), n - 1),
+        F.slice(toks, F.lit(2), n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+
+
+def top_bigram_count_col(text: Column) -> Column:
+    """Occurrences of the most frequent token bigram — computed per row
+    as the longest equal-run of the SORTED bigram array (a fold over the
+    array, not an explode+groupBy), so the whole quality pass stays a
+    map-only stage.  0 for single-token documents."""
+    sb = F.array_sort(bigrams_col(text))
+    zero = F.lit(0).cast("long")
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        zero.alias("run"),
+        zero.alias("best"),
+    )
+
+    def step(a, x):
+        run = F.when(x.eqNullSafe(a["prev"]), a["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.greatest(a["best"], run).alias("best"),
+        )
+
+    return F.aggregate(sb, acc0, step, lambda a: a["best"])
