@@ -152,7 +152,6 @@ def _url_stats_oracle(pages: str) -> str:
         WITH pages AS ({pages}),
         urls AS (
             SELECT {domain_sql()} AS domain,
-                   {tld_sql()} AS tld,
                    CAST({path_depth_sql()} AS BIGINT) AS path_depth,
                    {canonical_url_sql()} AS canon
             FROM pages
@@ -161,7 +160,7 @@ def _url_stats_oracle(pages: str) -> str:
                CAST(count(*) AS BIGINT) AS n_pages,
                CAST(count(DISTINCT canon) AS BIGINT) AS n_canon,
                max(path_depth) AS max_depth,
-               min(tld) AS tld
+               string_split(domain, '.')[-1] AS tld
         FROM urls GROUP BY domain
     """
 
@@ -381,16 +380,18 @@ def q_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = F.col("url")
     enriched = pages_df(spark, sf_dir).select(
         domain_col(u).alias("domain"),
-        tld_col(u).alias("tld"),
         path_depth_col(u).cast("long").alias("path_depth"),
         canonical_url_col(u).alias("canon"),
     )
-    return enriched.groupBy("domain").agg(
+    agg = enriched.groupBy("domain").agg(
         F.count("*").alias("n_pages"),
         F.count_distinct("canon").alias("n_canon"),
         F.max("path_depth").alias("max_depth"),
-        F.min("tld").alias("tld"),
     )
+    # tld is a function of domain — derive it AFTER the aggregate instead
+    # of carrying a min(string) buffer (string agg buffers force Spark
+    # from HashAggregate into SortAggregate cascades)
+    return agg.withColumn("tld", F.element_at(F.split(F.col("domain"), "\\."), -1))
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

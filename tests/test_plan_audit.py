@@ -1,0 +1,86 @@
+"""Physical-plan regression guards.
+
+The scale story lives in the PLAN, not the output: a query can stay
+oracle-green while silently regressing to a BroadcastNestedLoopJoin or
+sprouting an extra shuffle.  These tests pin the plan shapes the engine
+is designed around — the same properties VERDICT's plan audits check by
+hand — so a refactor that breaks one fails CI, not the next 100 TB run.
+"""
+
+import io
+import contextlib
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+from tests.conftest import spark  # noqa: F401
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_pip_join_is_broadcast_hash_join(spark):
+    p = plan_of(entry.queries()["pip_join"](spark, SF))
+    # cover join must be an equi-join on the cell key with the ray-cast
+    # predicate riding inside the join condition
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_sfilter_no_nested_loop(spark):
+    p = plan_of(entry.queries()["sfilter"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_rep_stats_is_map_only(spark):
+    # the quality pass claims to be explode-free: no Exchange anywhere
+    p = plan_of(entry.queries()["rep_stats"](spark, SF))
+    assert "Exchange" not in p
+    assert "Generate" not in p  # no explode
+
+
+def test_url_stats_bounded_shuffles(spark):
+    # the aggregation adds at most two shuffles on top of the synthetic
+    # pages dedupe (partial distinct on (domain, canon), final on
+    # domain), and stays in HashAggregate — no string agg buffers that
+    # would force SortAggregate cascades
+    p = plan_of(entry.queries()["url_stats"](spark, SF))
+    assert 1 <= p.count("+- Exchange") <= 3, p
+    assert "SortAggregate" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_split_lines_hash_join_on_cell(spark):
+    # VERDICT r2 "what's wrong" #1: this path used to plan a
+    # BroadcastNestedLoopJoin (pure bbox theta join).  Pin the fix.
+    from ssb_sgis_spark.operators.lineops import split_lines_by_nearest_point
+    from ssb_sgis_spark.sources.roads import roads_df
+
+    lines = roads_df(spark).limit(200)
+    pts = spark.range(20).select(
+        F.col("id").alias("pid"),
+        (F.col("id") * 37.0 % 1000).alias("x"),
+        (F.col("id") * 91.0 % 1000).alias("y"),
+    )
+    out = split_lines_by_nearest_point(
+        lines, pts, max_distance=50.0, line_id="road_id"
+    )
+    p = plan_of(out)
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_scan_prunes_columns(spark):
+    # projection must reach the parquet scan: pip_join needs only the
+    # lineitem key columns, never the payload ones
+    p = plan_of(entry.queries()["pip_join"](spark, SF))
+    assert "l_quantity" not in p
+    assert "l_comment" not in p
