@@ -248,6 +248,37 @@ def encode_polygon(rings: list[np.ndarray]) -> bytes:
     return b"".join(out)
 
 
+def encode_boxes(
+    x0: np.ndarray, y0: np.ndarray, x1: np.ndarray, y1: np.ndarray
+) -> list[bytes]:
+    """Vectorized WKB for axis-aligned rectangles — byte-identical to
+    ``encode_polygon([_box_ring(x0, y0, x1, y1)])`` per row, but built in
+    one numpy pass (a 93-byte fixed layout: header + 5-point ring).  Box
+    results dominate tile/grid overlays, and per-row struct packing was
+    the fast path's residual Python cost."""
+    n = len(x0)
+    buf = np.empty((n, 93), dtype=np.uint8)
+    head = (
+        b"\x01"
+        + struct.pack("<I", WKB_POLYGON)
+        + struct.pack("<I", 1)
+        + struct.pack("<I", 5)
+    )
+    buf[:, :13] = np.frombuffer(head, dtype=np.uint8)
+    coords = np.empty((n, 10), dtype="<f8")
+    coords[:, 0::8] = np.asarray(x0)[:, None]   # cols 0, 8
+    coords[:, 1] = y0
+    coords[:, 2] = x1
+    coords[:, 3] = y0
+    coords[:, 4] = x1
+    coords[:, 5] = y1
+    coords[:, 6] = x0
+    coords[:, 7] = y1
+    coords[:, 9] = y0
+    buf[:, 13:] = coords.view(np.uint8).reshape(n, 80)
+    return [r.tobytes() for r in buf]
+
+
 def encode_multipolygon(polys: list[list[np.ndarray]]) -> bytes:
     out = [b"\x01", struct.pack("<I", WKB_MULTIPOLYGON), struct.pack("<I", len(polys))]
     for rings in polys:

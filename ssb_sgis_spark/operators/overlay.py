@@ -342,14 +342,14 @@ def _intersection(df1, df2, geometry_col, lmap, rmap, res, add_area=False, grid_
                 # or height is below grid_size has its opposite edges
                 # share a connectivity key and degenerates to nothing
                 fast &= (ix1 - ix0 >= grid_size) & (iy1 - iy0 >= grid_size)
-            keep, geoms, areas = [], [], []
-            for i in np.flatnonzero(fast):
-                keep.append(i)
-                geoms.append(
-                    wkb.encode_polygon([_box_ring(ix0[i], iy0[i], ix1[i], iy1[i])])
-                )
-                if add_area:
-                    areas.append((ix1[i] - ix0[i]) * (iy1[i] - iy0[i]))
+            fidx = np.flatnonzero(fast)
+            keep = list(fidx)
+            geoms = wkb.encode_boxes(ix0[fidx], iy0[fidx], ix1[fidx], iy1[fidx])
+            areas = (
+                list((ix1[fidx] - ix0[fidx]) * (iy1[fidx] - iy0[fidx]))
+                if add_area
+                else []
+            )
             for i in np.flatnonzero(~both):
                 out = overlay_parts(
                     [ga.geom_parts(acodes[i])], [gb.geom_parts(bcodes[i])],
