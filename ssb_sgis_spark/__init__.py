@@ -24,7 +24,20 @@ from .operators.clusters import (
     connected_components,
     get_polygon_clusters,
 )
-from .operators.conversion import geojson_to_wkb, to_geom_df, wkb_to_wkt, wkt_to_wkb
+from .operators.conversion import (
+    coordinate_array,
+    geojson_to_wkb,
+    get_lonlat,
+    get_utm33,
+    project_to_lonlat,
+    project_to_utm33,
+    to_geom_df,
+    wkb_to_wkt,
+    wkt_to_wkb,
+)
+
+# reference-name alias (sgis ``to_gdf``): same ingestion surface, Spark frame out
+to_gdf = to_geom_df
 from .operators.dedup import (
     dedupe_exact,
     near_dup_pairs,

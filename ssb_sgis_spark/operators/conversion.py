@@ -24,11 +24,12 @@ from __future__ import annotations
 
 import json
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..kernels import wkb
+from ..kernels import proj, wkb
 
 
 def wkt_to_wkb(df: DataFrame, wkt_col: str, out_col: str = "geometry") -> DataFrame:
@@ -114,3 +115,105 @@ def to_geom_df(
         items = list(obj)
     rows = [(i, bytearray(_one_to_wkb(it))) for i, it in enumerate(items)]
     return spark.createDataFrame(rows, f"idx long, {geometry_col} binary")
+
+
+# ---------------------------------------------------------------------------
+# CRS transforms (reference ``conversion.py:59-72`` get_utm33 / get_lonlat).
+#
+# The reference delegates to pyproj; this engine carries its own
+# pure-numpy Krueger-series transverse-Mercator kernel for the
+# reference's native CRS (EPSG:25833, UTM zone 33N on GRS80) — see
+# :mod:`..kernels.proj`.  Driver-side scalars/arrays below mirror the
+# reference call shape; ``project_to_utm33`` / ``project_to_lonlat``
+# are the scale path (Arrow-batched pandas UDF over x/y columns).
+# ---------------------------------------------------------------------------
+
+
+def get_utm33(lon, lat, crs: int = 25833):
+    """lon/lat degrees (EPSG:4326) -> EPSG:25833 easting/northing.
+
+    Mirrors reference ``conversion.py:59`` (scalar in, scalar out;
+    arrays also accepted).  Only zone 33N is implemented — the only CRS
+    the reference ever passes.
+    """
+    if int(crs) != 25833:
+        raise NotImplementedError(f"only EPSG:25833 is supported, got {crs}")
+    e, n = proj.lonlat_to_utm33(lon, lat)
+    if np.ndim(e) == 0 or (np.ndim(lon) == 0 and e.size == 1):
+        return float(np.asarray(e).reshape(-1)[0]), float(np.asarray(n).reshape(-1)[0])
+    return e, n
+
+
+def get_lonlat(x, y, crs: int = 25833):
+    """EPSG:25833 easting/northing -> lon/lat degrees (EPSG:4326).
+
+    Mirrors reference ``conversion.py:67``.
+    """
+    if int(crs) != 25833:
+        raise NotImplementedError(f"only EPSG:25833 is supported, got {crs}")
+    lon, lat = proj.utm33_to_lonlat(x, y)
+    if np.ndim(lon) == 0 or (np.ndim(x) == 0 and lon.size == 1):
+        return (
+            float(np.asarray(lon).reshape(-1)[0]),
+            float(np.asarray(lat).reshape(-1)[0]),
+        )
+    return lon, lat
+
+
+def _project_cols(df: DataFrame, x_col: str, y_col: str, out_x: str, out_y: str, fn):
+    @F.pandas_udf("struct<x: double, y: double>")
+    def tx(x: pd.Series, y: pd.Series) -> pd.DataFrame:
+        a, b = fn(x.to_numpy(np.float64), y.to_numpy(np.float64))
+        return pd.DataFrame({"x": a, "y": b})
+
+    s = tx(F.col(x_col), F.col(y_col))
+    return df.withColumn(out_x, s["x"]).withColumn(out_y, s["y"])
+
+
+def project_to_utm33(
+    df: DataFrame,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    out_x: str = "x",
+    out_y: str = "y",
+) -> DataFrame:
+    """Scale path for :func:`get_utm33`: project lon/lat columns to
+    EPSG:25833 x/y with one Arrow-batched numpy kernel per chunk —
+    map-only, no shuffle, no per-row Python."""
+    return _project_cols(df, lon_col, lat_col, out_x, out_y, proj.lonlat_to_utm33)
+
+
+def project_to_lonlat(
+    df: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+    out_lon: str = "lon",
+    out_lat: str = "lat",
+) -> DataFrame:
+    """Scale path for :func:`get_lonlat` (inverse projection, map-only)."""
+    return _project_cols(df, x_col, y_col, out_lon, out_lat, proj.utm33_to_lonlat)
+
+
+def coordinate_array(df, geometry_col: str = "geometry") -> "np.ndarray":
+    """2-D ndarray of point coordinates (reference ``conversion.py:75``).
+
+    Accepts a Spark DataFrame with a WKB point column (collected — this
+    is the reference's testing/driver convenience, not a scale path) or
+    a pandas DataFrame/Series of WKB bytes.  Non-point rows yield
+    (nan, nan), matching the reference's non-strict behavior.
+    """
+    if isinstance(df, DataFrame):
+        pdf = df.select(geometry_col).toPandas()
+        series = pdf[geometry_col]
+    elif isinstance(df, pd.DataFrame):
+        series = df[geometry_col]
+    else:
+        series = pd.Series(df)
+    out = np.full((len(series), 2), np.nan)
+    for i, buf in enumerate(series):
+        if buf is None:
+            continue
+        arr = wkb.decode([bytes(buf)])
+        if arr.types[0] == wkb.T_POINT and len(arr.coords):
+            out[i] = arr.coords[0]
+    return out

@@ -119,3 +119,74 @@ def test_multiline_multipolygon_wkt_writer(spark):
     back = [wkb.parse_wkt(t) for t in txt]
     orig = [bytes(r["geometry"]) for r in df.orderBy("idx").collect()]
     assert [bytes(b) for b in back] == orig
+
+
+# ---------------------------------------------------------------------------
+# CRS transforms (reference conversion.py:59-72 via kernels/proj.py)
+# ---------------------------------------------------------------------------
+
+from ssb_sgis_spark.kernels import proj
+from ssb_sgis_spark.operators.conversion import (
+    coordinate_array,
+    get_lonlat,
+    get_utm33,
+    project_to_lonlat,
+    project_to_utm33,
+)
+
+
+def test_utm33_meridian_arc_anchor():
+    """Absolute (not just roundtrip) correctness: on the central meridian
+    the northing is k0 * meridian arc.  GRS80 meridian distance to 60N is
+    6,654,072.82 m (standard geodesy tables); x 0.9996 = 6,651,411.19."""
+    e, n = get_utm33(15.0, 60.0)
+    assert e == 500_000.0
+    assert abs(n - 6_651_411.19) < 0.01
+    # equator -> northing 0
+    e0, n0 = get_utm33(15.0, 0.0)
+    assert abs(n0) < 1e-6 and e0 == 500_000.0
+
+
+def test_utm33_roundtrip_ulp_level():
+    rng = np.random.default_rng(7)
+    lon = rng.uniform(4.0, 32.0, 1000)   # Norway-ish zone-33 extent
+    lat = rng.uniform(57.0, 71.0, 1000)
+    e, n = proj.lonlat_to_utm33(lon, lat)
+    lon2, lat2 = proj.utm33_to_lonlat(e, n)
+    # 1e-9 deg ~ 0.1 mm
+    assert np.abs(lon2 - lon).max() < 1e-9
+    assert np.abs(lat2 - lat).max() < 1e-9
+
+
+def test_get_utm33_scalar_and_array_shapes():
+    e, n = get_utm33(10.0, 59.0)
+    assert isinstance(e, float) and isinstance(n, float)
+    ea, na = get_utm33(np.array([10.0, 11.0]), np.array([59.0, 60.0]))
+    assert ea.shape == (2,) and na.shape == (2,)
+    lon, lat = get_lonlat(e, n)
+    assert abs(lon - 10.0) < 1e-9 and abs(lat - 59.0) < 1e-9
+    with pytest.raises(NotImplementedError):
+        get_utm33(10.0, 59.0, crs=32633)
+
+
+def test_project_cols_spark_matches_kernel(spark):
+    lon = [5.5, 10.75, 20.0, 30.9]
+    lat = [58.0, 59.91, 65.5, 70.9]
+    df = spark.createDataFrame(list(zip(lon, lat)), "lon double, lat double")
+    rows = project_to_utm33(df).orderBy("lon").collect()
+    e, n = proj.lonlat_to_utm33(np.array(lon), np.array(lat))
+    got_e = np.array([r.x for r in rows])
+    got_n = np.array([r.y for r in rows])
+    # Arrow batch path must be bit-identical to the driver kernel
+    assert np.array_equal(got_e, e) and np.array_equal(got_n, n)
+    back = project_to_lonlat(project_to_utm33(df)).orderBy("lon").collect()
+    assert np.abs(np.array([r["lon"] for r in back]) - np.array(lon)).max() < 1e-9
+
+
+def test_coordinate_array_points_and_non_points(spark):
+    gdf = to_geom_df(spark, ["POINT (1 2)", "POLYGON ((0 0, 1 0, 1 1, 0 0))", "POINT (3 4)"])
+    arr = coordinate_array(gdf)
+    assert arr.shape == (3, 2)
+    assert list(arr[0]) == [1.0, 2.0]
+    assert np.isnan(arr[1]).all()
+    assert list(arr[2]) == [3.0, 4.0]
