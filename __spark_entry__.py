@@ -63,7 +63,7 @@ from ssb_sgis_spark.operators.raster_ops import (
     rasterize_polygons,
 )
 from ssb_sgis_spark.operators.skew import salted_agg
-from ssb_sgis_spark.operators.textops import extract_text
+from ssb_sgis_spark.operators.textops import extract_text, geocode_html
 from ssb_sgis_spark.operators.zonal import zonal_stats
 from ssb_sgis_spark.sources.raster import (
     CELL,
@@ -320,6 +320,19 @@ def q_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     (byte-identical extracted text per url) IS the oracle compare."""
     pages = pages_df(spark, sf_dir, with_payload=True)
     return extract_text(pages).select("uid", "extracted_text")
+
+
+def q_geocode_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-star pipeline end to end: raw html payload -> Arrow-batched
+    coordinate parse (geocode_html; the page's precomputed x/y columns never
+    enter this plan -- coordinates exist only as bytes inside html until the
+    parser recovers them) -> cell-cover broadcast PIP join -> (uid, muni_id).
+    One shuffle-free map stage plus the codegen broadcast join."""
+    pages = pages_df(spark, sf_dir, with_payload=True).select("uid", "html")
+    geo = geocode_html(pages).select("uid", "x", "y")
+    return points_in_polygons_join(geo, muni_df(spark), cache_key="munis").select(
+        "uid", "muni_id"
+    )
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -677,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_clusters": q_page_clusters,
         "buffdissexp_blobs": q_buffdissexp_blobs,
         "text_extract": q_text_extract,
+        "geocode_pip": q_geocode_pip,
         "dedup_exact": q_dedup_exact,
         "near_dup": q_near_dup,
         "simhash": q_simhash,
@@ -792,6 +806,16 @@ def oracle_sql() -> dict[str, str]:
                    printf('%.3f', x) || ' N' || printf('%.3f', y) AS extracted_text
             FROM pages
         """,
+        "geocode_pip": _PIP_ORACLE_CORE.format(
+            pages=(
+                "SELECT uid, url, CAST(printf('%.3f', x) AS DOUBLE) AS x, "
+                "CAST(printf('%.3f', y) AS DOUBLE) AS y FROM ("
+                + pages_sql()
+                + ")"
+            ),
+            edges=muni_edges_sql_values(),
+        )
+        + "SELECT uid, muni_id FROM hits",
         "dedup_exact": dedupe_exact_sql(f"({docs_with_dups_sql()})"),
         "near_dup": near_dup_pairs_sql(f"({docs_with_dups_sql()})"),
         "simhash": simhash_sql("documents"),

@@ -138,7 +138,7 @@ from .operators.sjoin import (
     sfilter_split,
 )
 from .operators.skew import salted_agg
-from .operators.textops import extract_text
+from .operators.textops import extract_text, geocode_html
 from .streaming.dedup import dedup_stream
 from .operators.tsp import traveling_salesman_problem
 from .operators.zonal import zonal_stats

@@ -38,3 +38,41 @@ def extract_text(
             yield out
 
     return df.mapInPandas(kernel, schema=T.StructType(fields))
+
+
+def geocode_html(
+    df: DataFrame,
+    html_col: str = "html",
+    out_x: str = "x",
+    out_y: str = "y",
+) -> DataFrame:
+    """Parse the geocoded page coordinate out of the raw html payload.
+
+    The north-star pipeline stage between ingestion and the spatial
+    join: "geocoded page coordinates (extracted byte-identically per
+    url via Arrow-batched parsers) are indexed into cells for
+    partition-pruned point-in-polygon joins".  The page template
+    (sources/pages.py) carries ``data-x="E" data-y="N"`` attributes;
+    parsing = one vectorized regex extract + a numeric cast per Arrow
+    batch — no per-row Python, map-only, no shuffle.  Rows whose html
+    carries no coordinate get NULL x/y (callers drop or route them to
+    a fix-missing pass, like the municipality writer does).
+    """
+    import pandas as pd
+
+    fields = [f for f in df.schema.fields if f.name not in (out_x, out_y)] + [
+        T.StructField(out_x, T.DoubleType()),
+        T.StructField(out_y, T.DoubleType()),
+    ]
+    keep = [f.name for f in df.schema.fields if f.name not in (out_x, out_y)]
+
+    def kernel(it):
+        for pdf in it:
+            s = pdf[html_col].str.decode("utf-8")
+            ext = s.str.extract(r'data-x="(-?[0-9.]+)" data-y="(-?[0-9.]+)"')
+            out = pdf[keep].copy()
+            out[out_x] = pd.to_numeric(ext[0], errors="coerce")
+            out[out_y] = pd.to_numeric(ext[1], errors="coerce")
+            yield out
+
+    return df.mapInPandas(kernel, schema=T.StructType(fields))

@@ -150,3 +150,35 @@ def test_ivf_partial_probe_recall_and_determinism(spark):
     pairs = {(r["qid"], r["vid"]) for r in got1}
     recall = len(pairs & exact) / len(exact)
     assert recall > 0.5  # label-clustered embeddings, 4/16 lists probed
+
+
+def test_geocode_html_recovers_formatted_coords(spark):
+    """geocode_html must recover exactly the %.3f-rounded coordinate the
+    page template embedded — the Arrow parse is byte/bit-stable, and a
+    null-coordinate page yields NULL x/y instead of an error."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ssb_sgis_spark.operators.textops import geocode_html
+    from ssb_sgis_spark.sources.pages import pages_df
+
+    pages = pages_df(spark, SF, with_payload=True).limit(500)
+    expected = (
+        pages.select(
+            "uid",
+            F.format_string("%.3f", "x").cast("double").alias("ex"),
+            F.format_string("%.3f", "y").cast("double").alias("ey"),
+        )
+    )
+    got = geocode_html(pages.select("uid", "html"))
+    joined = got.join(expected, "uid").select("uid", "x", "y", "ex", "ey").toPandas()
+    assert len(joined) == 500
+    assert (joined["x"] == joined["ex"]).all()
+    assert (joined["y"] == joined["ey"]).all()
+
+    # a page with no geo attribute -> NULL coords, not a crash
+    blank = spark.createDataFrame(
+        [(1, bytearray(b"<html><body>no geo here</body></html>"))], "uid long, html binary"
+    )
+    row = geocode_html(blank).collect()[0]
+    assert row.x is None and row.y is None
