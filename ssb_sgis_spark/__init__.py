@@ -144,7 +144,14 @@ from .operators.tsp import traveling_salesman_problem
 from .operators.zonal import zonal_stats
 from .sources.geotiff import Raster, geotiff_tiles_df, read_meta, write_geotiff
 from .sources.sentinel import Sentinel2, sentinel2_catalog, enrich_catalog_headers
-from .sources.io import check_files, exists, read_parquet_url, write_geoparquet
+from .sources.io import (
+    check_files,
+    exists,
+    read_lake_table,
+    read_parquet_url,
+    write_geoparquet,
+    write_lake_table,
+)
 
 import types as _types
 

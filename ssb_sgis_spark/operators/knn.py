@@ -345,6 +345,11 @@ def knn_cellwise(
     # round 1: halo-replicate the right side, left joins its own cell
     rightc1 = (
         right_c.withColumn("_o", F.explode(F.array(*_offsets(1))))
+        .filter(
+            _cell_shift_valid_col(
+                F.col(right_x), F.col(right_y), res, F.col("_o.ox"), F.col("_o.oy")
+            )
+        )
         .withColumn(
             "_cell",
             _cell_shift_col(
@@ -356,16 +361,15 @@ def knn_cellwise(
     leftc = left.select(left_id, left_x, left_y).withColumn(
         "_cell", _cell_shift_col(F.col(left_x), F.col(left_y), res, F.lit(0), F.lit(0))
     )
-    scored1 = (
-        leftc.join(rightc1, "_cell")
-        .select(
-            left_id,
-            left_x,
-            left_y,
-            F.col(right_id).alias("neighbor_id"),
-            F.sqrt(dxc * dxc + dyc * dyc).alias("distance"),
-        )
-        .dropDuplicates([left_id, "neighbor_id"])
+    # no dropDuplicates: the halo filter guarantees each (left, right)
+    # pair matches on at most one cell, so the dedup exchange (as big as
+    # the whole scored set) is provably unnecessary
+    scored1 = leftc.join(rightc1, "_cell").select(
+        left_id,
+        left_x,
+        left_y,
+        F.col(right_id).alias("neighbor_id"),
+        F.sqrt(dxc * dxc + dyc * dyc).alias("distance"),
     )
     ranked = _topk(scored1).localCheckpoint()
     proven, remaining = _split_proven(ranked, 1, leftc)
@@ -391,6 +395,11 @@ def knn_cellwise(
     while rounds < max_rings and not _go_brute(n_rem) and n_rem > 0:
         cells = (
             remaining.withColumn("_o", F.explode(F.array(*_offsets(r))))
+            .filter(
+                _cell_shift_valid_col(
+                    F.col(left_x), F.col(left_y), res, F.col("_o.ox"), F.col("_o.oy")
+                )
+            )
             .withColumn(
                 "_cell",
                 _cell_shift_col(
@@ -399,16 +408,13 @@ def knn_cellwise(
             )
             .drop("_o")
         )
-        scored = (
-            cells.join(right_c, "_cell")
-            .select(
-                left_id,
-                left_x,
-                left_y,
-                F.col(right_id).alias("neighbor_id"),
-                F.sqrt(dxc * dxc + dyc * dyc).alias("distance"),
-            )
-            .dropDuplicates([left_id, "neighbor_id"])
+        # pair-uniqueness by the same halo-filter argument as round 1
+        scored = cells.join(right_c, "_cell").select(
+            left_id,
+            left_x,
+            left_y,
+            F.col(right_id).alias("neighbor_id"),
+            F.sqrt(dxc * dxc + dyc * dyc).alias("distance"),
         )
         ranked_r = _topk(scored).localCheckpoint()
         proven_r, remaining = _split_proven(ranked_r, r, remaining)
@@ -462,7 +468,9 @@ def knn_cellwise(
                 )
 
         partials = right_c.drop("_cell").mapInPandas(brute, schema=part_schema)
-        results.append(_topk(partials.dropDuplicates([left_id, "neighbor_id"])))
+        # partitions of right_c are row-disjoint, so each (violator,
+        # right-row) pair is scored by exactly one partition: no dedup
+        results.append(_topk(partials))
 
     out = results[0]
     for extra in results[1:]:
@@ -484,3 +492,44 @@ def _cell_shift_col(x, y, res: int, ox, oy):
 
     s = cell_size(res)
     return cell_of_xy_col(x + ox * F.lit(s), y + oy * F.lit(s), res)
+
+
+def _cell_shift_valid_col(x, y, res: int, ox, oy):
+    """True when the (ox, oy)-shifted cell index is in-domain UNCLAMPED.
+
+    cell_index_col clamps to [0, 2^res); near the domain edge two
+    different offsets would clamp onto the SAME cell and a halo replica
+    would collide with another replica of the same row.  Filtering the
+    exploded halo on this predicate keeps every surviving (row, offset)
+    on a distinct cell, which makes (left, right) candidate pairs unique
+    per round BY CONSTRUCTION — no dropDuplicates shuffle over the
+    scored set (that shuffle was ~the size of the whole candidate join
+    output, the single most expensive exchange of the cellwise path).
+    Out-of-domain points sit in the clamped border cell and are still
+    found: their own (0, 0) replica always survives this filter.
+    """
+    from ..cells import DOMAIN_X0, DOMAIN_Y0, cell_size
+
+    s = F.lit(cell_size(res))
+    n = (1 << res) - 1
+    bx = F.floor((x - F.lit(DOMAIN_X0)) / s)
+    by = F.floor((y - F.lit(DOMAIN_Y0)) / s)
+    # the shifted index is computed from the SAME float expression
+    # cell_index_col floors (x + ox*s, not bx + ox), so "valid" here and
+    # the cell the replica actually lands on can never disagree, even a
+    # 1-ulp disagreement at a cell boundary
+    sx = F.floor((x + ox * s - F.lit(DOMAIN_X0)) / s)
+    sy = F.floor((y + oy * s - F.lit(DOMAIN_Y0)) / s)
+    # in-domain rows: keep exactly the offsets whose target index is
+    # in-range unclamped — distinct offsets give strictly increasing
+    # target indices (s is a power of two, exact float steps), so every
+    # surviving replica lands on a distinct cell.  A row whose base
+    # index is itself out of domain (clamped into the border cell) keeps
+    # ONLY its (0, 0) self replica — a shifted replica of such a row
+    # would clamp onto the same border cell as the self replica and
+    # re-create the duplicate this predicate exists to rule out.
+    in_dom_x = (bx >= 0) & (bx <= n)
+    in_dom_y = (by >= 0) & (by <= n)
+    okx = F.when(in_dom_x, (sx >= 0) & (sx <= n)).otherwise(ox == 0)
+    oky = F.when(in_dom_y, (sy >= 0) & (sy <= n)).otherwise(oy == 0)
+    return okx & oky

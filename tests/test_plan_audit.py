@@ -84,3 +84,26 @@ def test_scan_prunes_columns(spark):
     p = plan_of(entry.queries()["pip_join"](spark, SF))
     assert "l_quantity" not in p
     assert "l_comment" not in p
+
+
+# Queries whose SEMANTICS are a cross product over a broadcast-small side:
+# all_distances is the all-pairs distance matrix between two down-sampled
+# point sets (reference get_all_distances, neighbors.py — a cartesian by
+# definition); ann_topk is the deliberate brute-force rescoring BASELINE
+# (the scale paths are ann_lsh / ann_ivf, both hash-join bucketed).  For
+# these a BroadcastNestedLoopJoin over the tiny broadcast side IS the
+# right physical plan.
+_CROSS_BY_DESIGN = {"all_distances", "ann_topk"}
+
+
+def test_no_query_regresses_to_nested_loop(spark):
+    """Sweep EVERY driver query's physical plan: no CartesianProduct
+    anywhere, no BroadcastNestedLoopJoin outside the two queries whose
+    semantics are a cross product.  This is the engine-wide guard that
+    a refactor can't silently turn a bucketed/broadcast-hash join back
+    into an O(n*m) scan at 100 TB."""
+    for name, fn in entry.queries().items():
+        p = plan_of(fn(spark, SF))
+        assert "CartesianProduct" not in p, name
+        if name not in _CROSS_BY_DESIGN:
+            assert "BroadcastNestedLoopJoin" not in p, name

@@ -183,3 +183,45 @@ def test_write_geoparquet_metadata_and_roundtrip(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 20
     assert {row["gid"] for row in back.collect()} == set(range(20))
+
+
+def test_lake_table_parquet_fallback_roundtrip(spark, tmp_path):
+    """read_lake_table/write_lake_table: without the Iceberg runtime the
+    same call sites write/read partitioned parquet; partition column
+    filters prune at the scan (PartitionFilters, no full read)."""
+    from ssb_sgis_spark.sources.io import (
+        _iceberg_available,
+        read_lake_table,
+        write_lake_table,
+    )
+
+    assert not _iceberg_available(spark)  # sandbox has no iceberg jars
+
+    df = spark.range(100).selectExpr(
+        "id AS uid", "CAST(id % 4 AS INT) AS cell", "CAST(id AS DOUBLE) AS x"
+    )
+    out = str(tmp_path / "lake")
+    write_lake_table(df, out, mode="overwrite", partition_by=["cell"])
+
+    back = read_lake_table(spark, out)
+    assert back.count() == 100
+
+    pruned = back.filter("cell = 2")
+    plan = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan
+    assert pruned.count() == 25
+
+
+def test_lake_table_time_travel_requires_iceberg(spark, tmp_path):
+    """Time-travel on the parquet fallback must raise, not silently read
+    HEAD — snapshot semantics only exist with the Iceberg runtime."""
+    import pytest as _pytest
+
+    from ssb_sgis_spark.sources.io import read_lake_table, write_lake_table
+
+    out = str(tmp_path / "lake2")
+    write_lake_table(spark.range(5).toDF("uid"), out, mode="overwrite")
+    with _pytest.raises(ValueError, match="time travel"):
+        read_lake_table(spark, out, snapshot_id=123)
