@@ -91,7 +91,11 @@ from ssb_sgis_spark.sources.documents import (
 from ssb_sgis_spark.operators.dissolve import buffdissexp_by_cluster
 from ssb_sgis_spark.operators.geomtable import with_area, xy_to_point_wkb
 from ssb_sgis_spark.operators.grid import add_grid_id
-from ssb_sgis_spark.operators.knn import get_all_distances, get_k_nearest_neighbors
+from ssb_sgis_spark.operators.knn import (
+    get_all_distances,
+    get_k_nearest_neighbors,
+    knn_haversine,
+)
 from ssb_sgis_spark.operators.overlay import clean_overlay
 from ssb_sgis_spark.operators.sjoin import (
     points_in_polygons_join,
@@ -205,6 +209,45 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     left = pages_df(spark, sf_dir).filter(F.col("uid") % KNN_LEFT_MOD == 0)
     return get_k_nearest_neighbors(left, points_df(spark, sf_dir), k=KNN_K).select(
         "uid", "neighbor_id", "distance", "knn_rank"
+    )
+
+
+def _lonlat_cols(x_col: str, y_col: str):
+    """Linear UTM-extent -> degree map, float-op order fixed so Spark and
+    DuckDB produce identical doubles: ((v - origin) / 160000.0) * span + base."""
+    lon = (F.col(x_col) - 200000.0) / 160000.0 * 8.0 + 4.0
+    lat = (F.col(y_col) - 6560000.0) / 160000.0 * 4.0 + 58.0
+    return lon, lat
+
+
+def _lonlat_sql(x: str, y: str) -> tuple[str, str]:
+    return (
+        f"(({x}) - 200000.0) / 160000.0 * 8.0 + 4.0",
+        f"(({y}) - 6560000.0) / 160000.0 * 4.0 + 58.0",
+    )
+
+
+def q_knn_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haversine kNN over lon/lat degree columns (north-star: "Haversine
+    kNN inside pandas/Arrow UDFs") — same sample as `knn`, great-circle
+    metres.  Output distance is ROUNDED to whole metres: sin/cos are not
+    correctly-rounded, so numpy and DuckDB drift ~1e-9 m apart; ranks use
+    the unrounded distance in both engines."""
+    lon, lat = _lonlat_cols("x", "y")
+    left = (
+        pages_df(spark, sf_dir)
+        .filter(F.col("uid") % KNN_LEFT_MOD == 0)
+        .select("uid", lon.alias("x"), lat.alias("y"))
+    )
+    plon, plat = _lonlat_cols("px", "py")
+    right = points_df(spark, sf_dir).select(
+        "vid", plon.alias("px"), plat.alias("py")
+    )
+    return knn_haversine(left, right, k=KNN_K).select(
+        "uid",
+        "neighbor_id",
+        F.round(F.col("distance"), 0).cast("long").alias("dist_m"),
+        "knn_rank",
     )
 
 
@@ -682,6 +725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_id": q_grid_id,
         "cell_index": q_cell_index,
         "knn": q_knn,
+        "knn_haversine": q_knn_haversine,
         "sfilter": q_sfilter,
         "sfilter_inverse": q_sfilter_inverse,
         "all_distances": q_all_distances,
@@ -717,6 +761,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _knn_haversine_oracle(pages: str, points: str) -> str:
+    lon_l, lat_l = _lonlat_sql("x", "y")
+    lon_r, lat_r = _lonlat_sql("px", "py")
+    # whole-metre rounding absorbs the ~1e-9 m numpy/DuckDB libm drift;
+    # rank from the unrounded distance, ties on (distance, vid)
+    return f"""
+        WITH pages AS ({pages}), pts AS ({points}),
+        lp AS (
+          SELECT uid, {lon_l} AS lon, {lat_l} AS lat
+          FROM pages WHERE uid % {KNN_LEFT_MOD} = 0
+        ),
+        rp AS (SELECT vid, {lon_r} AS lon, {lat_r} AS lat FROM pts),
+        scored0 AS (
+          SELECT lp.uid, rp.vid AS neighbor_id,
+                 2 * 6371008.8 * asin(sqrt(
+                   pow(sin(radians(rp.lat - lp.lat) / 2), 2) +
+                   cos(radians(lp.lat)) * cos(radians(rp.lat)) *
+                   pow(sin(radians(rp.lon - lp.lon) / 2), 2)
+                 )) AS d
+          FROM lp CROSS JOIN rp
+        ),
+        scored AS (
+          SELECT uid, neighbor_id, d,
+                 CAST(row_number() OVER (
+                   PARTITION BY uid ORDER BY d, neighbor_id
+                 ) AS INTEGER) AS knn_rank
+          FROM scored0
+        )
+        SELECT uid, neighbor_id, CAST(round(d, 0) AS BIGINT) AS dist_m, knn_rank
+        FROM scored WHERE knn_rank <= {KNN_K}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     pages = pages_sql()
     points = points_sql()
@@ -748,6 +825,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT uid, neighbor_id, distance, knn_rank FROM scored WHERE knn_rank <= {KNN_K}
         """,
+        "knn_haversine": _knn_haversine_oracle(pages, points),
         "sfilter": _pip_oracle("SELECT DISTINCT uid, x, y FROM hits"),
         "sfilter_inverse": _pip_oracle(
             """

@@ -80,6 +80,7 @@ from .operators.knn import (
     get_all_distances,
     get_k_nearest_neighbors,
     knn_cellwise,
+    knn_haversine,
     sjoin_nearest,
 )
 from .operators.lineops import (

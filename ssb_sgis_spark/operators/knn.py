@@ -101,6 +101,24 @@ def _topk_block(lx, ly, rx, ry, k: int):
     return order, np.take_along_axis(d, order, axis=1)
 
 
+def _topk_block_haversine(llon, llat, rlon, rlat, k: int):
+    """Haversine variant of :func:`_topk_block`: great-circle metres over
+    a (batch x n_right) broadcast block (north-star: "Haversine kNN
+    inside pandas/Arrow UDFs").  Coordinates in degrees (lon, lat).
+
+    Unlike sqrt, sin/cos are not correctly-rounded and numpy's SIMD
+    loops differ from another engine's libm by ~1 ulp (measured 1.6e-9 m
+    on realistic extents) — callers comparing across engines must round
+    the output (whole metres is 9 orders of magnitude above the drift);
+    ranks are safe because distinct point spacing dwarfs the drift.
+    """
+    from ..kernels.geom import haversine_m
+
+    d = haversine_m(llon[:, None], llat[:, None], rlon[None, :], rlat[None, :])
+    order = _select_topk_tiesafe(d, k)
+    return order, np.take_along_axis(d, order, axis=1)
+
+
 def get_k_nearest_neighbors(
     left: DataFrame,
     right: DataFrame,
@@ -115,6 +133,7 @@ def get_k_nearest_neighbors(
     strict: bool = False,
     max_distance: float | None = None,
     broadcast_threshold: int = 2_000_000,
+    metric: str = "euclidean",
 ) -> DataFrame:
     """kNN join.  Output columns: (left_id, neighbor_id, distance,
     knn_rank 1..k) — exactly len(left) * k rows (reference invariant,
@@ -128,7 +147,20 @@ def get_k_nearest_neighbors(
     side's density.
     """
     spark = left.sparkSession
+    if metric not in ("euclidean", "haversine"):
+        raise ValueError(f"unknown metric {metric!r}")
     n_right_est = right.count()
+    if metric == "haversine" and n_right_est > broadcast_threshold:
+        # the cellwise ring guarantee is a PLANAR bound; great-circle
+        # cells would need latitude-dependent sizing.  The scale answer
+        # for huge lon/lat clouds is project-then-planar (kernels.proj
+        # get_utm33), which is exact for regional data — refuse rather
+        # than silently return approximate neighbors.
+        raise NotImplementedError(
+            "haversine kNN with a non-broadcastable right side: project to "
+            "a planar CRS first (operators.conversion.get_utm33) and use "
+            "metric='euclidean', whose cellwise scale path is exact"
+        )
     if n_right_est > broadcast_threshold:
         if strict and k > n_right_est:
             raise ValueError(f"k={k} > n_right={n_right_est} with strict=True")
@@ -177,7 +209,8 @@ def get_k_nearest_neighbors(
             ly = pdf[left_y].to_numpy(dtype=np.float64)
             for s in range(0, len(pdf), chunk):
                 e = s + chunk
-                pos, dist = _topk_block(lx[s:e], ly[s:e], rx_, ry_, k_eff)
+                block = _topk_block if metric == "euclidean" else _topk_block_haversine
+                pos, dist = block(lx[s:e], ly[s:e], rx_, ry_, k_eff)
                 b = len(lx[s:e])
                 yield pd.DataFrame(
                     {
@@ -199,6 +232,14 @@ def get_k_nearest_neighbors(
     if max_distance is not None:
         out = out.filter(F.col("distance") <= max_distance)
     return out
+
+
+def knn_haversine(left: DataFrame, right: DataFrame, k: int, **kw) -> DataFrame:
+    """kNN over lon/lat degree columns with great-circle metre distances
+    (north-star parity: "Haversine kNN inside pandas/Arrow UDFs").  Same
+    output contract as :func:`get_k_nearest_neighbors`; the left/right
+    x/y columns hold degrees longitude/latitude."""
+    return get_k_nearest_neighbors(left, right, k, metric="haversine", **kw)
 
 
 def sjoin_nearest(left: DataFrame, right: DataFrame, max_distance: float | None = None, **kw) -> DataFrame:

@@ -171,3 +171,51 @@ def test_knn_cellwise_matches_broadcast(spark, frames):
             got[["uid", "neighbor_id", "distance", "knn_rank"]].dtypes.to_dict()
         ),
     )
+
+
+def test_knn_haversine_matches_brute_greatcircle(spark):
+    """Haversine kNN == numpy brute great-circle argsort on lon/lat data,
+    including equator/meridian sanity (1 deg lat ~ 111.2 km)."""
+    from ssb_sgis_spark.kernels.geom import haversine_m
+    from ssb_sgis_spark.operators.knn import knn_haversine
+
+    rng = np.random.default_rng(11)
+    nl, nr, k = 40, 120, 3
+    llon = rng.uniform(4, 31, nl); llat = rng.uniform(56, 71, nl)
+    rlon = rng.uniform(4, 31, nr); rlat = rng.uniform(56, 71, nr)
+    left = spark.createDataFrame(
+        [(int(i), float(a), float(b)) for i, (a, b) in enumerate(zip(llon, llat))],
+        "uid long, x double, y double",
+    )
+    right = spark.createDataFrame(
+        [(int(i), float(a), float(b)) for i, (a, b) in enumerate(zip(rlon, rlat))],
+        "vid long, px double, py double",
+    )
+    got = (
+        knn_haversine(left, right, k=k)
+        .toPandas()
+        .sort_values(["uid", "knn_rank"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == nl * k
+    for i in range(nl):
+        d = haversine_m(llon[i], llat[i], rlon, rlat)
+        want = np.lexsort((np.arange(nr), d))[:k]
+        rows = got[got["uid"] == i]
+        assert list(rows["neighbor_id"]) == list(want)
+        assert np.allclose(rows["distance"].to_numpy(), d[want])
+    # scale sanity: 1 degree of latitude on the sphere = ~111.195 km
+    one_deg = haversine_m(np.array([10.0]), np.array([60.0]),
+                          np.array([10.0]), np.array([61.0]))[0]
+    assert abs(one_deg - 111_195) < 50
+
+
+def test_knn_haversine_refuses_nonbroadcast_right(spark):
+    """The planar ring guarantee doesn't transfer to great-circle cells:
+    the scale path must refuse, pointing at project-then-planar."""
+    from ssb_sgis_spark.operators.knn import knn_haversine
+
+    df = spark.range(10).selectExpr("id AS uid", "4.0 + id AS x", "58.0 AS y")
+    rt = spark.range(10).selectExpr("id AS vid", "4.0 + id AS px", "58.0 AS py")
+    with pytest.raises(NotImplementedError, match="planar"):
+        knn_haversine(df, rt, k=2, broadcast_threshold=1)
