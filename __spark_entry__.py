@@ -378,6 +378,62 @@ def q_geocode_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tiled_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PIP join run through the checkpoint-resumable TiledRun harness
+    (north rule: "resumable from checkpoint with per-partition lineage +
+    metrics").  Municipality ids are the tile assignment; each batch
+    bbox-prunes the pages side to its own tiles' extents (native
+    predicates -> parquet scan pruning), runs the cover PIP join for just
+    those tiles, and appends a lineage manifest row (n_rows, checksum,
+    elapsed) with its partitioned output; a re-run against the same
+    out_dir skips finished batches.  Same oracle as pip_join — tiling is
+    an execution strategy, not a semantics change."""
+    import tempfile
+
+    from ssb_sgis_spark.plans.manifest import TiledRun
+    from ssb_sgis_spark.sources.municipalities import muni_rings
+
+    out_dir = tempfile.mkdtemp(prefix="sgis_tiled_pip_")
+    run = TiledRun(spark, out_dir, batch_col="_batch")
+    # exterior-ring bbox per muni (holes lie inside the exterior)
+    bounds = {
+        mid: (
+            float(rings[0][:, 0].min()), float(rings[0][:, 1].min()),
+            float(rings[0][:, 0].max()), float(rings[0][:, 1].max()),
+        )
+        for mid, rings in muni_rings()
+    }
+    # materialize (uid, x, y) once: in the north plan this IS the stored
+    # lake table (x/y are parquet columns and each batch's bbox filter
+    # reaches row-group pruning); here pages are derived from lineitem,
+    # so without this every batch would re-derive the whole table and the
+    # bbox OR would re-inline the derivation per comparison
+    pages = pages_df(spark, sf_dir).select("uid", "x", "y").localCheckpoint()
+    munis = muni_df(spark)
+    for b, tiles, done in run.batches(sorted(bounds), n_batches=3):
+        if done:
+            continue
+        prune = None
+        for t in tiles:
+            x0, y0, x1, y1 = bounds[t]
+            box = (
+                (F.col("x") >= x0) & (F.col("x") <= x1)
+                & (F.col("y") >= y0) & (F.col("y") <= y1)
+            )
+            prune = box if prune is None else (prune | box)
+        with run.record(b) as rec:
+            # ONE shared broadcast cover for every batch (cache_key
+            # "munis", same as pip_join): the cover is a broadcast dim,
+            # rebuilding it per batch would serialize 3x driver work.
+            # Batch scoping = bbox-prune the pages side + filter the
+            # join output to the batch's tiles.
+            hit = points_in_polygons_join(
+                pages.filter(prune), munis, cache_key="munis"
+            ).filter(F.col("muni_id").isin([str(t) for t in tiles]))
+            rec.write(hit.select("uid", "muni_id"))
+    return run.result().select("uid", "muni_id")
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy (SURVEY training-data ops)."""
     return dedupe_exact(docs_with_dups_df(spark, sf_dir))
@@ -735,6 +791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "buffdissexp_blobs": q_buffdissexp_blobs,
         "text_extract": q_text_extract,
         "geocode_pip": q_geocode_pip,
+        "tiled_pip": q_tiled_pip,
         "dedup_exact": q_dedup_exact,
         "near_dup": q_near_dup,
         "simhash": q_simhash,
@@ -799,6 +856,8 @@ def oracle_sql() -> dict[str, str]:
     points = points_sql()
     out = {
         "pip_join": _pip_oracle("SELECT uid, muni_id FROM hits"),
+        # tiling is an execution strategy; semantics == pip_join
+        "tiled_pip": _pip_oracle("SELECT uid, muni_id FROM hits"),
         "pip_count_by_muni": _pip_oracle(
             "SELECT muni_id, count(*) AS n_pages FROM hits GROUP BY muni_id"
         ),

@@ -116,21 +116,27 @@ class TiledRun:
             self.t0 = time.time()
 
         def write(self, df: DataFrame) -> None:
-            out = df.withColumn(self.run.batch_col, F.lit(self.batch_id))
-            stats = out.agg(
-                F.count("*").alias("n"),
+            from pyspark.sql import Observation
+
+            # lineage metrics ride along the write itself (Observation):
+            # a separate .agg() action would evaluate the batch twice
+            obs = Observation()
+            out = df.withColumn(self.run.batch_col, F.lit(self.batch_id)).observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
                 F.coalesce(
                     F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns])), F.lit(0)
                 ).alias("h"),
-            ).collect()[0]
-            self.n_rows += stats["n"]
-            self.checksum ^= int(stats["h"]) & ((1 << 63) - 1)
+            )
             (
                 out.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy(self.run.batch_col)
                 .parquet(self.run.data_path)
             )
+            stats = obs.get
+            self.n_rows += stats["n"]
+            self.checksum ^= int(stats["h"]) & ((1 << 63) - 1)
 
         def __enter__(self):
             return self
