@@ -19,6 +19,8 @@ from ssb_sgis_spark.cells import morton_sql, ssb_grid_id_sql
 from ssb_sgis_spark.functions.text import (
     avg_token_len_col,
     avg_token_len_sql,
+    bpe_token_count_col,
+    bpe_token_count_sql,
     char_count_col,
     char_count_sql,
     fingerprint_col,
@@ -456,6 +458,7 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs_df(spark, sf_dir).select(
         "doc_id",
         token_count_col(t).alias("n_tokens"),
+        bpe_token_count_col(t).alias("n_bpe_tokens"),
         char_count_col(t).alias("n_chars2"),
         avg_token_len_col(t).alias("avg_tok_x1000"),
         stopword_count_col(t).alias("stopword_n"),
@@ -473,6 +476,7 @@ def q_rep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs_df(spark, sf_dir).select(
         "doc_id",
         token_count_col(t).alias("n_tokens"),
+        bpe_token_count_col(t).alias("n_bpe_tokens"),
         distinct_token_count_col(t).alias("n_distinct"),
         top_bigram_count_col(t).alias("top_bigram_n"),
     )
@@ -959,6 +963,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_stats": f"""
             SELECT doc_id,
                    {token_count_sql()} AS n_tokens,
+                   {bpe_token_count_sql()} AS n_bpe_tokens,
                    {char_count_sql()} AS n_chars2,
                    {avg_token_len_sql()} AS avg_tok_x1000,
                    {stopword_count_sql()} AS stopword_n,

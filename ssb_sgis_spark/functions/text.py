@@ -36,6 +36,26 @@ def char_count_col(text: Column) -> Column:
     return F.length(text).cast("long")
 
 
+# GPT-2-style pre-tokenizer, restricted to RE2-compatible constructs (no
+# lookahead) so Spark's Java regex and DuckDB's RE2 count identically —
+# verified bit-equal on contractions, punctuation runs, digits, and
+# leading/trailing/multiple spaces.  ASCII classes: the synthetic corpus
+# is ASCII, and \p{L} subtleties differ across engines.
+BPE_TOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_token_count_col(text: Column) -> Column:
+    """Subword-style token count: matches of the BPE-ish pre-tokenizer
+    regex (the whitespace split undercounts punctuation-heavy text the
+    way no real tokenizer does)."""
+    return F.regexp_count(text, F.lit(BPE_TOKEN_PATTERN)).cast("long")
+
+
+def bpe_token_count_sql(t: str = "text") -> str:
+    pat = BPE_TOKEN_PATTERN.replace("'", "''")
+    return f"CAST(len(regexp_extract_all({t}, '{pat}')) AS BIGINT)"
+
+
 def avg_token_len_col(text: Column) -> Column:
     """Mean token length ×1000, floored — integer output avoids float
     summation-order hazards in the oracle compare."""

@@ -99,3 +99,29 @@ def test_repetition_fold_matches_groupby(spark):
     }
     for k, r in got.items():
         assert r["top"] == ref[k], k
+
+
+def test_bpe_token_count_known_values(spark):
+    """BPE-ish pre-tokenizer: contractions split, punctuation runs are one
+    token, leading spaces attach to the following word."""
+    from ssb_sgis_spark.functions.text import bpe_token_count_col
+
+    rows = [
+        (1, "it's a 42-piece set!!"),   # it|'s| a| 42|-|piece| set|!!
+        (2, ""),
+        (3, "plain words here"),        # plain| words| here
+        (4, "  double  spaced  "),      # 2sp|double| |spaced| |sp... count below
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", bpe_token_count_col(F.col("text")).alias("n")
+        ).collect()
+    }
+    import re
+    from ssb_sgis_spark.functions.text import BPE_TOKEN_PATTERN
+
+    for doc_id, text in rows:
+        assert got[doc_id] == len(re.findall(BPE_TOKEN_PATTERN, text)), text
+    assert got[1] == 8 and got[2] == 0 and got[3] == 3
