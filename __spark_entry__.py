@@ -391,12 +391,22 @@ def q_tiled_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
     elapsed) with its partitioned output; a re-run against the same
     out_dir skips finished batches.  Same oracle as pip_join — tiling is
     an execution strategy, not a semantics change."""
+    import hashlib
+    import os
+    import shutil
     import tempfile
 
     from ssb_sgis_spark.plans.manifest import TiledRun
     from ssb_sgis_spark.sources.municipalities import muni_rings
 
-    out_dir = tempfile.mkdtemp(prefix="sgis_tiled_pip_")
+    # deterministic per-sf_dir workspace, wiped at start: repeated bench /
+    # oracle invocations neither leak a directory per call (mkdtemp did)
+    # nor silently "resume" into an instant no-op
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        "sgis_tiled_pip_" + hashlib.sha256(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
     run = TiledRun(spark, out_dir, batch_col="_batch")
     # exterior-ring bbox per muni (holes lie inside the exterior)
     bounds = {
@@ -490,7 +500,6 @@ def q_rep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs_df(spark, sf_dir).select(
         "doc_id",
         token_count_col(t).alias("n_tokens"),
-        bpe_token_count_col(t).alias("n_bpe_tokens"),
         distinct_token_count_col(t).alias("n_distinct"),
         top_bigram_count_col(t).alias("top_bigram_n"),
     )

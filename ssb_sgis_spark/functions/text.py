@@ -38,10 +38,16 @@ def char_count_col(text: Column) -> Column:
 
 # GPT-2-style pre-tokenizer, restricted to RE2-compatible constructs (no
 # lookahead) so Spark's Java regex and DuckDB's RE2 count identically —
-# verified bit-equal on contractions, punctuation runs, digits, and
-# leading/trailing/multiple spaces.  ASCII classes: the synthetic corpus
-# is ASCII, and \p{L} subtleties differ across engines.
-BPE_TOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+# verified bit-equal on contractions, punctuation runs, digits,
+# leading/trailing/multiple spaces, and vertical tab.  ASCII classes:
+# the synthetic corpus is ASCII, and \p{L} subtleties differ across
+# engines.  Whitespace is an EXPLICIT class, not \s: Java's \s includes
+# \x0B but RE2's does not, so \s would diverge on vertical tab.
+_WS = r" \t\n\f\r\x0B"
+BPE_TOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+    rf"| ?[^A-Za-z0-9{_WS}]+|[{_WS}]+"
+)
 
 
 def bpe_token_count_col(text: Column) -> Column:

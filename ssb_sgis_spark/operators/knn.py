@@ -384,20 +384,8 @@ def knn_cellwise(
         return proven, remaining
 
     # round 1: halo-replicate the right side, left joins its own cell
-    rightc1 = (
-        right_c.withColumn("_o", F.explode(F.array(*_offsets(1))))
-        .filter(
-            _cell_shift_valid_col(
-                F.col(right_x), F.col(right_y), res, F.col("_o.ox"), F.col("_o.oy")
-            )
-        )
-        .withColumn(
-            "_cell",
-            _cell_shift_col(
-                F.col(right_x), F.col(right_y), res, F.col("_o.ox"), F.col("_o.oy")
-            ),
-        )
-        .drop("_o")
+    rightc1 = _halo_replicas(
+        right_c.drop("_cell"), right_id, right_x, right_y, res, _offsets(1)
     )
     leftc = left.select(left_id, left_x, left_y).withColumn(
         "_cell", _cell_shift_col(F.col(left_x), F.col(left_y), res, F.lit(0), F.lit(0))
@@ -434,20 +422,8 @@ def knn_cellwise(
         return nr <= brute_threshold and nr * n_right <= brute_work
 
     while rounds < max_rings and not _go_brute(n_rem) and n_rem > 0:
-        cells = (
-            remaining.withColumn("_o", F.explode(F.array(*_offsets(r))))
-            .filter(
-                _cell_shift_valid_col(
-                    F.col(left_x), F.col(left_y), res, F.col("_o.ox"), F.col("_o.oy")
-                )
-            )
-            .withColumn(
-                "_cell",
-                _cell_shift_col(
-                    F.col(left_x), F.col(left_y), res, F.col("_o.ox"), F.col("_o.oy")
-                ),
-            )
-            .drop("_o")
+        cells = _halo_replicas(
+            remaining.drop("_cell"), left_id, left_x, left_y, res, _offsets(r)
         )
         # pair-uniqueness by the same halo-filter argument as round 1
         scored = cells.join(right_c, "_cell").select(
@@ -535,42 +511,75 @@ def _cell_shift_col(x, y, res: int, ox, oy):
     return cell_of_xy_col(x + ox * F.lit(s), y + oy * F.lit(s), res)
 
 
-def _cell_shift_valid_col(x, y, res: int, ox, oy):
-    """True when the (ox, oy)-shifted cell index is in-domain UNCLAMPED.
-
-    cell_index_col clamps to [0, 2^res); near the domain edge two
-    different offsets would clamp onto the SAME cell and a halo replica
-    would collide with another replica of the same row.  Filtering the
-    exploded halo on this predicate keeps every surviving (row, offset)
-    on a distinct cell, which makes (left, right) candidate pairs unique
-    per round BY CONSTRUCTION — no dropDuplicates shuffle over the
-    scored set (that shuffle was ~the size of the whole candidate join
-    output, the single most expensive exchange of the cellwise path).
-    Out-of-domain points sit in the clamped border cell and are still
-    found: their own (0, 0) replica always survives this filter.
-    """
+def _in_domain_col(x, y, res: int):
+    """Both axis indices of (x, y) are in [0, 2^res) UNCLAMPED."""
     from ..cells import DOMAIN_X0, DOMAIN_Y0, cell_size
 
     s = F.lit(cell_size(res))
     n = (1 << res) - 1
     bx = F.floor((x - F.lit(DOMAIN_X0)) / s)
     by = F.floor((y - F.lit(DOMAIN_Y0)) / s)
-    # the shifted index is computed from the SAME float expression
-    # cell_index_col floors (x + ox*s, not bx + ox), so "valid" here and
-    # the cell the replica actually lands on can never disagree, even a
-    # 1-ulp disagreement at a cell boundary
+    return (bx >= 0) & (bx <= n) & (by >= 0) & (by <= n)
+
+
+def _cell_shift_valid_col(x, y, res: int, ox, oy):
+    """True when the (ox, oy)-shifted cell index is in-domain UNCLAMPED.
+
+    For IN-DOMAIN rows only: cell_index_col clamps to [0, 2^res), so at
+    the domain edge two different offsets would clamp onto the SAME cell
+    and a halo replica would collide with another replica of the same
+    row.  Filtering the exploded halo on this predicate keeps every
+    surviving (row, offset) on a distinct cell — distinct offsets give
+    strictly increasing target indices (s is a power of two, exact float
+    steps) — which makes (left, right) candidate pairs unique per round
+    BY CONSTRUCTION: no dropDuplicates shuffle over the scored set (that
+    shuffle was ~the size of the whole candidate join output, the single
+    most expensive exchange of the cellwise path).
+
+    The shifted index is computed from the SAME float expression
+    cell_index_col floors (x + ox*s, not bx + ox), so "valid" here and
+    the cell the replica actually lands on can never disagree, even by
+    1 ulp at a cell boundary.  Rows whose own base index is out of
+    domain take the separate clamped-replica branch in
+    :func:`_halo_replicas`.
+    """
+    from ..cells import DOMAIN_X0, DOMAIN_Y0, cell_size
+
+    s = F.lit(cell_size(res))
+    n = (1 << res) - 1
     sx = F.floor((x + ox * s - F.lit(DOMAIN_X0)) / s)
     sy = F.floor((y + oy * s - F.lit(DOMAIN_Y0)) / s)
-    # in-domain rows: keep exactly the offsets whose target index is
-    # in-range unclamped — distinct offsets give strictly increasing
-    # target indices (s is a power of two, exact float steps), so every
-    # surviving replica lands on a distinct cell.  A row whose base
-    # index is itself out of domain (clamped into the border cell) keeps
-    # ONLY its (0, 0) self replica — a shifted replica of such a row
-    # would clamp onto the same border cell as the self replica and
-    # re-create the duplicate this predicate exists to rule out.
-    in_dom_x = (bx >= 0) & (bx <= n)
-    in_dom_y = (by >= 0) & (by <= n)
-    okx = F.when(in_dom_x, (sx >= 0) & (sx <= n)).otherwise(ox == 0)
-    oky = F.when(in_dom_y, (sy >= 0) & (sy <= n)).otherwise(oy == 0)
-    return okx & oky
+    return (sx >= 0) & (sx <= n) & (sy >= 0) & (sy <= n)
+
+
+def _halo_replicas(df, id_col: str, x_col: str, y_col: str, res: int, offsets):
+    """Replicate rows of ``df`` into their (2r+1)^2 ring cells with
+    pair-uniqueness per cell and EXACT clamped semantics at the border.
+
+    In-domain rows (everything, in practice — the domain spans far
+    beyond any regional CRS extent) take the filter fast path: only
+    unclamped in-range offsets survive, every replica lands on a
+    distinct cell, no dedup exchange.  Out-of-domain rows keep the old
+    exact behaviour — all offsets, clamped cells, then a dedup on
+    (id, cell) — so a point just past the border still probes inward
+    cells through its clamped replicas; that branch is a filter over a
+    (tiny or empty) subset, so the dedup costs nothing.
+    """
+    x, y = F.col(x_col), F.col(y_col)
+    exploded = df.withColumn("_o", F.explode(F.array(*offsets)))
+    shift = _cell_shift_col(x, y, res, F.col("_o.ox"), F.col("_o.oy"))
+    in_dom = _in_domain_col(x, y, res)
+    fast = (
+        exploded.filter(
+            in_dom & _cell_shift_valid_col(x, y, res, F.col("_o.ox"), F.col("_o.oy"))
+        )
+        .withColumn("_cell", shift)
+        .drop("_o")
+    )
+    border = (
+        exploded.filter(~in_dom)
+        .withColumn("_cell", shift)
+        .drop("_o")
+        .dropDuplicates([id_col, "_cell"])
+    )
+    return fast.unionByName(border)

@@ -116,25 +116,32 @@ class TiledRun:
             self.t0 = time.time()
 
         def write(self, df: DataFrame) -> None:
-            from pyspark.sql import Observation
-
-            # lineage metrics ride along the write itself (Observation):
-            # a separate .agg() action would evaluate the batch twice
-            obs = Observation()
-            out = df.withColumn(self.run.batch_col, F.lit(self.batch_id)).observe(
-                obs,
-                F.count(F.lit(1)).alias("n"),
-                F.coalesce(
-                    F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns])), F.lit(0)
-                ).alias("h"),
-            )
+            cols = df.columns
+            out = df.withColumn(self.run.batch_col, F.lit(self.batch_id))
             (
                 out.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy(self.run.batch_col)
                 .parquet(self.run.data_path)
             )
-            stats = obs.get
+            # lineage metrics audit the COMMITTED files, not the plan:
+            # accumulator-style metrics riding the write (Observation)
+            # double-count under stage retry/speculation, and a separate
+            # agg over `df` would re-execute the whole job AND could
+            # diverge from what actually landed on disk.  Partition
+            # pruning on batch_col keeps this a scan of just this
+            # batch's output.
+            stats = (
+                self.run.spark.read.parquet(self.run.data_path)
+                .filter(F.col(self.run.batch_col) == self.batch_id)
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.coalesce(
+                        F.bit_xor(F.xxhash64(*[F.col(c) for c in cols])), F.lit(0)
+                    ).alias("h"),
+                )
+                .collect()[0]
+            )
             self.n_rows += stats["n"]
             self.checksum ^= int(stats["h"]) & ((1 << 63) - 1)
 

@@ -49,8 +49,13 @@ def _iceberg_available(spark: SparkSession) -> bool:
         )
     except Exception:
         return False
-    confs = spark.sparkContext.getConf().getAll()
-    return any(k.startswith("spark.sql.catalog.") and "iceberg" in v.lower() for k, v in confs)
+    # SET lists explicitly-configured entries INCLUDING runtime
+    # spark.conf.set(...) catalogs, which sparkContext.getConf() misses
+    confs = [(r["key"], r["value"]) for r in spark.sql("SET").collect()]
+    return any(
+        k.startswith("spark.sql.catalog.") and "iceberg" in str(v).lower()
+        for k, v in confs
+    )
 
 
 def _is_table_ident(ident_or_path: str) -> bool:
@@ -114,8 +119,17 @@ def write_lake_table(
             try:
                 w.append()
                 return
-            except Exception:
-                pass  # table absent: fall through to create
+            except Exception as e:
+                # fall through to create ONLY when the table is absent;
+                # any other append failure (schema mismatch, commit
+                # conflict, storage error) must surface — createOrReplace
+                # here would silently destroy the existing table
+                msg = str(e)
+                if not any(
+                    s in msg
+                    for s in ("TABLE_OR_VIEW_NOT_FOUND", "NoSuchTable", "not found")
+                ):
+                    raise
         if partition_by:
             from pyspark.sql import functions as F
 

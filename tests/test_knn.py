@@ -219,3 +219,47 @@ def test_knn_haversine_refuses_nonbroadcast_right(spark):
     rt = spark.range(10).selectExpr("id AS vid", "4.0 + id AS px", "58.0 AS py")
     with pytest.raises(NotImplementedError, match="planar"):
         knn_haversine(df, rt, k=2, broadcast_threshold=1)
+
+
+def test_knn_cellwise_exact_for_out_of_domain_points(spark):
+    """Points OUTSIDE the Morton domain clamp into border cells; the
+    dedup-free halo fast path must not strand them — the out-of-domain
+    branch keeps the exact clamped-replica semantics.  cellwise == brute
+    for a cloud straddling the domain's SW corner."""
+    from ssb_sgis_spark.cells import DOMAIN_X0, DOMAIN_Y0, cell_size
+    from ssb_sgis_spark.operators.knn import get_k_nearest_neighbors, knn_cellwise
+
+    res = 10
+    s = cell_size(res)
+    rng = np.random.default_rng(3)
+    # left: some in-domain near the border, some just OUTSIDE it
+    lx = DOMAIN_X0 + rng.uniform(-2.5 * s, 2.5 * s, 30)
+    ly = DOMAIN_Y0 + rng.uniform(-2.5 * s, 2.5 * s, 30)
+    # right: sparse cloud on both sides of the border
+    rx = DOMAIN_X0 + rng.uniform(-3 * s, 6 * s, 60)
+    ry = DOMAIN_Y0 + rng.uniform(-3 * s, 6 * s, 60)
+    left = spark.createDataFrame(
+        [(i, float(a), float(b)) for i, (a, b) in enumerate(zip(lx, ly))],
+        "uid long, x double, y double",
+    )
+    right = spark.createDataFrame(
+        [(i, float(a), float(b)) for i, (a, b) in enumerate(zip(rx, ry))],
+        "vid long, px double, py double",
+    )
+    got = (
+        knn_cellwise(left, right, k=3, res=res)
+        .toPandas()
+        .sort_values(["uid", "knn_rank"])
+        .reset_index(drop=True)
+    )
+    want = (
+        get_k_nearest_neighbors(left, right, k=3)
+        .toPandas()
+        .sort_values(["uid", "knn_rank"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == 30 * 3
+    cols = ["uid", "neighbor_id", "distance", "knn_rank"]
+    pd.testing.assert_frame_equal(
+        got[cols], want[cols].astype(got[cols].dtypes.to_dict())
+    )

@@ -95,14 +95,26 @@ def test_scan_prunes_columns(spark):
 # right physical plan.
 _CROSS_BY_DESIGN = {"all_distances", "ann_topk"}
 
+# These queries EXECUTE at construction time (tiled_pip runs its batches
+# through TiledRun, stream_dedup drives a streaming query) and return a
+# reader over their own output — the returned plan is a trivial parquet
+# scan, so sweeping it would assert nothing about their inner joins while
+# paying the full execution cost.  Their inner operators are covered
+# elsewhere: tiled_pip wraps the same points_in_polygons_join audited via
+# pip_join above; stream_dedup's plan is a streaming micro-batch, out of
+# scope for a batch-plan sweep.
+_EAGER_QUERIES = {"tiled_pip", "stream_dedup"}
+
 
 def test_no_query_regresses_to_nested_loop(spark):
-    """Sweep EVERY driver query's physical plan: no CartesianProduct
-    anywhere, no BroadcastNestedLoopJoin outside the two queries whose
-    semantics are a cross product.  This is the engine-wide guard that
-    a refactor can't silently turn a bucketed/broadcast-hash join back
-    into an O(n*m) scan at 100 TB."""
+    """Sweep EVERY (lazy) driver query's physical plan: no
+    CartesianProduct anywhere, no BroadcastNestedLoopJoin outside the two
+    queries whose semantics are a cross product.  This is the engine-wide
+    guard that a refactor can't silently turn a bucketed/broadcast-hash
+    join back into an O(n*m) scan at 100 TB."""
     for name, fn in entry.queries().items():
+        if name in _EAGER_QUERIES:
+            continue
         p = plan_of(fn(spark, SF))
         assert "CartesianProduct" not in p, name
         if name not in _CROSS_BY_DESIGN:
