@@ -153,6 +153,23 @@ from .sources.io import (
     write_geoparquet,
     write_lake_table,
 )
+from .sources.muni_writer import write_municipality_data
+from .operators.polygons import bounds_to_points, with_geom_type
+from .compat import (
+    ElevationRaster,
+    Parallel,
+    drop_inactive_geometry_columns,
+    get_common_crs,
+    get_crs,
+    get_geom_type,
+    is_single_geom_type,
+    k_nearest_neighbors,
+    opener,
+    random_points,
+    rename_geometry_if,
+    set_crs,
+    to_bbox,
+)
 
 import types as _types
 
