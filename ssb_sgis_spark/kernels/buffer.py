@@ -10,7 +10,8 @@ geometry is built as the union of primitive inflations:
 * linestring → per-segment rectangle + disc at every vertex (round joins
                and caps, GEOS's default join/cap style)
 * polygon    → the polygon itself + per-edge rectangle + per-vertex disc
-               (positive distances; negative buffers raise for now)
+               for positive distances; negative distances erode via
+               :func:`_erode` (P ∖ band(∂P, |d|), same arrangement kernel)
 
 The union is the arrangement kernel in :mod:`.boolean`.  The polygon
 approximates the true (circular-arc) buffer from inside; vertex density is
