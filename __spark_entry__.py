@@ -86,6 +86,7 @@ from ssb_sgis_spark.sources.roads import (
     roads_df,
 )
 from ssb_sgis_spark.sources.documents import (
+    EXACT_OFFSET,
     NEAR_OFFSET,
     docs_df,
     docs_with_dups_df,
@@ -474,6 +475,32 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedupe_exact(docs_with_dups_df(spark, sf_dir))
 
 
+CONTAM_BENCH_MOD = 23  # benchmark set = base docs with doc_id % 23 == 0
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination flagging (training-data decontamination):
+    corpus docs sharing a word 8-gram with the benchmark set, with the
+    distinct-overlap count.  Benchmark = base docs with
+    doc_id % 23 == 0; corpus = the dup-injected corpus minus the
+    benchmark rows themselves, so the flagged set is exactly the
+    injected copies of benchmark docs (plus any coincidental n-gram
+    collisions, identical in both engines).  Plan: map-side n-gram
+    explode -> broadcast join vs the benchmark n-gram set -> groupBy
+    over the (small) hit set."""
+    from ssb_sgis_spark.operators.contamination import flag_contamination
+
+    bench = (
+        docs_df(spark, sf_dir)
+        .filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
+        .select("doc_id", "text")
+    )
+    corpus = docs_with_dups_df(spark, sf_dir).filter(
+        (F.col("doc_id") % CONTAM_BENCH_MOD != 0) | (F.col("doc_id") >= EXACT_OFFSET)
+    )
+    return flag_contamination(corpus, bench)
+
+
 def q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup: shingle→minhash→band→bucket-join→exact
     Jaccard verify, integer outputs."""
@@ -497,6 +524,54 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         stopword_count_col(t).alias("stopword_n"),
         lang_guess_col(t).alias("lang_guess"),
         fingerprint_col(t).alias("fingerprint"),
+    )
+
+
+PII_MOD = 7  # docs with doc_id % 7 == 0 get synthetic PII appended
+
+
+def _pii_injected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs with deterministic synthetic PII appended (the corpus itself
+    has none): closed-form email + Norwegian-style phone derived from
+    doc_id, mirrored verbatim in SQL."""
+    suffix = F.concat(
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +47 99 88 77 "),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+    )
+    return docs_df(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % PII_MOD == 0, F.concat(F.col("text"), suffix))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def _pii_injected_sql() -> str:
+    return f"""
+        SELECT doc_id,
+               CASE WHEN doc_id % {PII_MOD} = 0
+                    THEN concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                                '@example.com or +47 99 88 77 ',
+                                lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0'))
+                    ELSE text END AS text
+        FROM documents
+    """
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (training-data pipeline): emails/phones replaced by type
+    tokens, with the match count per doc.  All-native regexp chain
+    (map-only at 10^12 docs); patterns are RE2-compatible so the
+    redacted text is byte-identical to the DuckDB mirror."""
+    from ssb_sgis_spark.functions.text import pii_count_col, pii_redact_col
+
+    t = F.col("text")
+    return _pii_injected(spark, sf_dir).select(
+        "doc_id",
+        pii_count_col(t).alias("n_pii"),
+        pii_redact_col(t).alias("clean_text"),
     )
 
 
@@ -844,8 +919,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_lake_pruned": q_pip_lake_pruned,
         "dedup_exact": q_dedup_exact,
         "near_dup": q_near_dup,
+        "contamination": q_contamination,
         "simhash": q_simhash,
         "doc_stats": q_doc_stats,
+        "pii_redact": q_pii_redact,
         "media_stats": q_media_stats,
         "rep_stats": q_rep_stats,
         "url_stats": q_url_stats,
@@ -900,6 +977,31 @@ def _knn_haversine_oracle(pages: str, points: str) -> str:
         SELECT uid, neighbor_id, CAST(round(d, 0) AS BIGINT) AS dist_m, knn_rank
         FROM scored WHERE knn_rank <= {KNN_K}
     """
+
+
+def _pii_redact_oracle() -> str:
+    from ssb_sgis_spark.functions.text import pii_count_sql, pii_redact_sql
+
+    return f"""
+        SELECT doc_id,
+               {pii_count_sql()} AS n_pii,
+               {pii_redact_sql()} AS clean_text
+        FROM ({_pii_injected_sql()})
+    """
+
+
+def _contamination_oracle() -> str:
+    from ssb_sgis_spark.operators.contamination import contamination_sql
+
+    bench = (
+        f"(SELECT doc_id, text FROM documents "
+        f"WHERE doc_id % {CONTAM_BENCH_MOD} = 0)"
+    )
+    corpus = (
+        f"(SELECT * FROM ({docs_with_dups_sql()}) "
+        f"WHERE doc_id % {CONTAM_BENCH_MOD} != 0 OR doc_id >= {EXACT_OFFSET})"
+    )
+    return contamination_sql(corpus, bench)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1008,6 +1110,7 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT uid, muni_id FROM hits",
         "dedup_exact": dedupe_exact_sql(f"({docs_with_dups_sql()})"),
         "near_dup": near_dup_pairs_sql(f"({docs_with_dups_sql()})"),
+        "contamination": _contamination_oracle(),
         "simhash": simhash_sql("documents"),
         "doc_stats": f"""
             SELECT doc_id,
@@ -1020,6 +1123,7 @@ def oracle_sql() -> dict[str, str]:
                    {fingerprint_sql()} AS fingerprint
             FROM documents
         """,
+        "pii_redact": _pii_redact_oracle(),
         "media_stats": bmp_stats_oracle_sql("(SELECT doc_id FROM documents)"),
         "rep_stats": f"""
             WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

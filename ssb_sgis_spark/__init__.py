@@ -131,6 +131,12 @@ from .operators.raster_ops import (
     rasterize_cells_df,
     rasterize_polygons,
 )
+from .operators.lake_pip import (
+    ensure_cell_lake,
+    partition_cells_for_polygons,
+    pip_join_lake_pruned,
+    write_cell_partitioned_lake,
+)
 from .operators.rings import PolygonsAsRings
 from .operators.sjoin import (
     points_in_polygons_join,

@@ -203,3 +203,47 @@ def top_bigram_count_col(text: Column) -> Column:
         )
 
     return F.aggregate(sb, acc0, step, lambda a: a["best"])
+
+
+# ------------------------------------------------------------------- PII
+# Redaction patterns, restricted to RE2-compatible constructs (no
+# lookaround / backrefs) so Spark's Java regex and DuckDB's RE2 find the
+# SAME matches — the redacted text is compared byte-for-byte by the
+# oracle.  The phone pattern is the strict "+CC NN NN NN NN" form the
+# synthetic injector emits; a looser pattern would still be RE2-safe but
+# a strict one keeps the parity argument trivial.
+PII_EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+PII_PHONE_PATTERN = r"\+[0-9][0-9] [0-9][0-9] [0-9][0-9] [0-9][0-9] [0-9][0-9]"
+PII_EMAIL_TOKEN = "<EMAIL>"
+PII_PHONE_TOKEN = "<PHONE>"
+
+
+def pii_count_col(text: Column) -> Column:
+    """Number of PII matches (emails + phones) — native regexp_count."""
+    return (
+        F.regexp_count(text, F.lit(PII_EMAIL_PATTERN))
+        + F.regexp_count(text, F.lit(PII_PHONE_PATTERN))
+    ).cast("long")
+
+
+def pii_redact_col(text: Column) -> Column:
+    """Text with every email/phone replaced by a type token.  All-native
+    regexp_replace chain (replace-all semantics on both engines); at
+    10^12 docs this is a map-only stage inside the scan."""
+    out = F.regexp_replace(text, PII_EMAIL_PATTERN, PII_EMAIL_TOKEN)
+    return F.regexp_replace(out, PII_PHONE_PATTERN, PII_PHONE_TOKEN)
+
+
+def pii_count_sql(t: str = "text") -> str:
+    return (
+        f"CAST(len(regexp_extract_all({t}, '{PII_EMAIL_PATTERN}'))"
+        f" + len(regexp_extract_all({t}, '{PII_PHONE_PATTERN}')) AS BIGINT)"
+    )
+
+
+def pii_redact_sql(t: str = "text") -> str:
+    return (
+        f"regexp_replace(regexp_replace({t}, '{PII_EMAIL_PATTERN}', "
+        f"'{PII_EMAIL_TOKEN}', 'g'), '{PII_PHONE_PATTERN}', "
+        f"'{PII_PHONE_TOKEN}', 'g')"
+    )
