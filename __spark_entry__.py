@@ -173,6 +173,29 @@ def _url_stats_oracle(pages: str) -> str:
     """
 
 
+def _domain_topk_oracle(pages: str) -> str:
+    """Newest-3-per-domain mirror.  warc_ts is epoch+uid seconds, so the
+    (warc_ts DESC, uid DESC) total order the Spark operator uses is the
+    same as the timestamp built here from a tz-naive literal — the
+    output columns themselves carry no timestamp, keeping the value
+    hash independent of the Spark session timezone."""
+    from ssb_sgis_spark.functions.url import domain_sql
+
+    return f"""
+        WITH pages AS ({pages}),
+        snap AS (
+            SELECT {domain_sql()} AS domain, uid,
+                   TIMESTAMP '2024-01-01 00:00:00' + uid * INTERVAL '1 second' AS warc_ts
+            FROM pages
+        )
+        SELECT domain, uid FROM (
+            SELECT domain, uid,
+                   row_number() OVER (PARTITION BY domain ORDER BY warc_ts DESC, uid DESC) AS rn
+            FROM snap
+        ) WHERE rn <= 3
+    """
+
+
 # ------------------------------------------------------------------ queries
 def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """get_neighbor_indices(pages, municipalities, predicate="intersects")
@@ -365,8 +388,13 @@ def _broken_lattice(spark: SparkSession):
 def q_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched html→text extraction; the input_hint invariant
     (byte-identical extracted text per url) IS the oracle compare."""
-    pages = pages_df(spark, sf_dir, with_payload=True)
-    return extract_text(pages).select("uid", "extracted_text")
+    # Both Arrow legs carry only what the parse needs: input pruned to
+    # (uid, html) — mapInPandas ships every declared input column, so an
+    # unpruned payload frame sends text/lang/warc_ts/url twice through
+    # the pipe for nothing — and keep=["uid"] stops the html bytes from
+    # crossing BACK out of the worker.
+    pages = pages_df(spark, sf_dir, with_payload=True).select("uid", "html")
+    return extract_text(pages, keep=["uid"]).select("uid", "extracted_text")
 
 
 def q_geocode_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -376,7 +404,7 @@ def q_geocode_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
     parser recovers them) -> cell-cover broadcast PIP join -> (uid, muni_id).
     One shuffle-free map stage plus the codegen broadcast join."""
     pages = pages_df(spark, sf_dir, with_payload=True).select("uid", "html")
-    geo = geocode_html(pages).select("uid", "x", "y")
+    geo = geocode_html(pages, keep=["uid"]).select("uid", "x", "y")
     return points_in_polygons_join(geo, muni_df(spark), cache_key="munis").select(
         "uid", "muni_id"
     )
@@ -628,6 +656,20 @@ def q_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of carrying a min(string) buffer (string agg buffers force Spark
     # from HashAggregate into SortAggregate cascades)
     return agg.withColumn("tld", F.element_at(F.split(F.col("domain"), "\\."), -1))
+
+
+def q_domain_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain crawl budget: newest 3 snapshots per registered domain
+    (recrawl-dedup / per-domain-cap rule), skew-safe via the salted
+    two-stage top-K in operators/domains.py — a hot domain is bounded to
+    k*nsalts survivor rows before the exact per-domain window runs."""
+    from ssb_sgis_spark.operators.domains import per_domain_latest
+
+    pages = pages_df(spark, sf_dir, with_payload=True).select("uid", "url", "warc_ts")
+    kept = per_domain_latest(pages, k=3)
+    # warc_ts stays out of the compared output (session-timezone-neutral
+    # hashing); the ordering it defines is what the row set verifies.
+    return kept.select("domain", "uid")
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -926,6 +968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_stats": q_media_stats,
         "rep_stats": q_rep_stats,
         "url_stats": q_url_stats,
+        "domain_topk": q_domain_topk,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -1140,6 +1183,7 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN top ON top.doc_id = toks.doc_id
         """,
         "url_stats": _url_stats_oracle(pages),
+        "domain_topk": _domain_topk_oracle(pages),
         "ann_topk": cosine_topk_sql(
             f"(SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id % {ANN_QUERY_MOD} = 0)",
             "embeddings",

@@ -56,7 +56,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # Python-worker profile) already runs ~40 s at 2 cores on ~10^7 rows; at
 # x2048 it would take hours per session.
 QUERIES = os.environ.get(
-    "SPARK_GRAFT_SCALING_QUERIES", "pip_join:2048,text_extract:16"
+    "SPARK_GRAFT_SCALING_QUERIES", "pip_join:2048,text_extract:32"
 )
 DEFAULT_SCALE = int(os.environ.get("SPARK_GRAFT_SCALE", "2048"))
 SESSIONS = int(os.environ.get("SPARK_GRAFT_SESSIONS", "4"))

@@ -20,22 +20,36 @@ from pyspark.sql import types as T
 
 
 def extract_text(
-    df: DataFrame, html_col: str = "html", out_col: str = "extracted_text"
+    df: DataFrame,
+    html_col: str = "html",
+    out_col: str = "extracted_text",
+    keep: list[str] | None = None,
 ) -> DataFrame:
     """Recover the page text from the html binary column.
 
     The page template (sources/pages.py) wraps the text as
     ``<p class="geo" ...>TEXT</p>``; extraction = find the marker, slice
     to the closing tag — all pandas ``.str`` kernels on the decoded batch.
+
+    ``keep`` limits which INPUT columns the kernel carries through
+    (default: all).  Pass the projection you actually need: the html
+    payload dominates the batch bytes, and returning it from the Python
+    worker makes every row cross the Arrow boundary twice — pure
+    memory-bandwidth burn that caps multi-core scaling long before the
+    regex does.  ``keep=["uid"]`` halves the Arrow traffic.
     """
-    fields = df.schema.fields + [T.StructField(out_col, T.StringType())]
+    if keep is None:
+        keep = [f.name for f in df.schema.fields]
+    fields = [f for f in df.schema.fields if f.name in keep] + [
+        T.StructField(out_col, T.StringType())
+    ]
 
     def kernel(it):
         import pyarrow as pa
         import pyarrow.compute as pc
 
         for pdf in it:
-            out = pdf.copy()
+            out = pdf[keep].copy()
             try:
                 # RE2 over the Arrow buffer: one vectorized C++ pass,
                 # ~4x the pandas .str.decode + .str.extract route
@@ -57,6 +71,7 @@ def geocode_html(
     html_col: str = "html",
     out_x: str = "x",
     out_y: str = "y",
+    keep: list[str] | None = None,
 ) -> DataFrame:
     """Parse the geocoded page coordinate out of the raw html payload.
 
@@ -72,11 +87,12 @@ def geocode_html(
     """
     import pandas as pd
 
-    fields = [f for f in df.schema.fields if f.name not in (out_x, out_y)] + [
+    if keep is None:
+        keep = [f.name for f in df.schema.fields if f.name not in (out_x, out_y)]
+    fields = [f for f in df.schema.fields if f.name in keep] + [
         T.StructField(out_x, T.DoubleType()),
         T.StructField(out_y, T.DoubleType()),
     ]
-    keep = [f.name for f in df.schema.fields if f.name not in (out_x, out_y)]
 
     def kernel(it):
         import pyarrow as pa
