@@ -173,6 +173,49 @@ def _url_stats_oracle(pages: str) -> str:
     """
 
 
+def _quality_filter_oracle() -> str:
+    """Signals in a CTE (top-bigram via the same unnest shape as the
+    rep_stats oracle), then the shared fail_reason CASE — rule order and
+    integer arithmetic generated by the same code as the Spark plan."""
+    from ssb_sgis_spark.functions.text import (
+        char_count_sql,
+        distinct_token_count_sql,
+        stopword_count_sql,
+        token_count_sql,
+    )
+    from ssb_sgis_spark.operators.quality import quality_filter_sql
+
+    case = quality_filter_sql(
+        {
+            "n_tokens": "n_tokens",
+            "n_chars": "n_chars",
+            "n_stop": "n_stop",
+            "top_bigram": "top_bigram",
+            "n_distinct": "n_distinct",
+        }
+    )
+    return f"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS b
+               FROM toks, unnest(range(1, len(t))) AS r(i)),
+        cnt AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+        top AS (SELECT doc_id, max(c) AS m FROM cnt GROUP BY doc_id),
+        sig AS (
+            SELECT d.doc_id,
+                   {token_count_sql('text')} AS n_tokens,
+                   {char_count_sql('text')} AS n_chars,
+                   {stopword_count_sql('text')} AS n_stop,
+                   CAST(coalesce(top.m, 0) AS BIGINT) AS top_bigram,
+                   {distinct_token_count_sql('text')} AS n_distinct
+            FROM documents d LEFT JOIN top ON top.doc_id = d.doc_id
+        )
+        SELECT doc_id,
+               ({case}) IS NULL AS quality_pass,
+               {case} AS fail_reason
+        FROM sig
+    """
+
+
 def _domain_topk_oracle(pages: str) -> str:
     """Newest-3-per-domain mirror.  warc_ts is epoch+uid seconds, so the
     (warc_ts DESC, uid DESC) total order the Spark operator uses is the
@@ -630,6 +673,17 @@ def q_rep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style keep/drop decision composed from the per-signal
+    columns — map-only native exprs (no shuffle, no Python), integer
+    cross-multiplication thresholds so the SQL mirror is bit-exact."""
+    from ssb_sgis_spark.operators.quality import quality_filter
+
+    return quality_filter(docs_df(spark, sf_dir)).select(
+        "doc_id", "quality_pass", "fail_reason"
+    )
+
+
 def q_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain URL statistics — host/registered-domain/TLD/path-depth
     extraction and recrawl canonicalization as native regexp exprs, then
@@ -969,6 +1023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rep_stats": q_rep_stats,
         "url_stats": q_url_stats,
         "domain_topk": q_domain_topk,
+        "quality_filter": q_quality_filter,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -1184,6 +1239,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "url_stats": _url_stats_oracle(pages),
         "domain_topk": _domain_topk_oracle(pages),
+        "quality_filter": _quality_filter_oracle(),
         "ann_topk": cosine_topk_sql(
             f"(SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id % {ANN_QUERY_MOD} = 0)",
             "embeddings",

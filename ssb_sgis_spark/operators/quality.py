@@ -1,0 +1,99 @@
+"""Gopher-style document quality filtering as one composed, map-only rule.
+
+The per-signal columns (token counts, stopword hits, repetition,
+distinctness — functions/text.py) are each oracle-checked individually by
+the ``doc_stats`` / ``rep_stats`` driver queries; this operator composes
+them into the keep/drop decision an LLM-corpus pipeline actually applies
+(Gopher §A.1-style heuristics), tagging every dropped document with the
+FIRST failing rule so curation is auditable.
+
+Scale shape: pure native column expressions over one scan — no shuffle,
+no Python, whole-stage codegen.  At 10^12 documents this is the cheapest
+possible pass (the signals fold into the same projection).
+
+Exactness: every threshold compare uses integer cross-multiplication
+(``stopwords * 50 < tokens`` instead of ``stopwords/tokens < 0.02``), so
+the Spark plan and the DuckDB mirror agree bit-for-bit with no float
+division anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    char_count_col,
+    distinct_token_count_col,
+    stopword_count_col,
+    token_count_col,
+    top_bigram_count_col,
+)
+
+__all__ = ["quality_filter", "quality_filter_sql", "QUALITY_RULES"]
+
+# (rule name, spark condition builder, sql condition builder) — a doc FAILS
+# a rule when the condition is true; fail_reason = first failing rule in
+# THIS order (mirrored verbatim in the SQL CASE).
+QUALITY_RULES = (
+    # fewer than `min_tokens` words (Gopher drops <50-word docs)
+    ("too_short", lambda s, p: s["n_tokens"] < p["min_tokens"],
+     lambda q, p: f"{q['n_tokens']} < {p['min_tokens']}"),
+    ("too_long", lambda s, p: s["n_tokens"] > p["max_tokens"],
+     lambda q, p: f"{q['n_tokens']} > {p['max_tokens']}"),
+    # mean word length outside [3, 12] chars: chars < 3*tokens or > 12*tokens
+    ("word_length", lambda s, p: (s["n_chars"] < 3 * s["n_tokens"])
+     | (s["n_chars"] > 12 * s["n_tokens"]),
+     lambda q, p: f"({q['n_chars']} < 3 * {q['n_tokens']} OR {q['n_chars']} > 12 * {q['n_tokens']})"),
+    # stopword ratio < 2%: stopwords * 50 < tokens
+    ("low_stopword", lambda s, p: s["n_stop"] * 50 < s["n_tokens"],
+     lambda q, p: f"{q['n_stop']} * 50 < {q['n_tokens']}"),
+    # top bigram covers > 20% of the document: top_bigram * 5 > tokens
+    ("repetitive", lambda s, p: s["top_bigram"] * 5 > s["n_tokens"],
+     lambda q, p: f"{q['top_bigram']} * 5 > {q['n_tokens']}"),
+    # distinct-token ratio < 20%: distinct * 5 < tokens
+    ("low_diversity", lambda s, p: s["n_distinct"] * 5 < s["n_tokens"],
+     lambda q, p: f"{q['n_distinct']} * 5 < {q['n_tokens']}"),
+)
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 40,
+    max_tokens: int = 100_000,
+) -> DataFrame:
+    """Append ``quality_pass`` (boolean) and ``fail_reason`` (first
+    failing rule name, NULL when the document passes)."""
+    t = F.col(text_col)
+    signals = {
+        "n_tokens": token_count_col(t),
+        "n_chars": char_count_col(t),
+        "n_stop": stopword_count_col(t),
+        "top_bigram": top_bigram_count_col(t),
+        "n_distinct": distinct_token_count_col(t),
+    }
+    params = {"min_tokens": min_tokens, "max_tokens": max_tokens}
+    reason = F.lit(None).cast("string")
+    for name, cond, _sql in reversed(QUALITY_RULES):
+        reason = F.when(cond(signals, params), F.lit(name)).otherwise(reason)
+    return df.withColumn("fail_reason", reason).withColumn(
+        "quality_pass", F.col("fail_reason").isNull()
+    )
+
+
+def quality_filter_sql(
+    q: dict[str, str], min_tokens: int = 40, max_tokens: int = 100_000
+) -> str:
+    """DuckDB mirror: the ``fail_reason`` CASE expression (same rule
+    order, same integer arithmetic).  ``q`` maps the signal names
+    ``n_tokens / n_chars / n_stop / top_bigram / n_distinct`` to SQL
+    expressions or CTE column names (the top-bigram count has no scalar
+    SQL form — DuckDB computes it with an unnest CTE, see the
+    ``rep_stats`` oracle — so the caller names the column).  Wrap in a
+    SELECT that also derives ``quality_pass = fail_reason IS NULL``."""
+    params = {"min_tokens": min_tokens, "max_tokens": max_tokens}
+    whens = "\n".join(
+        f"WHEN {sql(q, params)} THEN '{name}'" for name, _c, sql in QUALITY_RULES
+    )
+    return f"CASE {whens} ELSE NULL END"
