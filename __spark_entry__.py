@@ -173,46 +173,53 @@ def _url_stats_oracle(pages: str) -> str:
     """
 
 
+# per-document top-bigram count via unnest — the ONE copy shared by the
+# rep_stats and quality_filter oracles, so the bigram shape the rep_stats
+# query verifies is by construction the shape the quality CASE consumes
+_TOP_BIGRAM_CTES = """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS b
+               FROM toks, unnest(range(1, len(t))) AS r(i)),
+        cnt AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+        top AS (SELECT doc_id, max(c) AS m FROM cnt GROUP BY doc_id)"""
+
+
 def _quality_filter_oracle() -> str:
-    """Signals in a CTE (top-bigram via the same unnest shape as the
+    """Signals in a CTE (top-bigram via the SAME CTE block as the
     rep_stats oracle), then the shared fail_reason CASE — rule order and
-    integer arithmetic generated by the same code as the Spark plan."""
+    integer arithmetic generated by the same code as the Spark plan.
+    The CASE is evaluated once; quality_pass derives from its result."""
     from ssb_sgis_spark.functions.text import (
-        char_count_sql,
         distinct_token_count_sql,
         stopword_count_sql,
         token_count_sql,
+        word_chars_sql,
     )
     from ssb_sgis_spark.operators.quality import quality_filter_sql
 
     case = quality_filter_sql(
         {
             "n_tokens": "n_tokens",
-            "n_chars": "n_chars",
+            "word_chars": "word_chars",
             "n_stop": "n_stop",
             "top_bigram": "top_bigram",
             "n_distinct": "n_distinct",
         }
     )
     return f"""
-        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS b
-               FROM toks, unnest(range(1, len(t))) AS r(i)),
-        cnt AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
-        top AS (SELECT doc_id, max(c) AS m FROM cnt GROUP BY doc_id),
+        WITH {_TOP_BIGRAM_CTES},
         sig AS (
             SELECT d.doc_id,
                    {token_count_sql('text')} AS n_tokens,
-                   {char_count_sql('text')} AS n_chars,
+                   {word_chars_sql('text')} AS word_chars,
                    {stopword_count_sql('text')} AS n_stop,
                    CAST(coalesce(top.m, 0) AS BIGINT) AS top_bigram,
                    {distinct_token_count_sql('text')} AS n_distinct
             FROM documents d LEFT JOIN top ON top.doc_id = d.doc_id
         )
         SELECT doc_id,
-               ({case}) IS NULL AS quality_pass,
-               {case} AS fail_reason
-        FROM sig
+               fail_reason IS NULL AS quality_pass,
+               fail_reason
+        FROM (SELECT doc_id, {case} AS fail_reason FROM sig)
     """
 
 
@@ -1224,11 +1231,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": _pii_redact_oracle(),
         "media_stats": bmp_stats_oracle_sql("(SELECT doc_id FROM documents)"),
         "rep_stats": f"""
-            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-            bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS b
-                   FROM toks, unnest(range(1, len(t))) AS r(i)),
-            cnt AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
-            top AS (SELECT doc_id, max(c) AS m FROM cnt GROUP BY doc_id)
+            WITH {_TOP_BIGRAM_CTES}
             SELECT toks.doc_id AS doc_id,
                    {token_count_sql('text')} AS n_tokens,
                    {distinct_token_count_sql('text')} AS n_distinct,

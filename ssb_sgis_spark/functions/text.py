@@ -112,6 +112,16 @@ def char_count_sql(t: str = "text") -> str:
     return f"CAST(length({t}) AS BIGINT)"
 
 
+def word_chars_col(text: Column) -> Column:
+    """Characters belonging to words (total length minus separator
+    spaces) — the numerator of Gopher's mean-word-length rule."""
+    return F.length(F.translate(text, " ", "")).cast("long")
+
+
+def word_chars_sql(t: str = "text") -> str:
+    return f"CAST(length(replace({t}, ' ', '')) AS BIGINT)"
+
+
 def avg_token_len_sql(t: str = "text") -> str:
     return (
         f"CAST(floor(list_sum(list_transform(string_split({t}, ' '), x -> length(x)))"

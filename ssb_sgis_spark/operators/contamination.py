@@ -24,22 +24,21 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import shingles_col, shingles_sql
+
 DEFAULT_N = 8
 
 
 def word_ngrams_col(text: Column, n: int = DEFAULT_N) -> Column:
-    """All space-joined word ``n``-grams of ``text`` as an array column.
+    """DISTINCT space-joined word ``n``-grams of ``text`` as an array.
 
-    Guarded for short documents: Spark's ``sequence(1, cnt)`` DESCENDS
-    when cnt < 1 (step defaults to -1), so the empty case must be
-    explicit, not relied on."""
-    toks = F.split(text, " ")
-    cnt = F.size(toks) - (n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), cnt),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
-    return F.when(cnt >= 1, grams).otherwise(F.array().cast("array<string>"))
+    One tokenization shape for the whole pipeline: this is dedup's
+    shingle construction (``dedup.shingles_col``) at a different k, so a
+    tokenization fix there cannot silently diverge decontamination.
+    Distinct-per-document is semantically free here — every consumer
+    (the benchmark gram set, the DISTINCT hit count) dedups anyway, and
+    it shrinks the map-side explode."""
+    return shingles_col(text, k=n)
 
 
 def benchmark_ngram_set(
@@ -83,21 +82,16 @@ def contamination_sql(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> str:
-    """DuckDB mirror of :func:`flag_contamination` (1-based inclusive
-    list_slice == Spark's slice(toks, i, n))."""
-    m = n - 1
+    """DuckDB mirror of :func:`flag_contamination`, built from the same
+    shared n-gram SQL shape as the dedup oracles (``dedup.shingles_sql``)
+    so the two mirrors cannot drift apart."""
+    sh = shingles_sql(text_col, k=n)
     return f"""
-    WITH bt AS (SELECT string_split({text_col}, ' ') AS toks FROM {bench_rel}),
-    bgrams AS (
-      SELECT DISTINCT array_to_string(list_slice(toks, i, i + {m}), ' ') AS gram
-      FROM bt, LATERAL UNNEST(generate_series(1, greatest(len(toks) - {m}, 0))) AS u(i)
-    ),
-    ct AS (
-      SELECT {id_col}, string_split({text_col}, ' ') AS toks FROM {corpus_rel}
+    WITH bgrams AS (
+      SELECT DISTINCT unnest({sh}) AS gram FROM {bench_rel}
     ),
     cgrams AS (
-      SELECT {id_col}, array_to_string(list_slice(toks, i, i + {m}), ' ') AS gram
-      FROM ct, LATERAL UNNEST(generate_series(1, greatest(len(toks) - {m}, 0))) AS u(i)
+      SELECT {id_col}, unnest({sh}) AS gram FROM {corpus_rel}
     )
     SELECT {id_col}, CAST(count(DISTINCT gram) AS BIGINT) AS n_hits
     FROM cgrams JOIN bgrams USING (gram)

@@ -57,21 +57,27 @@ def per_key_topk(
     """
     key = F.col(key) if isinstance(key, str) else key
     tie_id = F.col(tie_id) if isinstance(tie_id, str) else tie_id
+    # temp names that cannot clobber caller columns (e.g. a frame that
+    # already carries _salt/_rn from another salted operator)
+    salt_c, rn_c = "__pkt_salt", "__pkt_rn"
+    for c in (salt_c, rn_c):
+        if c in df.columns:
+            raise ValueError(f"input frame already has a column named {c!r}")
     if nsalts > 1:
-        salted = df.withColumn("_salt", F.pmod(F.xxhash64(tie_id), F.lit(nsalts)))
-        w1 = Window.partitionBy(key, F.col("_salt")).orderBy(*order_by)
+        salted = df.withColumn(salt_c, F.pmod(F.xxhash64(tie_id), F.lit(nsalts)))
+        w1 = Window.partitionBy(key, F.col(salt_c)).orderBy(*order_by)
         partial = (
-            salted.withColumn("_rn", F.row_number().over(w1))
-            .filter(F.col("_rn") <= k)
-            .drop("_rn", "_salt")
+            salted.withColumn(rn_c, F.row_number().over(w1))
+            .filter(F.col(rn_c) <= k)
+            .drop(rn_c, salt_c)
         )
     else:
         partial = df
     w2 = Window.partitionBy(key).orderBy(*order_by)
     return (
-        partial.withColumn("_rn", F.row_number().over(w2))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn")
+        partial.withColumn(rn_c, F.row_number().over(w2))
+        .filter(F.col(rn_c) <= k)
+        .drop(rn_c)
     )
 
 

@@ -50,6 +50,12 @@ DEFAULT_PARTITION_RES = 9
 
 _CELL_COL = "cell"
 
+# monotone suffix for lakes written without any obtainable fingerprint
+_NO_FP_SEQ = 0
+
+# partition-cell lists keyed by polygon-frame fingerprint (FIFO-bounded)
+_PART_CELL_CACHE: dict = {}
+
 
 def write_cell_partitioned_lake(
     pages: DataFrame,
@@ -86,14 +92,29 @@ def partition_cells_for_polygons(
     polygon, so filtering the lake to these cells is a SUPERSET of the
     PIP join's matching pages — pruning never changes the result.
     Driver-side work: the polygon side is the broadcast-small dimension
-    (same collect the cover join already does).
+    (same collect the cover join already does); repeated calls against
+    the same polygon frame reuse the cell list via the plan-fingerprint
+    cache (the inner join caches its own finer-res cover the same way,
+    so a repeated pruned query does zero driver decode work).
     """
+    try:
+        fp = polygons.semanticHash()
+    except Exception:
+        fp = None
+    ck = (fp, res_part, key_col, geometry_col)
+    if fp is not None and ck in _PART_CELL_CACHE:
+        return _PART_CELL_CACHE[ck]
     _, ga, _ = _decode_polygon_side(polygons, key_col, geometry_col)
     cells: set[int] = set()
     for _, cover, _ in covers_for_polygons(ga, res_part):
         cells.update(int(c) for c in cover.full)
         cells.update(int(c) for c in cover.partial)
-    return sorted(cells)
+    out = sorted(cells)
+    if fp is not None:
+        if len(_PART_CELL_CACHE) >= 16:
+            _PART_CELL_CACHE.pop(next(iter(_PART_CELL_CACHE)))
+        _PART_CELL_CACHE[ck] = out
+    return out
 
 
 def pip_join_lake_pruned(
@@ -131,15 +152,32 @@ def ensure_cell_lake(
 ) -> str:
     """Idempotently materialize the cell-partitioned lake for ``pages``.
 
-    Keyed by the frame's logical-plan fingerprint (``semanticHash``) so
-    the one-time write is amortized across queries/sessions — the lake
-    model.  Returns the lake path.
+    Keyed by the frame's logical-plan fingerprint (``semanticHash``,
+    falling back to a hash of the analyzed-plan text) so the one-time
+    write is amortized across queries/sessions — the lake model.  When
+    NO fingerprint is obtainable the lake is written fresh under a
+    process-unique suffix: reusing a constant key there would silently
+    serve one frame's lake to a query over a different frame (wrong rows,
+    no error), and correctness beats reuse.  Returns the lake path.
     """
+    fp: int | None
     try:
         fp = pages.semanticHash() & 0xFFFFFFFF
     except Exception:
-        fp = 0
-    path = os.path.join(base, f"cells_r{res_part}_{fp:08x}")
+        try:
+            import zlib
+
+            plan = pages._jdf.queryExecution().analyzed().toString()  # noqa: SLF001
+            fp = zlib.crc32(plan.encode())
+        except Exception:
+            fp = None
+    if fp is None:
+        global _NO_FP_SEQ
+        _NO_FP_SEQ += 1
+        suffix = f"nofp_{os.getpid()}_{_NO_FP_SEQ}"
+        path = os.path.join(base, f"cells_r{res_part}_{suffix}")
+    else:
+        path = os.path.join(base, f"cells_r{res_part}_{fp:08x}")
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
         write_cell_partitioned_lake(pages, path, res_part)

@@ -23,11 +23,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import (
-    char_count_col,
     distinct_token_count_col,
     stopword_count_col,
     token_count_col,
     top_bigram_count_col,
+    word_chars_col,
 )
 
 __all__ = ["quality_filter", "quality_filter_sql", "QUALITY_RULES"]
@@ -41,10 +41,12 @@ QUALITY_RULES = (
      lambda q, p: f"{q['n_tokens']} < {p['min_tokens']}"),
     ("too_long", lambda s, p: s["n_tokens"] > p["max_tokens"],
      lambda q, p: f"{q['n_tokens']} > {p['max_tokens']}"),
-    # mean word length outside [3, 12] chars: chars < 3*tokens or > 12*tokens
-    ("word_length", lambda s, p: (s["n_chars"] < 3 * s["n_tokens"])
-     | (s["n_chars"] > 12 * s["n_tokens"]),
-     lambda q, p: f"({q['n_chars']} < 3 * {q['n_tokens']} OR {q['n_chars']} > 12 * {q['n_tokens']})"),
+    # mean word length outside [3, 12] chars: word_chars (separator spaces
+    # excluded — length(text) would shift the bounds by ~1) < 3*tokens or
+    # > 12*tokens
+    ("word_length", lambda s, p: (s["word_chars"] < 3 * s["n_tokens"])
+     | (s["word_chars"] > 12 * s["n_tokens"]),
+     lambda q, p: f"({q['word_chars']} < 3 * {q['n_tokens']} OR {q['word_chars']} > 12 * {q['n_tokens']})"),
     # stopword ratio < 2%: stopwords * 50 < tokens
     ("low_stopword", lambda s, p: s["n_stop"] * 50 < s["n_tokens"],
      lambda q, p: f"{q['n_stop']} * 50 < {q['n_tokens']}"),
@@ -68,7 +70,7 @@ def quality_filter(
     t = F.col(text_col)
     signals = {
         "n_tokens": token_count_col(t),
-        "n_chars": char_count_col(t),
+        "word_chars": word_chars_col(t),
         "n_stop": stopword_count_col(t),
         "top_bigram": top_bigram_count_col(t),
         "n_distinct": distinct_token_count_col(t),
@@ -87,7 +89,7 @@ def quality_filter_sql(
 ) -> str:
     """DuckDB mirror: the ``fail_reason`` CASE expression (same rule
     order, same integer arithmetic).  ``q`` maps the signal names
-    ``n_tokens / n_chars / n_stop / top_bigram / n_distinct`` to SQL
+    ``n_tokens / word_chars / n_stop / top_bigram / n_distinct`` to SQL
     expressions or CTE column names (the top-bigram count has no scalar
     SQL form — DuckDB computes it with an unnest CTE, see the
     ``rep_stats`` oracle — so the caller names the column).  Wrap in a

@@ -63,6 +63,18 @@ def _is_table_ident(ident_or_path: str) -> bool:
     return "/" not in ident_or_path and not os.path.exists(ident_or_path)
 
 
+def _path_is_iceberg_table(path: str) -> bool:
+    """A filesystem path is an Iceberg table iff it has the table-format
+    ``metadata/`` directory.  :func:`write_lake_table` only writes true
+    Iceberg through catalog idents (``writeTo`` needs a catalog), so a
+    path it wrote is plain parquet ``partitionBy`` even in an
+    Iceberg-enabled session — reading such a directory with
+    ``format("iceberg")`` would raise NoSuchTable.  The check is local-FS
+    (the sandbox model); on object stores Iceberg tables are addressed by
+    catalog ident, which never reaches this branch."""
+    return os.path.isdir(os.path.join(path, "metadata"))
+
+
 def read_lake_table(
     spark: SparkSession,
     ident_or_path: str,
@@ -81,7 +93,9 @@ def read_lake_table(
     parquet row-group pruning in the sandbox (both via Spark's
     DataSourceV2 pushdown — the operators never materialize the scan).
     """
-    if _iceberg_available(spark):
+    if _iceberg_available(spark) and (
+        _is_table_ident(ident_or_path) or _path_is_iceberg_table(ident_or_path)
+    ):
         reader = spark.read.format("iceberg")
         if snapshot_id is not None:
             reader = reader.option("snapshot-id", str(snapshot_id))

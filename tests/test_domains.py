@@ -58,3 +58,18 @@ def test_nsalts_one_falls_back_to_single_window(spark):
     got = per_key_topk(df, "dom", order, k=2, tie_id="uid", nsalts=1)
     want = _naive_topk(df, "dom", order, 2)
     assert sorted(got.collect()) == sorted(want.collect())
+
+
+def test_topk_preserves_caller_salt_rn_columns(spark):
+    """Frames already carrying _salt/_rn (e.g. output of another salted
+    operator) must pass through untouched."""
+    df = spark.range(0, 100).select(
+        F.lit("d.no").alias("dom"),
+        F.col("id").alias("uid"),
+        (F.col("id") % 7).alias("_salt"),
+        (F.col("id") % 11).alias("_rn"),
+    )
+    out = per_key_topk(df, "dom", [F.desc("uid")], k=3, tie_id="uid", nsalts=4)
+    rows = sorted(out.collect(), key=lambda r: -r.uid)
+    assert [r.uid for r in rows] == [99, 98, 97]
+    assert [(r._salt, r._rn) for r in rows] == [(99 % 7, 99 % 11), (98 % 7, 98 % 11), (97 % 7, 97 % 11)]

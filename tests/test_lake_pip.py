@@ -82,3 +82,42 @@ def test_ensure_cell_lake_idempotent(spark, tmp_path):
     p2 = ensure_cell_lake(pages, base=base)
     assert p1 == p2
     assert os.path.getmtime(os.path.join(p2, "_SUCCESS")) == mtime
+
+
+def test_ensure_cell_lake_no_shared_key_when_semantichash_fails(spark, tmp_path, monkeypatch):
+    """When semanticHash is unavailable the fallback key must still
+    distinguish different input frames — a constant fallback would
+    silently serve one frame's lake to a query over another frame."""
+    from pyspark.sql import DataFrame
+
+    from ssb_sgis_spark.operators import lake_pip
+
+    monkeypatch.setattr(
+        DataFrame, "semanticHash",
+        lambda self: (_ for _ in ()).throw(RuntimeError("unavailable")),
+    )
+    a = spark.range(0, 10).select(
+        F.col("id").alias("uid"), F.lit(1.0).alias("x"), F.lit(2.0).alias("y")
+    )
+    b = spark.range(0, 20).select(
+        F.col("id").alias("uid"), F.lit(3.0).alias("x"), F.lit(4.0).alias("y")
+    )
+    base = str(tmp_path / "lakes")
+    pa = lake_pip.ensure_cell_lake(a, base=base)
+    pb = lake_pip.ensure_cell_lake(b, base=base)
+    assert pa != pb
+    assert spark.read.parquet(pa).count() == 10
+    assert spark.read.parquet(pb).count() == 20
+
+
+def test_read_lake_table_parquet_path_not_mistaken_for_iceberg(tmp_path):
+    """write_lake_table writes plain parquet partitionBy for filesystem
+    paths even in Iceberg sessions; the reader must follow the same
+    convention (format('iceberg') on such a directory raises NoSuchTable)."""
+    from ssb_sgis_spark.sources.io import _path_is_iceberg_table
+
+    p = tmp_path / "t"
+    (p / "cell=1").mkdir(parents=True)
+    assert not _path_is_iceberg_table(str(p))       # parquet layout
+    (p / "metadata").mkdir()
+    assert _path_is_iceberg_table(str(p))           # true Iceberg table dir

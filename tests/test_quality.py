@@ -26,3 +26,27 @@ def test_quality_rules_and_first_fail_ordering(spark):
     assert got[3] == (False, "repetitive")
     assert got[4] == (False, "low_stopword")
     assert got[5] == (False, "word_length")
+
+
+def test_word_length_excludes_separator_spaces(spark):
+    """Mean word length is word chars / words — separator spaces must not
+    count (length(text) would shift the documented [3,12] bounds ~1)."""
+    # 50 words, total word chars exactly 600 -> mean exactly 12 (boundary,
+    # must pass); diverse + stopword-rich so no other rule fires
+    words_12 = (
+        [f"w{i:02d}abcdefghijkl" for i in range(30)]   # 30 x 15 chars
+        + ["the"] * 10                                  # 10 x 3 chars
+        + [f"v{i:02d}abcdefghi" for i in range(10)]     # 10 x 12 chars
+    )
+    doc_mean_12 = " ".join(words_12)
+    assert len(doc_mean_12.replace(" ", "")) == 600 and len(words_12) == 50
+    # same doc plus one separator-heavy tweak: replace a 15-char word with
+    # a 40-char one -> word chars 625, mean 12.5 > 12, must fail word_length
+    doc_mean_12_5 = " ".join(["x" * 40] + words_12[1:])
+    df = spark.createDataFrame(
+        [(1, doc_mean_12), (2, doc_mean_12_5)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: (r["quality_pass"], r["fail_reason"])
+           for r in quality_filter(df).collect()}
+    assert got[1] == (True, None)          # boundary value passes
+    assert got[2] == (False, "word_length")
