@@ -691,6 +691,19 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: every document's place in the
+    fixed-2048-token training stream.  small_input=0 forces the
+    DISTRIBUTED prefix-sum path (range buckets + parallel windows + tiny
+    broadcast offset table) so the oracle validates the plan that runs
+    at 10^12 docs, not the single-window shortcut."""
+    from ssb_sgis_spark.operators.packing import pack_sequences
+
+    return pack_sequences(
+        docs_df(spark, sf_dir), ctx_len=2048, small_input=0
+    )
+
+
 def q_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain URL statistics — host/registered-domain/TLD/path-depth
     extraction and recrawl canonicalization as native regexp exprs, then
@@ -1031,6 +1044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_stats": q_url_stats,
         "domain_topk": q_domain_topk,
         "quality_filter": q_quality_filter,
+        "seq_pack": q_seq_pack,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -1110,6 +1124,8 @@ def _contamination_oracle() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from ssb_sgis_spark.operators.packing import pack_sequences_sql
+
     pages = pages_sql()
     points = points_sql()
     out = {
@@ -1243,6 +1259,9 @@ def oracle_sql() -> dict[str, str]:
         "url_stats": _url_stats_oracle(pages),
         "domain_topk": _domain_topk_oracle(pages),
         "quality_filter": _quality_filter_oracle(),
+        "seq_pack": pack_sequences_sql(
+            "documents", 2048, tokens_expr=token_count_sql("text")
+        ),
         "ann_topk": cosine_topk_sql(
             f"(SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id % {ANN_QUERY_MOD} = 0)",
             "embeddings",

@@ -1,0 +1,208 @@
+"""Training-sequence packing: concat-and-chunk documents into fixed-size
+context windows, plus token-budget corpus heads.
+
+The last mile of an LLM data pipeline: after dedup/quality/decontamination
+the surviving documents are concatenated in a deterministic corpus order
+and cut into fixed ``ctx_len``-token training sequences (GPT-style
+concat-and-chunk).  The whole computation is one exclusive prefix sum of
+token counts over the corpus order — every output column is arithmetic on
+``cum_before``:
+
+* ``seq_first``  = cum_before                      // ctx_len
+* ``seq_last``   = (cum_before + n_tokens - 1)     // ctx_len
+* ``seq_offset``     = cum_before % ctx_len  (doc's start inside seq_first)
+* ``n_seqs``     = seq_last - seq_first + 1 (sequences the doc spans)
+
+Scale shape at 10^12 documents: a GLOBAL ordered window is the classic
+scale-killer (one partition sorts the world), so the prefix sum is
+two-stage, the same trick as ``network.make_node_ids``'s range-bucketed
+rank: range-bucket on the order column, per-bucket sums collect to the
+driver (one tiny row per bucket), the exclusive prefix over buckets
+broadcasts back, and each bucket computes its internal cumsum with a
+PARALLEL window (partitionBy bucket).  One shuffle (by bucket — any
+global order costs at least that), O(buckets) driver bytes, everything
+else map-side.
+
+The doc→sequence map is what a sharded tokenizer/writer consumes: each
+worker can emit its documents' token ranges into the right sequence
+files independently, because the assignment is a pure function of
+``cum_before``.  No reference counterpart (sgis is a GIS toolkit);
+this belongs to the north rule's web-corpus side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import token_count_col
+
+__all__ = [
+    "exclusive_prefix_sum",
+    "pack_sequences",
+    "pack_sequences_sql",
+    "token_budget_head",
+]
+
+# below this many rows the bucket machinery's two extra driver jobs cost
+# more than the single-partition window they avoid
+_SMALL_INPUT = 100_000
+
+
+def exclusive_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "cum_before",
+    small_input: int = _SMALL_INPUT,
+) -> DataFrame:
+    """Append ``out_col`` = sum of ``value_col`` over all rows STRICTLY
+    before this row in ``order_col`` order (exclusive prefix sum).
+
+    ``order_col`` must be numeric and unique (a document id).  The
+    result is identical to the global-window
+    ``SUM(value) OVER (ORDER BY order_col ROWS UNBOUNDED PRECEDING AND
+    1 PRECEDING)`` but computed with range buckets + parallel windows —
+    no single-partition sort.
+    """
+    spark = df.sparkSession
+    n = df.count()
+    if n <= small_input:
+        w = (
+            Window.orderBy(F.col(order_col))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return df.withColumn(
+            out_col, F.coalesce(F.sum(value_col).over(w), F.lit(0)).cast("long")
+        )
+    lo, hi = df.agg(F.min(order_col), F.max(order_col)).first()
+    nb = max(spark.sparkContext.defaultParallelism * 4, 1)
+    h = max((hi - lo) / nb, 1e-300) if hi is not None and hi > lo else 1.0
+    bucketed = df.withColumn(
+        "_b",
+        F.least(
+            F.greatest(F.floor((F.col(order_col) - F.lit(lo)) / F.lit(h)), F.lit(0)),
+            F.lit(nb - 1),
+        ),
+    )
+    sums = bucketed.groupBy("_b").agg(F.sum(value_col).alias("_s")).orderBy("_b").collect()
+    offsets, acc = [], 0
+    for r in sums:
+        offsets.append((int(r["_b"]), acc))
+        acc += int(r["_s"])
+    off_df = spark.createDataFrame(offsets, "_b long, _off long")
+    wb = (
+        Window.partitionBy("_b")
+        .orderBy(F.col(order_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        bucketed.join(F.broadcast(off_df), "_b")
+        .withColumn(
+            out_col,
+            (
+                F.coalesce(F.sum(value_col).over(wb), F.lit(0)) + F.col("_off")
+            ).cast("long"),
+        )
+        .drop("_b", "_off")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    ctx_len: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: str | None = None,
+    small_input: int = _SMALL_INPUT,
+) -> DataFrame:
+    """Assign every document its place in the packed training stream.
+
+    Returns the input ids with ``n_tokens``, ``cum_before``,
+    ``seq_first``, ``seq_last``, ``seq_offset`` (start position inside
+    ``seq_first``) and ``n_seqs``.  ``tokens_col`` names a precomputed
+    token-count column; otherwise counts come from ``text_col`` via the
+    shared whitespace tokenization (``functions.text.token_count_col``).
+    """
+    if ctx_len <= 0:
+        raise ValueError("ctx_len must be positive")
+    if tokens_col is None:
+        base = docs.select(
+            F.col(id_col), token_count_col(F.col(text_col)).alias("n_tokens")
+        )
+    else:
+        base = docs.select(F.col(id_col), F.col(tokens_col).cast("long").alias("n_tokens"))
+    out = exclusive_prefix_sum(
+        base, id_col, "n_tokens", small_input=small_input
+    )
+    # `div` is exact 64-bit integer division (float floor-division would
+    # lose exactness past 2^53 total tokens — a 10^12-doc corpus is there)
+    first = F.expr(f"cum_before div {ctx_len}")
+    last = F.expr(f"(cum_before + n_tokens - 1) div {ctx_len}")
+    return out.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.col("cum_before"),
+        first.cast("long").alias("seq_first"),
+        last.cast("long").alias("seq_last"),
+        F.pmod(F.col("cum_before"), F.lit(ctx_len)).cast("long").alias("seq_offset"),
+        (last - first + 1).cast("long").alias("n_seqs"),
+    )
+
+
+def pack_sequences_sql(
+    rel: str,
+    ctx_len: int,
+    *,
+    id_col: str = "doc_id",
+    tokens_expr: str,
+) -> str:
+    """DuckDB mirror of :func:`pack_sequences` — the global-window
+    formulation the distributed prefix sum must equal bit-for-bit."""
+    return f"""
+    WITH t AS (
+        SELECT {id_col}, CAST({tokens_expr} AS BIGINT) AS n_tokens FROM {rel}
+    ),
+    c AS (
+        SELECT {id_col}, n_tokens,
+               CAST(coalesce(SUM(n_tokens) OVER (
+                   ORDER BY {id_col}
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS cum_before
+        FROM t
+    )
+    SELECT {id_col}, n_tokens, cum_before,
+           cum_before // {ctx_len} AS seq_first,
+           (cum_before + n_tokens - 1) // {ctx_len} AS seq_last,
+           cum_before % {ctx_len} AS seq_offset,
+           (cum_before + n_tokens - 1) // {ctx_len}
+               - cum_before // {ctx_len} + 1 AS n_seqs
+    FROM c
+    """
+
+
+def token_budget_head(
+    docs: DataFrame,
+    budget: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: str | None = None,
+    small_input: int = _SMALL_INPUT,
+) -> DataFrame:
+    """Keep the corpus head: documents, in ``id_col`` order, whose tokens
+    fit ENTIRELY inside the first ``budget`` tokens of the packed stream
+    ("train on the first N tokens" subsetting).  Same prefix sum,
+    map-only filter on top."""
+    packed = pack_sequences(
+        docs,
+        ctx_len=max(budget, 1),
+        id_col=id_col,
+        text_col=text_col,
+        tokens_col=tokens_col,
+        small_input=small_input,
+    )
+    return packed.filter(
+        (F.col("cum_before") + F.col("n_tokens")) <= budget
+    ).select(id_col, "n_tokens", "cum_before")
