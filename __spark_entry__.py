@@ -704,6 +704,72 @@ def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SAMPLE_FRACTION = 0.1
+SAMPLE_SEED = "r3"
+STRAT_K = 25
+MINHASH_TAU = (1, 2)  # edge when shingle-Jaccard >= 1/2 (integer compare)
+
+
+def q_sample_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bernoulli-by-hash corpus sampling: map-only filter
+    on an md5 prefix of the doc id — same rows on every run and every
+    engine (no RNG state), the reproducible-subset primitive of a
+    training pipeline."""
+    from ssb_sgis_spark.operators.sampling import sample_fraction
+
+    return sample_fraction(
+        docs_df(spark, sf_dir), "doc_id", SAMPLE_FRACTION, SAMPLE_SEED
+    ).select("doc_id")
+
+
+def q_sample_strat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified exact-K sampling: K pages per registered domain under
+    hash order, skew-safe via the salted two-stage top-K window (a hot
+    domain is bounded to K*nsalts survivors before the exact window) —
+    the balanced-crawl-subset primitive."""
+    from ssb_sgis_spark.functions.url import domain_col
+    from ssb_sgis_spark.operators.sampling import sample_stratified
+
+    pages = pages_df(spark, sf_dir).select(
+        "uid", domain_col(F.col("url")).alias("domain")
+    )
+    return sample_stratified(
+        pages, "domain", STRAT_K, "uid", SAMPLE_SEED
+    ).select("uid", "domain")
+
+
+def q_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text near-duplicate GROUPS — fuzzy dedup's canonical output:
+    MinHash-LSH pairs with exact shingle-Jaccard >= 1/2 become edges,
+    the distributed CC operator labels every doc with its group's min
+    id (transitive: A~B~C is ONE group even when A-C alone misses the
+    threshold)."""
+    from ssb_sgis_spark.operators.dedup import minhash_dup_groups
+
+    return minhash_dup_groups(
+        docs_with_dups_df(spark, sf_dir),
+        tau_num=MINHASH_TAU[0],
+        tau_den=MINHASH_TAU[1],
+    )
+
+
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus funnel — quality filter -> exact dedup ->
+    benchmark decontamination -> sequence packing — as ONE lazy DAG.
+    The output is every surviving doc's place in the packed training
+    stream, so a value match certifies all four stages at once (any doc
+    wrongly kept/dropped shifts every later offset).  small_input=0
+    forces the distributed prefix-sum path."""
+    from ssb_sgis_spark.operators.pipeline import corpus_pipeline
+
+    bench = (
+        docs_df(spark, sf_dir)
+        .filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
+        .select("doc_id", "text")
+    )
+    return corpus_pipeline(docs_with_dups_df(spark, sf_dir), bench)
+
+
 def q_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain URL statistics — host/registered-domain/TLD/path-depth
     extraction and recrawl canonicalization as native regexp exprs, then
@@ -1045,6 +1111,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_topk": q_domain_topk,
         "quality_filter": q_quality_filter,
         "seq_pack": q_seq_pack,
+        "sample_frac": q_sample_frac,
+        "sample_strat": q_sample_strat,
+        "minhash_groups": q_minhash_groups,
+        "corpus_pipeline": q_corpus_pipeline,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -1125,6 +1195,13 @@ def _contamination_oracle() -> str:
 
 def oracle_sql() -> dict[str, str]:
     from ssb_sgis_spark.operators.packing import pack_sequences_sql
+    from ssb_sgis_spark.operators.dedup import minhash_dup_groups_sql
+    from ssb_sgis_spark.operators.pipeline import corpus_pipeline_sql
+    from ssb_sgis_spark.operators.sampling import (
+        sample_fraction_pred_sql,
+        sample_stratified_sql,
+    )
+    from ssb_sgis_spark.functions.url import domain_sql
 
     pages = pages_sql()
     points = points_sql()
@@ -1259,6 +1336,27 @@ def oracle_sql() -> dict[str, str]:
         "url_stats": _url_stats_oracle(pages),
         "domain_topk": _domain_topk_oracle(pages),
         "quality_filter": _quality_filter_oracle(),
+        "sample_frac": (
+            "SELECT doc_id FROM documents WHERE "
+            + sample_fraction_pred_sql("doc_id", SAMPLE_FRACTION, SAMPLE_SEED)
+        ),
+        "sample_strat": sample_stratified_sql(
+            f"(WITH pages AS ({pages}) SELECT uid, {domain_sql()} AS domain FROM pages)",
+            "domain",
+            STRAT_K,
+            "uid",
+            SAMPLE_SEED,
+            select="uid, domain",
+        ),
+        "minhash_groups": minhash_dup_groups_sql(
+            f"({docs_with_dups_sql()})",
+            tau_num=MINHASH_TAU[0],
+            tau_den=MINHASH_TAU[1],
+        ),
+        "corpus_pipeline": corpus_pipeline_sql(
+            f"({docs_with_dups_sql()})",
+            f"(SELECT doc_id, text FROM documents WHERE doc_id % {CONTAM_BENCH_MOD} = 0)",
+        ),
         "seq_pack": pack_sequences_sql(
             "documents", 2048, tokens_expr=token_count_sql("text")
         ),

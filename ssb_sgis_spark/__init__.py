@@ -38,11 +38,18 @@ from .operators.conversion import (
 
 # reference-name alias (sgis ``to_gdf``): same ingestion surface, Spark frame out
 to_gdf = to_geom_df
+from .operators.contamination import flag_contamination
 from .operators.dedup import (
     dedupe_exact,
+    minhash_dup_groups,
     near_dup_pairs,
     simhash_df,
 )
+from .operators.domains import per_domain_latest, per_key_topk
+from .operators.packing import pack_sequences, token_budget_head
+from .operators.pipeline import corpus_pipeline
+from .operators.quality import quality_filter
+from .operators.sampling import sample_fraction, sample_stratified
 from .operators.dissolve import (
     buff,
     buffdiss,

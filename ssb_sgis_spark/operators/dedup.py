@@ -359,3 +359,79 @@ def simhash_sql(rel: str, id_col: str = "doc_id", text_col: str = "text") -> str
     sums AS (SELECT {id_col}, {sums} FROM dig GROUP BY {id_col})
     SELECT {id_col}, {hi} AS simhash_hi, {lo} AS simhash_lo FROM sums
     """
+
+
+# --------------------------------------------------------- dup groups (CC)
+def minhash_dup_groups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tau_num: int = 1,
+    tau_den: int = 2,
+    n_hashes: int = DEFAULT_N_HASHES,
+    bands: int = DEFAULT_BANDS,
+    k: int = DEFAULT_SHINGLE_K,
+) -> DataFrame:
+    """Near-duplicate GROUPS over the MinHash-LSH pair graph — the
+    canonical fuzzy-dedup output a web corpus actually applies (keep one
+    representative per group, CCNet/Dolma-style), transitive by
+    construction: A≈B≈C lands in one group even when A-C alone is below
+    threshold.
+
+    Edges are pairs with exact shingle-Jaccard >= tau_num/tau_den
+    (integer cross-multiply ``inter * den >= union * num`` — no float
+    division, so the SQL mirror agrees bit-for-bit); the distributed
+    hash-min connected-components operator labels every document with
+    its group's min id (singletons label themselves).  Scale shape: LSH
+    banding bounds the pair graph, CC is O(log diameter) rounds of
+    shuffles on ids only.
+    """
+    from .clusters import connected_components
+
+    pairs = near_dup_pairs(df, id_col, text_col, n_hashes, bands, k)
+    edges = pairs.filter(
+        F.col("inter_n") * tau_den >= F.col("union_n") * tau_num
+    ).selectExpr("a as src", "b as dst")
+    comp = connected_components(
+        edges, df.select(id_col), id_col=id_col, component_col="grp"
+    )
+    return (
+        df.select(id_col)
+        .join(comp, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("grp"), F.col(id_col)).alias("grp"),
+        )
+    )
+
+
+def minhash_dup_groups_sql(
+    rel: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tau_num: int = 1,
+    tau_den: int = 2,
+    n_hashes: int = DEFAULT_N_HASHES,
+    bands: int = DEFAULT_BANDS,
+    k: int = DEFAULT_SHINGLE_K,
+) -> str:
+    """DuckDB mirror: recursive-CTE label propagation over the SAME pair
+    SQL as the ``near_dup`` oracle, thresholded with the SAME integer
+    cross-multiplication."""
+    nd = near_dup_pairs_sql(rel, id_col, text_col, n_hashes, bands, k)
+    return f"""
+    WITH RECURSIVE nd AS (
+      SELECT * FROM ({nd})
+    ),
+    edges AS (
+      SELECT a AS u, b AS v FROM nd
+      WHERE inter_n * {tau_den} >= union_n * {tau_num}
+    ),
+    sym AS (SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges),
+    cc(vid, lbl) AS (
+      SELECT {id_col}, {id_col} FROM {rel}
+      UNION
+      SELECT s.u, c.lbl FROM sym s JOIN cc c ON c.vid = s.v
+    )
+    SELECT vid AS {id_col}, CAST(min(lbl) AS BIGINT) AS grp FROM cc GROUP BY vid
+    """

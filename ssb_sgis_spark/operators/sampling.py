@@ -1,0 +1,120 @@
+"""Deterministic hash-based corpus sampling.
+
+Training-data pipelines need reproducible subsetting: the same sample on
+every run, every engine, every cluster size — RNG-state samplers
+(``df.sample``) give none of that.  Both operators here key the decision
+on ``md5`` of a stable row id, so the sample is a pure function of the
+data (reference parity note: the reference's only sampler is the
+test-data generator ``random_points``, general.py:344-399; corpus
+subsetting is engine-new surface).
+
+* :func:`sample_fraction` — Bernoulli-by-hash: keep rows whose
+  ``md5(key || ':' || seed)`` 8-hex-char prefix falls below the fraction
+  threshold.  Map-only: no shuffle, no RNG state, whole-stage codegen.
+  The DuckDB mirror compares the SAME hex strings, so the sampled row
+  set is byte-identical across engines.
+* :func:`sample_stratified` — exactly ``k`` rows per stratum under hash
+  order (a deterministic "reservoir"): skew-safe via the salted
+  two-stage top-K window (:func:`..operators.domains.per_key_topk`), so
+  a 10^6x hot stratum is hard-bounded to ``k * nsalts`` survivors before
+  the exact per-stratum window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .domains import per_key_topk
+
+__all__ = [
+    "fraction_threshold_hex",
+    "sample_fraction",
+    "sample_fraction_pred_sql",
+    "sample_stratified",
+    "sample_stratified_sql",
+]
+
+_HEX_SPACE = 16**8  # the md5 prefix is 8 hex chars → uniform over [0, 16^8)
+
+
+def fraction_threshold_hex(fraction: float) -> str:
+    """The 8-hex-char threshold both engines compare against.  Shared by
+    the Spark plan and the SQL mirror so the cut point cannot drift."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    return format(min(int(round(fraction * _HEX_SPACE)), _HEX_SPACE - 1), "08x")
+
+
+def _hash_key_col(key: Column, seed: str) -> Column:
+    return F.md5(F.concat(key.cast("string"), F.lit(":" + seed)))
+
+
+def sample_fraction(
+    df: DataFrame,
+    key_col: str,
+    fraction: float,
+    seed: str = "0",
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, decided per row by hash of
+    ``key_col`` — deterministic, map-only, no shuffle."""
+    thr = fraction_threshold_hex(fraction)
+    h = _hash_key_col(F.col(key_col), seed)
+    return df.filter(F.substring(h, 1, 8) < F.lit(thr))
+
+
+def sample_fraction_pred_sql(key_expr: str, fraction: float, seed: str = "0") -> str:
+    """DuckDB WHERE-clause mirror of :func:`sample_fraction`'s filter."""
+    thr = fraction_threshold_hex(fraction)
+    return (
+        f"substr(md5(concat(CAST({key_expr} AS VARCHAR), ':{seed}')), 1, 8)"
+        f" < '{thr}'"
+    )
+
+
+def sample_stratified(
+    df: DataFrame,
+    strata_col: str,
+    k: int,
+    tie_id: str,
+    seed: str = "0",
+    nsalts: int = 32,
+) -> DataFrame:
+    """Exactly ``min(k, stratum size)`` rows per stratum, selected by
+    hash order over ``tie_id`` (ties broken by ``tie_id`` itself, so the
+    ordering is total and the result unique)."""
+    hk = "__samp_hash"
+    if hk in df.columns:
+        raise ValueError(f"input frame already has a column named {hk!r}")
+    out = per_key_topk(
+        df.withColumn(hk, _hash_key_col(F.col(tie_id), seed)),
+        key=strata_col,
+        order_by=[F.col(hk), F.col(tie_id)],
+        k=k,
+        tie_id=tie_id,
+        nsalts=nsalts,
+    )
+    return out.drop(hk)
+
+
+def sample_stratified_sql(
+    rel: str,
+    strata_expr: str,
+    k: int,
+    tie_id: str = "doc_id",
+    seed: str = "0",
+    select: str = "*",
+) -> str:
+    """DuckDB mirror: global window formulation the salted two-stage
+    plan must equal exactly."""
+    return f"""
+    SELECT {select} FROM (
+        SELECT *,
+               row_number() OVER (
+                   PARTITION BY {strata_expr}
+                   ORDER BY md5(concat(CAST({tie_id} AS VARCHAR), ':{seed}')),
+                            {tie_id}
+               ) AS __rn
+        FROM {rel}
+    ) WHERE __rn <= {k}
+    """

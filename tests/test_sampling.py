@@ -1,0 +1,135 @@
+"""Deterministic hash sampling + the composed corpus pipeline +
+minhash dup groups."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from ssb_sgis_spark.operators.sampling import (
+    fraction_threshold_hex,
+    sample_fraction,
+    sample_fraction_pred_sql,
+    sample_stratified,
+)
+
+
+def _docs(spark, n=2000):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.pmod(F.col("id"), F.lit(7)).cast("string").alias("stratum"),
+    )
+
+
+def test_sample_fraction_deterministic_and_sized(spark):
+    d = _docs(spark)
+    a = sorted(r.doc_id for r in sample_fraction(d, "doc_id", 0.2, "s").collect())
+    b = sorted(r.doc_id for r in sample_fraction(d, "doc_id", 0.2, "s").collect())
+    assert a == b
+    # binomial(2000, 0.2): mean 400, sd ~17.9 — allow 5 sd
+    assert 310 <= len(a) <= 490
+
+
+def test_sample_fraction_nested_subsets(spark):
+    """Same seed, smaller fraction => exact subset (threshold shrinks,
+    hash per row is fixed) — lets a pipeline downsample consistently."""
+    d = _docs(spark)
+    small = {r.doc_id for r in sample_fraction(d, "doc_id", 0.05, "s").collect()}
+    big = {r.doc_id for r in sample_fraction(d, "doc_id", 0.25, "s").collect()}
+    assert small <= big and len(small) < len(big)
+
+
+def test_sample_fraction_matches_duckdb(spark):
+    d = _docs(spark)
+    got = sorted(r.doc_id for r in sample_fraction(d, "doc_id", 0.13, "z").collect())
+    pred = sample_fraction_pred_sql("doc_id", 0.13, "z")
+    want = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM range(2000) t(doc_id) WHERE {pred} ORDER BY doc_id"
+        ).fetchall()
+    ]
+    assert got == want
+
+
+def test_fraction_threshold_bounds():
+    assert fraction_threshold_hex(0.0) == "00000000"
+    assert fraction_threshold_hex(1.0) == "ffffffff"
+    with pytest.raises(ValueError):
+        fraction_threshold_hex(1.5)
+
+
+def test_sample_stratified_exact_k_and_salt_invariance(spark):
+    d = _docs(spark, 700)  # strata of size 100 each
+    out = sample_stratified(d, "stratum", 10, "doc_id", "s", nsalts=32)
+    per = {r.stratum: r.n for r in out.groupBy("stratum").agg(F.count("*").alias("n")).collect()}
+    assert per == {str(i): 10 for i in range(7)}
+    # the salted two-stage plan must equal the single-window plan exactly
+    plain = sample_stratified(d, "stratum", 10, "doc_id", "s", nsalts=1)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_sample_stratified_small_stratum_clamps(spark):
+    d = spark.range(5).select(
+        F.col("id").alias("doc_id"), F.lit("only").alias("stratum")
+    )
+    assert sample_stratified(d, "stratum", 10, "doc_id").count() == 5
+
+
+def test_minhash_dup_groups_transitive(spark):
+    """A~B and B~C above threshold, A~C below: still ONE group."""
+    from ssb_sgis_spark.operators.dedup import minhash_dup_groups
+
+    base = [f"tok{i}" for i in range(40)]
+    a = " ".join(base)
+    b = " ".join(base[6:])   # 2-shingles: J(a,b) = 33/39 ≈ 0.846
+    c = " ".join(base[12:])  # J(b,c) = 27/33 ≈ 0.818; J(a,c) = 27/39 ≈ 0.69
+    other = " ".join(f"zz{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (4, other)], ["doc_id", "text"]
+    )
+    # shingle k small so shingle-Jaccard tracks token overlap closely;
+    # 8 bands x 2 rows so banding recall at J≈0.82 is ~1-0.33^8
+    out = {
+        r.doc_id: r.grp
+        for r in minhash_dup_groups(
+            df, tau_num=7, tau_den=10, k=2, bands=8
+        ).collect()
+    }
+    assert out[1] == out[2] == out[3] == 1
+    assert out[4] == 4
+
+
+def test_corpus_pipeline_funnel(spark):
+    """Each stage drops exactly the docs it should; survivors are packed
+    in id order with contiguous offsets."""
+    from ssb_sgis_spark.operators.pipeline import corpus_pipeline
+
+    good = " ".join(
+        "the observation and analysis of temporal patterns leads to"
+        " understanding word%d because networks propagate information"
+        " through complex adaptive layers" % i
+        for i in range(4)
+    )  # 76 tokens, mean word length ~7, stopword-rich, diverse
+    bench_text = " ".join(
+        "evaluation question%d regarding standardized assessment answers"
+        " compared against reference solutions provided" % i
+        for i in range(6)
+    )  # 54 tokens, fully disjoint from `good`
+    docs = [
+        (1, good + " one"),
+        (2, "too short"),                   # fails quality (too_short)
+        (3, good + " one"),                 # exact dup of 1 -> dropped
+        (4, bench_text + " the and of to is leaked copy"),  # contaminated
+        (5, good + " five"),
+    ]
+    bench = [(99, bench_text)]
+    corpus = spark.createDataFrame(docs, ["doc_id", "text"])
+    bench_df = spark.createDataFrame(bench, ["doc_id", "text"])
+    out = corpus_pipeline(
+        corpus, bench_df, ctx_len=50, min_tokens=40, contam_n=8
+    )
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {1, 5}
+    assert rows[1].cum_before == 0
+    assert rows[5].cum_before == rows[1].n_tokens
+    assert rows[1].seq_first == 0 and rows[1].seq_last > 0  # 81 tokens / 50
