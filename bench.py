@@ -136,12 +136,21 @@ def main() -> None:
             if warm:
                 fn(spark, sf_dir).count()  # discarded warm-up
             best = None
-            for _ in range(max(warm, 1)):
+            reps = max(warm, 1)
+            done = 0
+            while done < reps:
                 t0 = time.time()
                 # full execution; count() runs every operator incl. UDF refine
                 fn(spark, sf_dir).count()
                 dt = time.time() - t0
                 best = dt if best is None else min(best, dt)
+                done += 1
+                # sub-3s queries: scheduling jitter is a large FRACTION of
+                # the sample even when it's small in seconds; two extra
+                # reps cost almost nothing and make min-of-N reproduce
+                # run-to-run within the ±20% gate
+                if done == reps and warm and best < 3.0 and reps < warm + 2:
+                    reps += 2
             timings[name] = round(best, 3)
         except Exception as exc:  # keep the bench alive; report the failure
             errors[name] = f"{type(exc).__name__}: {str(exc)[:200]}"

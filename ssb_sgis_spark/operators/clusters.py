@@ -167,13 +167,32 @@ def connected_components(
     label).  Converges in O(log diameter) rounds; each round is two
     shuffles on (id) — scale-safe, no driver-side graph (unlike the
     reference's networkx path, ``polygon_operations.py:147-155``).
+
+    The iterative rounds run ONLY over edge-touched vertices; vertices
+    with no incident edge are self-labeled singletons unioned back
+    map-only at the end.  Output-identical, but per-round shuffle cost
+    is proportional to the component graph, not the vertex set — on a
+    near-duplicate graph over a web corpus the dup graph is orders of
+    magnitude smaller than the corpus, so this is the difference
+    between shuffling a trillion labels per round and shuffling the
+    few that are actually in play.
     """
     sym = edges.selectExpr("src as a", "dst as b").unionAll(
         edges.selectExpr("dst as a", "src as b")
     )
-    labels = vertices.select(F.col(id_col).alias("v"), F.col(id_col).alias("lbl"))
-    labels = labels.localCheckpoint(eager=True)
     sym = sym.localCheckpoint(eager=True)
+    verts = vertices.select(F.col(id_col).alias("v"))
+    # edge-touched vertices only (∩ vertices, preserving the contract
+    # that output rows ⊆ the vertices frame even if edges mention ids
+    # outside it)
+    active = verts.join(
+        sym.select(F.col("a").alias("v")).distinct(), "v", "left_semi"
+    )
+    labels = active.select(F.col("v"), F.col("v").alias("lbl"))
+    labels = labels.localCheckpoint(eager=True)
+    singletons = verts.join(labels.select("v"), "v", "left_anti").select(
+        F.col("v"), F.col("v").alias("lbl")
+    )
 
     def step(lbls):
         # neighbor min
@@ -214,7 +233,9 @@ def connected_components(
         if new_fp == prev_fp:
             break
         prev_fp = new_fp
-    return labels.select(F.col("v").alias(id_col), F.col("lbl").alias(component_col))
+    return labels.unionByName(singletons).select(
+        F.col("v").alias(id_col), F.col("lbl").alias(component_col)
+    )
 
 
 def get_polygon_clusters(

@@ -153,3 +153,27 @@ def test_connected_components_string_ids(spark):
     assert out["a"] == out["b"] == out["c"] == out["d"] == "a"
     assert out["x"] == out["y"] == "x"
     assert out["lone"] == "lone"
+
+
+def test_connected_components_no_edges(spark):
+    """Empty edge set: every vertex is its own singleton component (the
+    active-vertex loop runs zero rounds; singletons union back)."""
+    from ssb_sgis_spark.operators.clusters import connected_components
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    verts = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    out = {r["id"]: r["component"] for r in connected_components(edges, verts).collect()}
+    assert out == {1: 1, 2: 2, 3: 3}
+
+
+def test_connected_components_foreign_edge_ids(spark):
+    """Edges mentioning ids absent from the vertices frame: output rows
+    stay ⊆ vertices (the active set is intersected with vertices), and
+    labels may still propagate through the foreign endpoint's edges."""
+    from ssb_sgis_spark.operators.clusters import connected_components
+
+    edges = spark.createDataFrame([(1, 99), (99, 2)], "src long, dst long")
+    verts = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    rows = connected_components(edges, verts).collect()
+    ids = {r["id"] for r in rows}
+    assert ids == {1, 2, 3}
