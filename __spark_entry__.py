@@ -770,6 +770,34 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_pipeline(docs_with_dups_df(spark, sf_dir), bench)
 
 
+PARA_CHUNK_TOKENS = 10
+# the data recipe: four weight tiers cycling over the 20 synthetic sources
+MIX_FRACTIONS = {f"src{i}": 0.25 * (i % 4 + 1) for i in range(20)}
+
+
+def q_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style paragraph (chunk) dedup: every repeated 10-token chunk
+    keeps only its corpus-first occurrence, documents reassembled from
+    the survivors — the injected exact/near copies lose all or most of
+    their text while the originals pass through intact."""
+    from ssb_sgis_spark.operators.dedup import dedup_paragraphs
+
+    return dedup_paragraphs(
+        docs_with_dups_df(spark, sf_dir), chunk_tokens=PARA_CHUNK_TOKENS
+    )
+
+
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixing (the pretraining data recipe): per-source
+    deterministic Bernoulli-by-hash keep fractions as ONE map-only CASE
+    filter — no shuffle, no RNG state, nested across weight changes."""
+    from ssb_sgis_spark.operators.sampling import mix_corpora
+
+    return mix_corpora(
+        docs_df(spark, sf_dir), "source", MIX_FRACTIONS, "doc_id", SAMPLE_SEED
+    ).select("doc_id", "source")
+
+
 def q_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain URL statistics — host/registered-domain/TLD/path-depth
     extraction and recrawl canonicalization as native regexp exprs, then
@@ -1115,6 +1143,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_strat": q_sample_strat,
         "minhash_groups": q_minhash_groups,
         "corpus_pipeline": q_corpus_pipeline,
+        "para_dedup": q_para_dedup,
+        "corpus_mix": q_corpus_mix,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -1195,9 +1225,13 @@ def _contamination_oracle() -> str:
 
 def oracle_sql() -> dict[str, str]:
     from ssb_sgis_spark.operators.packing import pack_sequences_sql
-    from ssb_sgis_spark.operators.dedup import minhash_dup_groups_sql
+    from ssb_sgis_spark.operators.dedup import (
+        dedup_paragraphs_sql,
+        minhash_dup_groups_sql,
+    )
     from ssb_sgis_spark.operators.pipeline import corpus_pipeline_sql
     from ssb_sgis_spark.operators.sampling import (
+        mix_corpora_pred_sql,
         sample_fraction_pred_sql,
         sample_stratified_sql,
     )
@@ -1356,6 +1390,15 @@ def oracle_sql() -> dict[str, str]:
         "corpus_pipeline": corpus_pipeline_sql(
             f"({docs_with_dups_sql()})",
             f"(SELECT doc_id, text FROM documents WHERE doc_id % {CONTAM_BENCH_MOD} = 0)",
+        ),
+        "para_dedup": dedup_paragraphs_sql(
+            f"({docs_with_dups_sql()})", chunk_tokens=PARA_CHUNK_TOKENS
+        ),
+        "corpus_mix": (
+            "SELECT doc_id, source FROM documents WHERE "
+            + mix_corpora_pred_sql(
+                "source", MIX_FRACTIONS, "doc_id", SAMPLE_SEED
+            )
         ),
         "seq_pack": pack_sequences_sql(
             "documents", 2048, tokens_expr=token_count_sql("text")

@@ -40,6 +40,7 @@ from .operators.conversion import (
 to_gdf = to_geom_df
 from .operators.contamination import flag_contamination
 from .operators.dedup import (
+    dedup_paragraphs,
     dedupe_exact,
     minhash_dup_groups,
     near_dup_pairs,
@@ -49,7 +50,7 @@ from .operators.domains import per_domain_latest, per_key_topk
 from .operators.packing import pack_sequences, token_budget_head
 from .operators.pipeline import corpus_pipeline
 from .operators.quality import quality_filter
-from .operators.sampling import sample_fraction, sample_stratified
+from .operators.sampling import mix_corpora, sample_fraction, sample_stratified
 from .operators.dissolve import (
     buff,
     buffdiss,

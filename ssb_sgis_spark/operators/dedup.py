@@ -435,3 +435,113 @@ def minhash_dup_groups_sql(
     )
     SELECT vid AS {id_col}, CAST(min(lbl) AS BIGINT) AS grp FROM cc GROUP BY vid
     """
+
+
+# ------------------------------------------------- paragraph-level dedup
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 10,
+) -> DataFrame:
+    """CCNet-style sub-document dedup: drop every repeated chunk except
+    its FIRST occurrence (min ``(doc_id, pos)`` over the whole corpus),
+    then reassemble each document from its surviving chunks.
+
+    Chunks are fixed windows of ``chunk_tokens`` whitespace tokens (a
+    corpus with real paragraph breaks would split on the delimiter
+    instead; the chunking is a native expression either way).  Returns
+    ``(id_col, text, n_kept)`` for EVERY input document — a doc whose
+    chunks were all seen earlier comes back with empty text and
+    ``n_kept = 0``.
+
+    Scale shape:
+    * chunking is map-only (``transform`` over a ``sequence`` — no
+      explode until the chunk rows are needed);
+    * the winner-per-chunk agg shuffles ``(md5, id, pos)`` ONLY — never
+      chunk text — and the map-side partial ``min`` makes a boilerplate
+      chunk duplicated across millions of docs a non-event (vs a window
+      over the hash, which would drag every copy to one partition);
+    * the join back to chunk rows is an equi-join on the hash (AQE
+      handles residual skew), then one groupBy(doc) to reassemble.
+    """
+    w = int(chunk_tokens)
+    toks = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(w))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(toks, i * w + 1, w), " "),
+    )
+    exploded = (
+        df.select(F.col(id_col), F.posexplode(chunks).alias("pos", "chunk"))
+        .withColumn("h", F.md5(F.col("chunk")))
+    )
+    winners = exploded.groupBy("h").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("first")
+    )
+    kept = (
+        exploded.join(winners, "h")
+        .filter(
+            (F.col(id_col) == F.col("first")[id_col])
+            & (F.col("pos") == F.col("first")["pos"])
+        )
+        .select(id_col, "pos", "chunk")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("text"),
+        F.count("*").alias("n_kept"),
+    )
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )
+
+
+def dedup_paragraphs_sql(
+    rel: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 10,
+) -> str:
+    """DuckDB mirror: same chunking arithmetic, ``row_number() OVER
+    (PARTITION BY chunk hash ORDER BY doc, pos) = 1`` as the
+    first-occurrence rule (≡ the Spark min-struct), ``string_agg``
+    ordered by pos to reassemble."""
+    w = int(chunk_tokens)
+    return f"""
+    WITH src AS (SELECT {id_col}, {text_col} AS text FROM {rel}),
+    toks AS (SELECT {id_col}, string_split(text, ' ') AS t FROM src),
+    ch AS (
+        SELECT {id_col}, CAST(i AS INT) AS pos,
+               array_to_string(list_slice(t, i*{w}+1, i*{w}+{w}), ' ') AS chunk
+        FROM toks, unnest(range(0, CAST(ceil(len(t)/{float(w)}) AS BIGINT))) r(i)
+    ),
+    ranked AS (
+        SELECT {id_col}, pos, chunk,
+               row_number() OVER (
+                   PARTITION BY md5(chunk) ORDER BY {id_col}, pos
+               ) AS rn
+        FROM ch
+    ),
+    rebuilt AS (
+        SELECT {id_col},
+               string_agg(chunk, ' ' ORDER BY pos) AS text,
+               count(*) AS n_kept
+        FROM ranked WHERE rn = 1 GROUP BY {id_col}
+    )
+    SELECT s.{id_col},
+           coalesce(r.text, '') AS text,
+           coalesce(r.n_kept, 0) AS n_kept
+    FROM src s LEFT JOIN rebuilt r USING ({id_col})
+    """

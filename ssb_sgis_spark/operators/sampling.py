@@ -29,6 +29,8 @@ from .domains import per_key_topk
 
 __all__ = [
     "fraction_threshold_hex",
+    "mix_corpora",
+    "mix_corpora_pred_sql",
     "sample_fraction",
     "sample_fraction_pred_sql",
     "sample_stratified",
@@ -118,3 +120,44 @@ def sample_stratified_sql(
         FROM {rel}
     ) WHERE __rn <= {k}
     """
+
+
+def mix_corpora(
+    df: DataFrame,
+    source_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    seed: str = "0",
+) -> DataFrame:
+    """Weighted corpus mixing — the pretraining "data recipe": keep a
+    per-source deterministic Bernoulli-by-hash fraction of rows (e.g.
+    wiki at 1.0, common-crawl at 0.15).  Map-only: ONE native CASE
+    expression over the source column against the row's md5 prefix, no
+    shuffle, no RNG state; sources absent from ``fractions`` are
+    dropped (fraction 0).  The kept set is a pure function of the data,
+    so recipes reproduce across runs, engines, and cluster sizes, and
+    upweighting a source strictly grows its subset (nested samples)."""
+    h = F.substring(_hash_key_col(F.col(key_col), seed), 1, 8)
+    mapping = F.create_map(
+        *[x for s, frac in sorted(fractions.items())
+          for x in (F.lit(s), F.lit(fraction_threshold_hex(frac)))]
+    )
+    thr = mapping[F.col(source_col)]
+    return df.filter(h < F.coalesce(thr, F.lit("00000000")))
+
+
+def mix_corpora_pred_sql(
+    source_expr: str,
+    fractions: dict[str, float],
+    key_expr: str,
+    seed: str = "0",
+) -> str:
+    """DuckDB WHERE-clause mirror of :func:`mix_corpora`'s filter."""
+    cases = " ".join(
+        f"WHEN '{s}' THEN '{fraction_threshold_hex(frac)}'"
+        for s, frac in sorted(fractions.items())
+    )
+    return (
+        f"substr(md5(concat(CAST({key_expr} AS VARCHAR), ':{seed}')), 1, 8)"
+        f" < (CASE {source_expr} {cases} ELSE '00000000' END)"
+    )

@@ -133,3 +133,58 @@ def test_corpus_pipeline_funnel(spark):
     assert rows[1].cum_before == 0
     assert rows[5].cum_before == rows[1].n_tokens
     assert rows[1].seq_first == 0 and rows[1].seq_last > 0  # 81 tokens / 50
+
+
+# ------------------------------------------------------- paragraph dedup
+def test_dedup_paragraphs_first_occurrence(spark):
+    """Repeated chunks keep only their (min doc, min pos) copy; docs are
+    reassembled in position order; fully-duplicated docs come back
+    empty with n_kept=0."""
+    from ssb_sgis_spark.operators.dedup import dedup_paragraphs
+
+    a = "a b c d"   # chunks (w=2): "a b", "c d"
+    b = "c d x y"   # "c d" already seen in doc 1 → keeps only "x y"
+    c = "a b c d"   # exact copy of doc 1 → everything dropped
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    out = {r.doc_id: (r.text, r.n_kept) for r in
+           dedup_paragraphs(df, chunk_tokens=2).collect()}
+    assert out[1] == ("a b c d", 2)
+    assert out[2] == ("x y", 1)
+    assert out[3] == ("", 0)
+
+
+def test_dedup_paragraphs_within_doc_repeat(spark):
+    """A chunk repeated WITHIN one doc keeps only the earliest position."""
+    from ssb_sgis_spark.operators.dedup import dedup_paragraphs
+
+    df = spark.createDataFrame([(7, "p q p q r s")], "doc_id long, text string")
+    out = dedup_paragraphs(df, chunk_tokens=2).collect()[0]
+    assert out.text == "p q r s" and out.n_kept == 2
+
+
+# ---------------------------------------------------------- corpus mixing
+def test_mix_corpora_nested_and_exact(spark):
+    """Upweighting a source strictly grows its kept set (nesting); a
+    source at 0 weight (absent) drops entirely; the per-source subset
+    equals sample_fraction at the same fraction."""
+    from ssb_sgis_spark.operators.sampling import mix_corpora
+
+    df = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), F.pmod("id", F.lit(3)).cast("string")).alias("source"),
+    )
+    lo = mix_corpora(df, "source", {"s0": 0.2, "s1": 1.0}, "doc_id", "m")
+    hi = mix_corpora(df, "source", {"s0": 0.6, "s1": 1.0}, "doc_id", "m")
+    lo_ids = {r.doc_id for r in lo.collect()}
+    hi_ids = {r.doc_id for r in hi.collect()}
+    assert lo_ids <= hi_ids                      # nested
+    assert not any(i % 3 == 2 for i in hi_ids)   # s2 absent → dropped
+    s0_only = {
+        r.doc_id
+        for r in sample_fraction(
+            df.filter("source = 's0'"), "doc_id", 0.2, "m"
+        ).collect()
+    }
+    assert {i for i in lo_ids if i % 3 == 0} == s0_only
