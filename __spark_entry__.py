@@ -798,6 +798,16 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
+def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram LM score per doc (the CCNet-style
+    perplexity quality signal) in integer micro-nats — train (vocab
+    groupBy) and score (equi-join + integer sum) in one distributed
+    DAG, bit-exact vs the SQL mirror."""
+    from ssb_sgis_spark.operators.quality import unigram_nll
+
+    return unigram_nll(docs_df(spark, sf_dir))
+
+
 def q_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain URL statistics — host/registered-domain/TLD/path-depth
     extraction and recrawl canonicalization as native regexp exprs, then
@@ -1145,6 +1155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pipeline": q_corpus_pipeline,
         "para_dedup": q_para_dedup,
         "corpus_mix": q_corpus_mix,
+        "unigram_nll": q_unigram_nll,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -1230,6 +1241,7 @@ def oracle_sql() -> dict[str, str]:
         minhash_dup_groups_sql,
     )
     from ssb_sgis_spark.operators.pipeline import corpus_pipeline_sql
+    from ssb_sgis_spark.operators.quality import unigram_nll_sql
     from ssb_sgis_spark.operators.sampling import (
         mix_corpora_pred_sql,
         sample_fraction_pred_sql,
@@ -1391,6 +1403,7 @@ def oracle_sql() -> dict[str, str]:
             f"({docs_with_dups_sql()})",
             f"(SELECT doc_id, text FROM documents WHERE doc_id % {CONTAM_BENCH_MOD} = 0)",
         ),
+        "unigram_nll": unigram_nll_sql("documents"),
         "para_dedup": dedup_paragraphs_sql(
             f"({docs_with_dups_sql()})", chunk_tokens=PARA_CHUNK_TOKENS
         ),

@@ -49,7 +49,7 @@ from .operators.dedup import (
 from .operators.domains import per_domain_latest, per_key_topk
 from .operators.packing import pack_sequences, token_budget_head
 from .operators.pipeline import corpus_pipeline
-from .operators.quality import quality_filter
+from .operators.quality import quality_filter, unigram_nll
 from .operators.sampling import mix_corpora, sample_fraction, sample_stratified
 from .operators.dissolve import (
     buff,

@@ -99,3 +99,86 @@ def quality_filter_sql(
         f"WHEN {sql(q, params)} THEN '{name}'" for name, _c, sql in QUALITY_RULES
     )
     return f"CASE {whens} ELSE NULL END"
+
+
+# ----------------------------------------------- unigram LM quality score
+def unigram_nll(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-trained unigram language-model score per document — the
+    CCNet-style "LM perplexity" quality signal, with the LM being the
+    corpus's own unigram distribution (no external model, fully
+    distributed training + scoring in one DAG).
+
+    Returns ``(id_col, nll_micro, n_tok)`` where ``nll_micro`` is the
+    document's total negative log-likelihood in integer MICRO-NATS
+    (``sum(c_dt * floor(-ln(c_t / T) * 1e6))``).  The per-token
+    ``-ln p`` is computed ONCE per vocabulary entry and floored to
+    micro-nats BEFORE the weighted sum, so the aggregate is pure 64-bit
+    integer arithmetic: order-independent and bit-identical to the SQL
+    mirror (a float sum would depend on Spark's nondeterministic
+    partial-agg order).  Downstream filtering stays exact via integer
+    cross-multiplication: ``nll_micro < thr_micro * n_tok``.
+
+    Scale shape:
+    * vocab = one groupBy(token) with map-side combine over the
+      exploded tokens (hot tokens like "the" are partial-aggregated,
+      never gathered);
+    * per-doc term counts = one groupBy(id, token) — also map-side
+      combined, so the join input is distinct (doc, token) pairs, not
+      raw token occurrences;
+    * score join is an equi-join on token (AQE handles residual skew;
+      the vocab side is NOT assumed broadcastable — web-scale vocab is
+      O(10^8) rows), then one groupBy(id) integer sum.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    )
+    doc_tok = toks.groupBy(id_col, "tok").agg(F.count("*").alias("c_dt"))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("c_t"))
+    total = vocab.agg(F.sum("c_t").alias("T"))
+    vocab = vocab.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.floor(-F.log(F.col("c_t") / F.col("T")) * 1e6)
+        .cast("long")
+        .alias("nll_tok_micro"),
+    )
+    return (
+        doc_tok.join(vocab, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("c_dt") * F.col("nll_tok_micro")).alias("nll_micro"),
+            F.sum("c_dt").alias("n_tok"),
+        )
+    )
+
+
+def unigram_nll_sql(
+    rel: str, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB mirror: same micro-nat flooring before the integer sum."""
+    return f"""
+    WITH toks AS (
+        SELECT {id_col}, unnest(string_split({text_col}, ' ')) AS tok
+        FROM {rel}
+    ),
+    doc_tok AS (
+        SELECT {id_col}, tok, count(*) AS c_dt FROM toks GROUP BY 1, 2
+    ),
+    vocab AS (
+        SELECT tok, count(*) AS c_t FROM toks GROUP BY 1
+    ),
+    tot AS (SELECT sum(c_t) AS T FROM vocab),
+    scored AS (
+        SELECT tok,
+               CAST(floor(-ln(c_t / T) * 1e6) AS BIGINT) AS nll_tok_micro
+        FROM vocab, tot
+    )
+    SELECT d.{id_col},
+           CAST(sum(d.c_dt * s.nll_tok_micro) AS BIGINT) AS nll_micro,
+           CAST(sum(d.c_dt) AS BIGINT) AS n_tok
+    FROM doc_tok d JOIN scored s USING (tok)
+    GROUP BY d.{id_col}
+    """

@@ -50,3 +50,21 @@ def test_word_length_excludes_separator_spaces(spark):
            for r in quality_filter(df).collect()}
     assert got[1] == (True, None)          # boundary value passes
     assert got[2] == (False, "word_length")
+
+
+def test_unigram_nll_closed_form(spark):
+    """Tiny corpus with hand-checkable unigram stats: the integer
+    micro-nat aggregate must equal the closed-form (floor once per
+    vocab entry, then pure integer weighted sum)."""
+    import math
+
+    from ssb_sgis_spark.operators.quality import unigram_nll
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    out = {r.doc_id: (r.nll_micro, r.n_tok) for r in unigram_nll(df).collect()}
+    nll = {t: math.floor(-math.log(c / 5) * 1e6) for t, c in
+           {"a": 2, "b": 2, "c": 1}.items()}
+    assert out[1] == (2 * nll["a"] + nll["b"], 3)
+    assert out[2] == (nll["b"] + nll["c"], 2)
