@@ -137,7 +137,10 @@ def unigram_nll(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
     )
     doc_tok = toks.groupBy(id_col, "tok").agg(F.count("*").alias("c_dt"))
-    vocab = toks.groupBy("tok").agg(F.count("*").alias("c_t"))
+    # vocab re-aggregates doc_tok (Σ c_dt ≡ raw token count), so the
+    # doc_tok shuffle exchange is REUSED (ReuseExchange) and the corpus
+    # is scanned + exploded once, not twice
+    vocab = doc_tok.groupBy("tok").agg(F.sum("c_dt").alias("c_t"))
     total = vocab.agg(F.sum("c_t").alias("T"))
     vocab = vocab.crossJoin(F.broadcast(total)).select(
         "tok",
@@ -168,7 +171,7 @@ def unigram_nll_sql(
         SELECT {id_col}, tok, count(*) AS c_dt FROM toks GROUP BY 1, 2
     ),
     vocab AS (
-        SELECT tok, count(*) AS c_t FROM toks GROUP BY 1
+        SELECT tok, sum(c_dt) AS c_t FROM doc_tok GROUP BY 1
     ),
     tot AS (SELECT sum(c_t) AS T FROM vocab),
     scored AS (
