@@ -106,7 +106,24 @@ def main() -> None:
         # re-bind the symbol imported into the entry module
         entrymod.pages_df = scaled_pages_df
 
+    docs_parquet = os.environ.get("SPARK_GRAFT_DOCS_PARQUET")
+    if docs_parquet:
+        # same lake-table model for the corpus profile: the scaled docs
+        # table is materialized parquet, scan parallelism follows cores.
+        # Patching the sources module also reroutes docs_with_dups_df
+        # (it resolves docs_df at call time via its module globals).
+        import ssb_sgis_spark.sources.documents as documents_mod
+
+        def parquet_docs_df(spark_, sf_dir_):
+            return spark_.read.parquet(docs_parquet)
+
+        documents_mod.docs_df = parquet_docs_df
+        entrymod.docs_df = parquet_docs_df
+
     n_pages = pages_mod.pages_df(spark, sf_dir).count()
+    n_docs = None
+    if docs_parquet:
+        n_docs = spark.read.parquet(docs_parquet).count()
 
     # spin up the Python worker pool once OUTSIDE the timed region — the
     # first Arrow stage of a fresh JVM pays worker spawn + numpy/pandas
@@ -171,6 +188,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "n_pages": n_pages,
+                **({"n_docs": n_docs} if n_docs is not None else {}),
                 "cpus": int(cpus),
                 **({"errors": errors} if errors else {}),
             }

@@ -56,8 +56,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # Python-worker profile) already runs ~40 s at 2 cores on ~10^7 rows; at
 # x2048 it would take hours per session.
 QUERIES = os.environ.get(
-    "SPARK_GRAFT_SCALING_QUERIES", "pip_join:2048,text_extract:32"
+    "SPARK_GRAFT_SCALING_QUERIES",
+    "pip_join:2048,text_extract:32,unigram_nll:256",
 )
+# corpus-profile queries run over the scaled DOCUMENTS table, not pages
+DOC_QUERIES = {
+    "unigram_nll", "para_dedup", "minhash_groups", "corpus_pipeline",
+    "dedup_exact", "near_dup", "simhash", "quality_filter", "seq_pack",
+}
 DEFAULT_SCALE = int(os.environ.get("SPARK_GRAFT_SCALE", "2048"))
 SESSIONS = int(os.environ.get("SPARK_GRAFT_SESSIONS", "4"))
 LEVELS = tuple(
@@ -81,6 +87,10 @@ SCALES = sorted({sc for _, sc in QUERY_SCALES})
 
 def pages_parquet_path(scale: int) -> str:
     return f"/tmp/ssb_sgis_scaled_pages_x{scale}.parquet"
+
+
+def docs_parquet_path(scale: int) -> str:
+    return f"/tmp/ssb_sgis_scaled_docs_x{scale}.parquet"
 
 
 def _pin(cpus: int) -> list[str]:
@@ -114,17 +124,51 @@ print("rows", spark.read.parquet({pages_parquet!r}).count())
     subprocess.run([sys.executable, "-c", code], check=True, timeout=1200)
 
 
-def run_level(cpus: int, queries: str, scale: int) -> dict:
+def materialize_docs(scale: int) -> None:
+    """Scaled documents table (corpus-shuffle profile input)."""
+    docs_parquet = docs_parquet_path(scale)
+    if os.path.isdir(docs_parquet):
+        return
+    code = f"""
+import sys; sys.path.insert(0, {REPO!r})
+from pyspark.sql import SparkSession, functions as F
+spark = (SparkSession.builder.master("local[32]")
+  .config("spark.driver.memory", "12g")
+  .config("spark.ui.enabled","false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+df = spark.read.parquet("/root/testdata/sf0.1/documents.parquet").repartition(64)
+out = (df.withColumn("_k", F.explode(F.sequence(F.lit(0), F.lit({scale} - 1))))
+  .withColumn("doc_id", F.col("doc_id") * {scale} + F.col("_k"))
+  .drop("_k"))
+out.write.mode("overwrite").parquet({docs_parquet!r})
+print("rows", spark.read.parquet({docs_parquet!r}).count())
+"""
+    subprocess.run([sys.executable, "-c", code], check=True, timeout=1200)
+
+
+def run_level(cpus: int, queries: str, scale: int, kind: str = "pages") -> dict:
+    # heap scales WITH the level (1.5 GB/core): a real N -> 4N executor
+    # comparison holds memory-per-core constant — each executor ships
+    # cores AND memory.  A fixed-size heap across levels instead hands
+    # the small level multi-GB per-task aggregation hash maps whose
+    # DRAM-latency-bound probes make it look artificially slow (measured
+    # 173 s -> 101 s on the corpus profile at 2 cores just by
+    # right-sizing the heap; the 8-core time was unchanged).
+    mem = os.environ.get(
+        "SPARK_GRAFT_DRIVER_MEM", f"{max(3, (cpus * 3) // 2)}g"
+    )
+    table_env = (
+        {"SPARK_GRAFT_DOCS_PARQUET": docs_parquet_path(scale)}
+        if kind == "docs"
+        else {"SPARK_GRAFT_PAGES_PARQUET": pages_parquet_path(scale)}
+    )
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_QUERIES=queries,
-        SPARK_GRAFT_PAGES_PARQUET=pages_parquet_path(scale),
         SPARK_GRAFT_WARM="3",
-        # the flagship is pure JVM; concurrent tasks want more heap than
-        # the bench default (6g is sized for Python-interop runs —
-        # measured 12.7s vs 6.1s at local[32] on the 935M-row input)
-        SPARK_GRAFT_DRIVER_MEM=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"),
+        SPARK_GRAFT_DRIVER_MEM=mem,
+        **table_env,
     )
     out = subprocess.run(
         _pin(cpus) + [sys.executable, os.path.join(REPO, "bench.py")],
@@ -179,25 +223,33 @@ print(json.dumps({"cpus": cpus, "min": round(min(times), 2)}))
     return res
 
 
+def _kind(q: str) -> str:
+    return "docs" if q in DOC_QUERIES else "pages"
+
+
 def main() -> None:
-    for sc in SCALES:
-        materialize_pages(sc)
+    for q, sc in QUERY_SCALES:
+        (materialize_docs if _kind(q) == "docs" else materialize_pages)(sc)
     probe = run_capacity_probe() if os.environ.get("SPARK_GRAFT_PROBE", "1") == "1" else {}
     print(f"host capacity probe (pure-codegen arithmetic): {probe}", flush=True)
-    # queries sharing a scale share one bench subprocess (one JVM session)
-    by_scale: dict[int, str] = {}
+    # queries sharing a (table, scale) share one bench subprocess
+    by_group: dict[tuple[str, int], str] = {}
     for q, sc in QUERY_SCALES:
-        by_scale[sc] = f"{by_scale[sc]},{q}" if sc in by_scale else q
+        k = (_kind(q), sc)
+        by_group[k] = f"{by_group[k]},{q}" if k in by_group else q
     samples: dict[int, list[dict]] = {c: [] for c in LEVELS}
     pages_per_query: dict[str, int] = {}
     for s in range(SESSIONS):
         for c in LEVELS:  # interleaved: N, 4N, N, 4N, ...
             merged: dict = {"queries": {}}
-            for sc, qnames in by_scale.items():
-                r = run_level(c, qnames, sc)
+            for (kind, sc), qnames in by_group.items():
+                r = run_level(c, qnames, sc, kind)
                 merged["queries"].update(r["queries"])
                 for q in qnames.split(","):
-                    pages_per_query[q] = r["n_pages"]
+                    pages_per_query[q] = (
+                        r.get("n_docs", r["n_pages"])
+                        if kind == "docs" else r["n_pages"]
+                    )
             samples[c].append(merged)
             print(f"session {s} local[{c}] pinned to {c} cores: {merged['queries']}", flush=True)
     n_pages = pages_per_query.get("pip_join", max(pages_per_query.values()))
@@ -217,12 +269,20 @@ def main() -> None:
         "levels, each JVM pinned with `taskset` to exactly N cores (an",
         "unpinned local[N] freeloads GC/IO threads onto the remaining host",
         "cores, which would overstate the small level and understate",
-        "efficiency).  TWO gate rows cover the engine's two execution",
-        "profiles: `pip_join` (whole-stage-codegen JVM join — the flagship)",
-        "and `text_extract` (Arrow-batched html→text parse in Python",
-        "workers — the north star's parser stage).  Each row's input is",
-        "sf0.1 pages replicated to where per-row work dominates JVM",
-        "constants for THAT profile (row counts in the table).",
+        "efficiency).  Driver heap scales with the level (1.5 GB/core):",
+        "a real N -> 4N executor step adds cores AND memory together, so",
+        "memory-per-core is held constant; a fixed heap across levels",
+        "hands the small level multi-GB per-task aggregation hash maps",
+        "whose DRAM-latency-bound probes understate it (measured 173 s ->",
+        "101 s at 2 cores on the corpus profile just from right-sizing).",
+        "THREE gate rows cover the engine's three execution profiles:",
+        "`pip_join` (whole-stage-codegen JVM join — the flagship),",
+        "`text_extract` (Arrow-batched html→text parse in Python workers —",
+        "the north star's parser stage), and `unigram_nll` (shuffle-heavy",
+        "corpus aggregation: explode → two groupBys → shuffle-hash join →",
+        "groupBy — the training-pipeline profile).  Each row's input is",
+        "sf0.1 pages/documents replicated to where per-row work dominates",
+        "JVM constants for THAT profile (row counts in the table).",
         f"{SESSIONS} interleaved fresh-JVM sessions per level, 1 warm-up +",
         "3 timed runs each; reported value = min across a level's samples",
         "(the host throws intermittent multi-second all-core kernel-jitter",
@@ -299,6 +359,11 @@ def main() -> None:
         "- The Arrow parse row shows the Python-worker profile scales the",
         "  same way: one worker per core, batches stream through Arrow with",
         "  no shuffle, so throughput follows cores as long as the host does.",
+        "- The corpus row shows the shuffle/aggregation profile: partial",
+        "  (map-side) aggregation bounds what crosses the wire, the score",
+        "  join is a pinned shuffle-hash join (never a driver broadcast of",
+        "  the big side), and per-core-constant heap keeps per-task hash",
+        "  maps the same size at both levels.",
         "",
         "Raw samples (all sessions, seconds):",
         "```json",

@@ -148,8 +148,15 @@ def unigram_nll(
         .cast("long")
         .alias("nll_tok_micro"),
     )
+    # the score join is pinned to a SHUFFLE-HASH join BUILT FROM THE
+    # VOCAB side: without the hint Spark's aggregate-size estimate can
+    # pick BuildLeft and try to broadcast the (huge) doc-term side —
+    # measured as a driver OOM at executor-sized heaps.  Shuffle-hash is
+    # also the right strategy at web scale (10^8-row vocab): no sort,
+    # vocab arrives pre-partitioned on tok from its own groupBy, and
+    # each partition builds only its vocab slice.
     return (
-        doc_tok.join(vocab, "tok")
+        doc_tok.join(vocab.hint("shuffle_hash"), "tok")
         .groupBy(id_col)
         .agg(
             F.sum(F.col("c_dt") * F.col("nll_tok_micro")).alias("nll_micro"),
