@@ -64,6 +64,11 @@ DOC_QUERIES = {
     "unigram_nll", "para_dedup", "minhash_groups", "corpus_pipeline",
     "dedup_exact", "near_dup", "simhash", "quality_filter", "seq_pack",
 }
+# queries that read the dup-injected corpus (docs_with_dups_df): its
+# +1,000,000 / +2,000,000 id offsets collide with scaled doc_ids once
+# 5000 * scale > 1e6, i.e. scale > 200 — refuse rather than silently
+# benchmark a corpus where distinct documents share an id
+DUPS_QUERIES = DOC_QUERIES - {"unigram_nll", "quality_filter", "seq_pack"}
 DEFAULT_SCALE = int(os.environ.get("SPARK_GRAFT_SCALE", "2048"))
 SESSIONS = int(os.environ.get("SPARK_GRAFT_SESSIONS", "4"))
 LEVELS = tuple(
@@ -158,7 +163,11 @@ def run_level(cpus: int, queries: str, scale: int, kind: str = "pages") -> dict:
         "SPARK_GRAFT_DRIVER_MEM", f"{max(3, (cpus * 3) // 2)}g"
     )
     table_env = (
-        {"SPARK_GRAFT_DOCS_PARQUET": docs_parquet_path(scale)}
+        # SPARK_GRAFT_SCALE pinned to 1: an inherited value would trigger
+        # bench.py's on-the-fly page-scaling path (pages_parquet unset in
+        # docs runs) and synthesize a huge page table before every session
+        {"SPARK_GRAFT_DOCS_PARQUET": docs_parquet_path(scale),
+         "SPARK_GRAFT_SCALE": "1"}
         if kind == "docs"
         else {"SPARK_GRAFT_PAGES_PARQUET": pages_parquet_path(scale)}
     )
@@ -227,7 +236,17 @@ def _kind(q: str) -> str:
     return "docs" if q in DOC_QUERIES else "pages"
 
 
+def _check_scales() -> None:
+    for q, sc in QUERY_SCALES:
+        if q in DUPS_QUERIES and sc > 200:
+            raise ValueError(
+                f"{q} reads the dup-injected corpus; scale {sc} > 200 "
+                "collides scaled doc_ids with the +1e6/+2e6 dup offsets"
+            )
+
+
 def main() -> None:
+    _check_scales()
     for q, sc in QUERY_SCALES:
         (materialize_docs if _kind(q) == "docs" else materialize_pages)(sc)
     probe = run_capacity_probe() if os.environ.get("SPARK_GRAFT_PROBE", "1") == "1" else {}
@@ -284,7 +303,8 @@ def main() -> None:
         "sf0.1 pages/documents replicated to where per-row work dominates",
         "JVM constants for THAT profile (row counts in the table).",
         f"{SESSIONS} interleaved fresh-JVM sessions per level, 1 warm-up +",
-        "3 timed runs each; reported value = min across a level's samples",
+        "3 timed runs each (rows landing under 3 s get 2 extra reps);",
+        "reported value = min across a level's samples",
         "(the host throws intermittent multi-second all-core kernel-jitter",
         "storms that hit individual samples in both directions — raw",
         "samples below).",

@@ -119,7 +119,14 @@ def unigram_nll(
     micro-nats BEFORE the weighted sum, so the aggregate is pure 64-bit
     integer arithmetic: order-independent and bit-identical to the SQL
     mirror (a float sum would depend on Spark's nondeterministic
-    partial-agg order).  Downstream filtering stays exact via integer
+    partial-agg order).  Known tolerance: cross-engine exactness of the
+    per-entry floor assumes Java ``Math.log`` and the mirror libm's
+    ``ln`` agree on the same double input to well under 0.5 micro-nats
+    absolute — true in practice (both are sub-ulp-accurate); a 1-ulp
+    disagreement flips an entry only when ``-ln(p)*1e6`` falls within
+    ~1e-9 of an integer (~1e-9 per entry, so ~0.1 expected flips even
+    at a 10^8-entry web vocab).  Each engine alone is fully
+    deterministic regardless.  Downstream filtering stays exact via integer
     cross-multiplication: ``nll_micro < thr_micro * n_tok``.
 
     Scale shape:

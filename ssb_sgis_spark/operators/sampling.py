@@ -41,10 +41,16 @@ _HEX_SPACE = 16**8  # the md5 prefix is 8 hex chars → uniform over [0, 16^8)
 
 
 def fraction_threshold_hex(fraction: float) -> str:
-    """The 8-hex-char threshold both engines compare against.  Shared by
-    the Spark plan and the SQL mirror so the cut point cannot drift."""
+    """The threshold string both engines compare the 8-hex-char md5
+    prefix against.  Shared by the Spark plan and the SQL mirror so the
+    cut point cannot drift.  ``fraction == 1.0`` returns ``"g"`` —
+    lexicographically above every hex string — so keep-all really keeps
+    ALL rows (a clamped ``"ffffffff"`` would drop the ~2^-32 of rows
+    whose prefix is exactly that)."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError("fraction must be in [0, 1]")
+    if fraction == 1.0:
+        return "g"
     return format(min(int(round(fraction * _HEX_SPACE)), _HEX_SPACE - 1), "08x")
 
 
@@ -153,6 +159,9 @@ def mix_corpora_pred_sql(
     seed: str = "0",
 ) -> str:
     """DuckDB WHERE-clause mirror of :func:`mix_corpora`'s filter."""
+    if not fractions:
+        return "false"  # the Spark twin drops everything; CASE with no
+        # WHEN arm would be a parse error
     cases = " ".join(
         f"WHEN '{s}' THEN '{fraction_threshold_hex(frac)}'"
         for s, frac in sorted(fractions.items())

@@ -53,7 +53,11 @@ def test_sample_fraction_matches_duckdb(spark):
 
 def test_fraction_threshold_bounds():
     assert fraction_threshold_hex(0.0) == "00000000"
-    assert fraction_threshold_hex(1.0) == "ffffffff"
+    # 1.0 is keep-ALL: "g" sorts above every hex string, so no row's
+    # md5 prefix can equal-or-exceed it (a clamped "ffffffff" would
+    # drop the 2^-32 of rows whose prefix is exactly that)
+    assert fraction_threshold_hex(1.0) == "g"
+    assert "ffffffff" < fraction_threshold_hex(1.0)
     with pytest.raises(ValueError):
         fraction_threshold_hex(1.5)
 
