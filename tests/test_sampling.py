@@ -185,6 +185,9 @@ def test_mix_corpora_nested_and_exact(spark):
     hi_ids = {r.doc_id for r in hi.collect()}
     assert lo_ids <= hi_ids                      # nested
     assert not any(i % 3 == 2 for i in hi_ids)   # s2 absent → dropped
+    # s1 at weight 1.0 is keep-ALL (the 'g' threshold sorts above every
+    # md5 prefix)
+    assert sum(1 for i in lo_ids if i % 3 == 1) == 1000
     s0_only = {
         r.doc_id
         for r in sample_fraction(
