@@ -808,6 +808,22 @@ def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_nll(docs_df(spark, sf_dir))
 
 
+PAGERANK_ITERS = 5
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point integer PageRank over the closed-form citation graph
+    (node i -> (i*A + k*B) % n, 1..1+i%4 out-links): 5 exact rounds of
+    edges-join-ranks + groupBy(dst), every value 64-bit integer
+    micro-units so the 5-round Spark DAG equals 5 unrolled DuckDB CTEs
+    bit-for-bit — the crawl-frontier ranking primitive."""
+    from ssb_sgis_spark.operators.linkgraph import link_edges, pagerank
+
+    docs = docs_df(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    return pagerank(docs, link_edges(docs, n=n), n_iter=PAGERANK_ITERS)
+
+
 def q_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain URL statistics — host/registered-domain/TLD/path-depth
     extraction and recrawl canonicalization as native regexp exprs, then
@@ -1156,6 +1172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "para_dedup": q_para_dedup,
         "corpus_mix": q_corpus_mix,
         "unigram_nll": q_unigram_nll,
+        "pagerank": q_pagerank,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -1242,6 +1259,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from ssb_sgis_spark.operators.pipeline import corpus_pipeline_sql
     from ssb_sgis_spark.operators.quality import unigram_nll_sql
+    from ssb_sgis_spark.operators.linkgraph import link_edges_sql, pagerank_sql
     from ssb_sgis_spark.operators.sampling import (
         mix_corpora_pred_sql,
         sample_fraction_pred_sql,
@@ -1404,6 +1422,13 @@ def oracle_sql() -> dict[str, str]:
             f"(SELECT doc_id, text FROM documents WHERE doc_id % {CONTAM_BENCH_MOD} = 0)",
         ),
         "unigram_nll": unigram_nll_sql("documents"),
+        "pagerank": pagerank_sql(
+            "documents",
+            link_edges_sql(
+                "documents", n="(SELECT count(*) FROM documents)"
+            ),
+            n_iter=PAGERANK_ITERS,
+        ),
         "para_dedup": dedup_paragraphs_sql(
             f"({docs_with_dups_sql()})", chunk_tokens=PARA_CHUNK_TOKENS
         ),

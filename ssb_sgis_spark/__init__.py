@@ -48,6 +48,7 @@ from .operators.dedup import (
 )
 from .operators.domains import per_domain_latest, per_key_topk
 from .operators.packing import pack_sequences, token_budget_head
+from .operators.linkgraph import link_edges, pagerank
 from .operators.pipeline import corpus_pipeline
 from .operators.quality import quality_filter, unigram_nll
 from .operators.sampling import mix_corpora, sample_fraction, sample_stratified
