@@ -824,6 +824,17 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(docs, link_edges(docs, n=n), n_iter=PAGERANK_ITERS)
 
 
+def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events stream (30-min inactivity
+    gap): one shared window (shuffle on user_id) labels every event,
+    then a per-session integer aggregate — epoch-microsecond bounds,
+    event counts, integer-cent value sums, all 64-bit exact."""
+    from ssb_sgis_spark.operators.sessions import session_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_stats(ev)
+
+
 def q_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain URL statistics — host/registered-domain/TLD/path-depth
     extraction and recrawl canonicalization as native regexp exprs, then
@@ -1173,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix": q_corpus_mix,
         "unigram_nll": q_unigram_nll,
         "pagerank": q_pagerank,
+        "sessions": q_sessions,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -1260,6 +1272,7 @@ def oracle_sql() -> dict[str, str]:
     from ssb_sgis_spark.operators.pipeline import corpus_pipeline_sql
     from ssb_sgis_spark.operators.quality import unigram_nll_sql
     from ssb_sgis_spark.operators.linkgraph import link_edges_sql, pagerank_sql
+    from ssb_sgis_spark.operators.sessions import session_stats_sql
     from ssb_sgis_spark.operators.sampling import (
         mix_corpora_pred_sql,
         sample_fraction_pred_sql,
@@ -1422,6 +1435,7 @@ def oracle_sql() -> dict[str, str]:
             f"(SELECT doc_id, text FROM documents WHERE doc_id % {CONTAM_BENCH_MOD} = 0)",
         ),
         "unigram_nll": unigram_nll_sql("documents"),
+        "sessions": session_stats_sql("events"),
         "pagerank": pagerank_sql(
             "documents",
             link_edges_sql(

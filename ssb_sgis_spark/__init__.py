@@ -52,6 +52,7 @@ from .operators.linkgraph import link_edges, pagerank
 from .operators.pipeline import corpus_pipeline
 from .operators.quality import quality_filter, unigram_nll
 from .operators.sampling import mix_corpora, sample_fraction, sample_stratified
+from .operators.sessions import session_stats, sessionize
 from .operators.dissolve import (
     buff,
     buffdiss,

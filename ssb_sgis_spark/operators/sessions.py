@@ -1,0 +1,125 @@
+"""Gap-based sessionization over event streams.
+
+The web-analytics primitive the ``events`` table exists for: group a
+user's events into sessions separated by inactivity gaps, label every
+event, and aggregate per session.  Batch twin of the streaming layer's
+watermarked rollups (``streaming/ingest.py``).
+
+Exactness: all comparisons and outputs are 64-bit integers — timestamps
+as epoch MICROSECONDS via a timezone-free diff against the epoch
+(``timestampdiff(MICROSECOND, ...)`` on TIMESTAMP_NTZ ≡ DuckDB
+``date_diff('microsecond', ...)`` on naive TIMESTAMP — neither engine
+applies a session timezone), the gap in
+microseconds, session ids as per-user ordinals, money as integer cents
+via ``floor(value * 100 + 0.5)`` (multiplication and floor are exact
+IEEE double ops, so both engines agree bit-for-bit; a float SUM would
+depend on aggregation order).
+
+Scale shape: ONE window spec — ``partition by user order by (ts, id)``
+— shared by the lag and the running sum, so Spark plans a single
+shuffle on user_id + one sort per partition; the per-session aggregate
+then groups by (user, session), a subset-key shuffle AQE can often
+coalesce.  Sessions are inherently sequential per user, so per-user
+data must meet in one place — the skew story is that real event streams
+bound per-user volume (a user emits O(10^3) events/day), not salting;
+a pathological single-user firehose is a data bug, not a plan bug.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["sessionize", "session_stats", "session_stats_sql"]
+
+DEFAULT_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_us: int = DEFAULT_GAP_US,
+) -> DataFrame:
+    """Append ``ts_us`` (epoch micros) and ``session_id`` (per-user
+    ordinal starting at 1; a new session opens when the gap since the
+    user's previous event exceeds ``gap_us``)."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    ts_us = F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        f" {ts_col})"
+    )
+    new_sess = (
+        F.when(
+            ts_us - F.lag(ts_us).over(w) > F.lit(int(gap_us)), F.lit(1)
+        ).otherwise(F.lit(0))
+    )
+    return df.withColumn("ts_us", ts_us).withColumn(
+        "session_id", (F.sum(new_sess).over(w) + 1).cast("long")
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    gap_us: int = DEFAULT_GAP_US,
+) -> DataFrame:
+    """Per-session aggregate: start/end (epoch micros), event count and
+    integer-cent value sum."""
+    s = sessionize(df, user_col, ts_col, id_col, gap_us)
+    cents = F.floor(F.col(value_col) * 100 + 0.5).cast("long")
+    return (
+        s.groupBy(user_col, "session_id")
+        .agg(
+            F.min("ts_us").alias("start_us"),
+            F.max("ts_us").alias("end_us"),
+            F.count("*").alias("n_events"),
+            F.sum(cents).alias("value_cents"),
+        )
+    )
+
+
+def session_stats_sql(
+    rel: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    gap_us: int = DEFAULT_GAP_US,
+) -> str:
+    """DuckDB mirror: same lag/running-sum windows over the same total
+    order, same integer arithmetic."""
+    return f"""
+    WITH ev AS (
+        SELECT {user_col}, {id_col}, {value_col},
+               date_diff('microsecond', TIMESTAMP '1970-01-01 00:00:00',
+                         {ts_col}) AS ts_us
+        FROM {rel}
+    ),
+    flagged AS (
+        SELECT *,
+               CASE WHEN ts_us - lag(ts_us) OVER w > {int(gap_us)}
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM ev
+        WINDOW w AS (PARTITION BY {user_col} ORDER BY ts_us, {id_col})
+    ),
+    labeled AS (
+        SELECT *,
+               CAST(sum(new_sess) OVER w + 1 AS BIGINT) AS session_id
+        FROM flagged
+        WINDOW w AS (PARTITION BY {user_col} ORDER BY ts_us, {id_col}
+                     ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT {user_col}, session_id,
+           min(ts_us) AS start_us,
+           max(ts_us) AS end_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor({value_col} * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM labeled
+    GROUP BY {user_col}, session_id
+    """
