@@ -835,6 +835,21 @@ def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats(ev)
 
 
+def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl snapshot diff: two closed-form snapshots of the page
+    table (old = uid%5!=0 at content v1; new = uid%7!=0, content bumped
+    when uid%3==0) full-outer-joined on url with map-side md5 digests —
+    only added/removed/changed urls come out, never unchanged bulk."""
+    from ssb_sgis_spark.operators.domains import crawl_delta
+
+    pages = pages_df(spark, sf_dir)
+    v_old = F.col("uid") * 31 + 1
+    v_new = F.col("uid") * 31 + F.when(F.col("uid") % 3 == 0, 2).otherwise(1)
+    old = pages.filter(F.col("uid") % 5 != 0).select("url", v_old.alias("content"))
+    new = pages.filter(F.col("uid") % 7 != 0).select("url", v_new.alias("content"))
+    return crawl_delta(old, new)
+
+
 def q_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain URL statistics — host/registered-domain/TLD/path-depth
     extraction and recrawl canonicalization as native regexp exprs, then
@@ -1185,6 +1200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_nll": q_unigram_nll,
         "pagerank": q_pagerank,
         "sessions": q_sessions,
+        "crawl_delta": q_crawl_delta,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -1273,6 +1289,7 @@ def oracle_sql() -> dict[str, str]:
     from ssb_sgis_spark.operators.quality import unigram_nll_sql
     from ssb_sgis_spark.operators.linkgraph import link_edges_sql, pagerank_sql
     from ssb_sgis_spark.operators.sessions import session_stats_sql
+    from ssb_sgis_spark.operators.domains import crawl_delta_sql
     from ssb_sgis_spark.operators.sampling import (
         mix_corpora_pred_sql,
         sample_fraction_pred_sql,
@@ -1436,6 +1453,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "unigram_nll": unigram_nll_sql("documents"),
         "sessions": session_stats_sql("events"),
+        "crawl_delta": crawl_delta_sql(
+            f"(WITH pages AS ({pages}) SELECT url, uid*31+1 AS content"
+            " FROM pages WHERE uid % 5 <> 0)",
+            f"(WITH pages AS ({pages}) SELECT url, uid*31 +"
+            " (CASE WHEN uid % 3 = 0 THEN 2 ELSE 1 END) AS content"
+            " FROM pages WHERE uid % 7 <> 0)",
+        ),
         "pagerank": pagerank_sql(
             "documents",
             link_edges_sql(

@@ -46,7 +46,7 @@ from .operators.dedup import (
     near_dup_pairs,
     simhash_df,
 )
-from .operators.domains import per_domain_latest, per_key_topk
+from .operators.domains import crawl_delta, per_domain_latest, per_key_topk
 from .operators.packing import pack_sequences, token_budget_head
 from .operators.linkgraph import link_edges, pagerank
 from .operators.pipeline import corpus_pipeline

@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["per_key_topk", "per_domain_latest"]
+__all__ = ["per_key_topk", "per_domain_latest", "crawl_delta", "crawl_delta_sql"]
 
 
 def per_key_topk(
@@ -107,3 +107,64 @@ def per_domain_latest(
         tie_id=id_col,
         nsalts=nsalts,
     )
+
+
+# ------------------------------------------------------- recrawl snapshot diff
+def crawl_delta(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "url",
+    content_cols: tuple[str, ...] = ("content",),
+) -> DataFrame:
+    """Diff two crawl snapshots: ``(key_col, change)`` with change in
+    {'added', 'removed', 'changed'} — unchanged pages are dropped (at
+    recrawl scale the overwhelmingly common case, so the output is the
+    small side).
+
+    One full-outer equi-join on the key; content equality is an md5 over
+    the stringified content columns computed map-side on EACH input, so
+    the join carries (key, 32-byte digest) — never page payloads.  At
+    10^12 rows both sides shuffle once on the key; pre-bucketed lake
+    tables would co-locate it.
+    """
+    def digest(df: DataFrame) -> Column:
+        return F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in content_cols]))
+
+    o = old.select(F.col(key_col).alias("k"), digest(old).alias("oh"))
+    n = new.select(F.col(key_col).alias("k"), digest(new).alias("nh"))
+    j = o.join(n, "k", "full_outer")
+    return (
+        j.select(
+            F.col("k").alias(key_col),
+            F.when(F.col("oh").isNull(), F.lit("added"))
+            .when(F.col("nh").isNull(), F.lit("removed"))
+            .when(F.col("oh") != F.col("nh"), F.lit("changed"))
+            .alias("change"),
+        )
+        .filter(F.col("change").isNotNull())
+    )
+
+
+def crawl_delta_sql(
+    old_rel: str,
+    new_rel: str,
+    key_col: str = "url",
+    content_cols: tuple[str, ...] = ("content",),
+) -> str:
+    """DuckDB mirror: same full-outer join + md5-digest compare."""
+    def digest(cols: tuple[str, ...]) -> str:
+        parts = ", ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        return f"md5(concat_ws(chr(31), {parts}))"
+
+    return f"""
+    WITH o AS (SELECT {key_col} AS k, {digest(content_cols)} AS oh FROM {old_rel}),
+    n AS (SELECT {key_col} AS k, {digest(content_cols)} AS nh FROM {new_rel}),
+    j AS (SELECT coalesce(o.k, n.k) AS k, o.oh, n.nh
+          FROM o FULL OUTER JOIN n ON o.k = n.k)
+    SELECT k AS {key_col},
+           CASE WHEN oh IS NULL THEN 'added'
+                WHEN nh IS NULL THEN 'removed'
+                WHEN oh <> nh THEN 'changed' END AS change
+    FROM j
+    WHERE (oh IS NULL OR nh IS NULL OR oh <> nh)
+    """

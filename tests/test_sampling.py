@@ -195,3 +195,18 @@ def test_mix_corpora_nested_and_exact(spark):
         ).collect()
     }
     assert {i for i in lo_ids if i % 3 == 0} == s0_only
+
+
+# --------------------------------------------------------- crawl delta
+def test_crawl_delta_classes(spark):
+    from ssb_sgis_spark.operators.domains import crawl_delta
+
+    old = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "url string, content long"
+    )
+    new = spark.createDataFrame(
+        [("b", 2), ("c", 99), ("d", 4)], "url string, content long"
+    )
+    out = {r.url: r.change for r in crawl_delta(old, new).collect()}
+    # a removed, b unchanged (absent), c changed, d added
+    assert out == {"a": "removed", "c": "changed", "d": "added"}
