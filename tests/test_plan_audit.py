@@ -93,7 +93,10 @@ def test_scan_prunes_columns(spark):
 # (the scale paths are ann_lsh / ann_ivf, both hash-join bucketed).  For
 # these a BroadcastNestedLoopJoin over the tiny broadcast side IS the
 # right physical plan.
-_CROSS_BY_DESIGN = {"all_distances", "ann_topk"}
+_CROSS_BY_DESIGN = {"all_distances", "ann_topk", "unigram_nll"}
+# unigram_nll's BNLJ is the scalar-broadcast pattern: crossJoin with the
+# ONE-row corpus-total frame (broadcast hint, O(n) probe); its real join
+# (doc_tok ⋈ vocab) is pinned shuffle-hash and asserted below
 
 # These queries EXECUTE at construction time (tiled_pip runs its batches
 # through TiledRun, stream_dedup drives a streaming query) and return a
@@ -119,3 +122,18 @@ def test_no_query_regresses_to_nested_loop(spark):
         assert "CartesianProduct" not in p, name
         if name not in _CROSS_BY_DESIGN:
             assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_unigram_nll_score_join_is_shuffle_hash(spark):
+    """The vocab score join must stay a ShuffledHashJoin built from the
+    vocab side — the unpinned plan broadcast the 59M-row doc-term side
+    (driver OOM at executor-sized heaps); the only BNLJ allowed is the
+    one-row corpus-total scalar broadcast."""
+    import __spark_entry__ as entry
+
+    p = plan_of(entry.queries()["unigram_nll"](spark, SF))
+    assert "ShuffledHashJoin" in p
+    # exactly ONE BNLJ node — the 1-row total.  formatted explain prints
+    # each node twice (tree line + details section)
+    tree = p.split("\n\n")[0]
+    assert tree.count("BroadcastNestedLoopJoin") == 1, tree
