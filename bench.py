@@ -171,6 +171,17 @@ def main() -> None:
             timings[name] = round(best, 3)
         except Exception as exc:  # keep the bench alive; report the failure
             errors[name] = f"{type(exc).__name__}: {str(exc)[:200]}"
+        # release this query's localCheckpoint RDDs before the next one
+        # runs: checkpoint blocks pile up at MEMORY_AND_DISK across a
+        # 56-query session, squeeze execution memory, and degrade later
+        # queries 3-5x (measured: component_size 2.8s fresh vs 13.8s late
+        # in a full run).  Python gc drops the py4j refs, the JVM gc lets
+        # ContextCleaner unpersist them; session-memoized frames stay
+        # live through their module-level references.
+        import gc
+
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
         print(
             f"# bench done {name} {round(time.time() - t0, 1)}s",
             file=sys.stderr,
