@@ -148,7 +148,7 @@ def main() -> None:
     errors: dict[str, str] = {}
     for name, fn in qs.items():
         print(f"# bench start {name}", file=sys.stderr, flush=True)
-        t0 = time.time()
+        q_start = time.time()
         try:
             if warm:
                 fn(spark, sf_dir).count()  # discarded warm-up
@@ -183,7 +183,7 @@ def main() -> None:
         gc.collect()
         spark.sparkContext._jvm.System.gc()
         print(
-            f"# bench done {name} {round(time.time() - t0, 1)}s",
+            f"# bench done {name} {round(time.time() - q_start, 1)}s total",
             file=sys.stderr,
             flush=True,
         )

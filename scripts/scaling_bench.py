@@ -68,7 +68,9 @@ DOC_QUERIES = {
 # +1,000,000 / +2,000,000 id offsets collide with scaled doc_ids once
 # 5000 * scale > 1e6, i.e. scale > 200 — refuse rather than silently
 # benchmark a corpus where distinct documents share an id
-DUPS_QUERIES = DOC_QUERIES - {"unigram_nll", "quality_filter", "seq_pack"}
+# (simhash/unigram_nll/quality_filter/seq_pack read the plain corpus)
+DUPS_QUERIES = {"para_dedup", "minhash_groups", "corpus_pipeline",
+                "dedup_exact", "near_dup"}
 DEFAULT_SCALE = int(os.environ.get("SPARK_GRAFT_SCALE", "2048"))
 SESSIONS = int(os.environ.get("SPARK_GRAFT_SESSIONS", "4"))
 LEVELS = tuple(

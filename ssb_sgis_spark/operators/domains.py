@@ -126,12 +126,21 @@ def crawl_delta(
     the join carries (key, 32-byte digest) — never page payloads.  At
     10^12 rows both sides shuffle once on the key; pre-bucketed lake
     tables would co-locate it.
-    """
-    def digest(df: DataFrame) -> Column:
-        return F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in content_cols]))
 
-    o = old.select(F.col(key_col).alias("k"), digest(old).alias("oh"))
-    n = new.select(F.col(key_col).alias("k"), digest(new).alias("nh"))
+    NULL-safe: each column is encoded as ``'v' + value`` or the bare
+    ``'n'`` before hashing — a plain concat_ws would SKIP nulls, making
+    NULL ≡ '' and letting null-shifted tuples collide.
+    """
+    parts = [
+        F.coalesce(
+            F.concat(F.lit("v"), F.col(c).cast("string")), F.lit("n")
+        )
+        for c in content_cols
+    ]
+    digest = F.md5(F.concat_ws("\x1f", *parts))
+
+    o = old.select(F.col(key_col).alias("k"), digest.alias("oh"))
+    n = new.select(F.col(key_col).alias("k"), digest.alias("nh"))
     j = o.join(n, "k", "full_outer")
     return (
         j.select(
@@ -151,9 +160,11 @@ def crawl_delta_sql(
     key_col: str = "url",
     content_cols: tuple[str, ...] = ("content",),
 ) -> str:
-    """DuckDB mirror: same full-outer join + md5-digest compare."""
+    """DuckDB mirror: same full-outer join + null-safe md5-digest."""
     def digest(cols: tuple[str, ...]) -> str:
-        parts = ", ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        parts = ", ".join(
+            f"coalesce('v' || CAST({c} AS VARCHAR), 'n')" for c in cols
+        )
         return f"md5(concat_ws(chr(31), {parts}))"
 
     return f"""

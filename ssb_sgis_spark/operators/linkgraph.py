@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["link_edges", "link_edges_sql", "pagerank", "pagerank_sql"]
+__all__ = ["link_edges", "link_edges_sql", "pagerank", "pagerank_round", "pagerank_sql"]
 
 # closed-form edge constants (Lehmer/Park-Miller multipliers — chosen
 # only for being well-mixed odd constants, no cryptographic intent)
@@ -96,24 +96,31 @@ def pagerank(
     verts = nodes.select(F.col(id_col).alias("v")).localCheckpoint(eager=True)
     ranks = verts.select("v", F.lit(R0_MICRO).cast("long").alias("r"))
     for _ in range(n_iter):
-        contrib = (
-            edges_d.join(ranks, edges_d["src"] == ranks["v"])
-            .select("dst", F.expr("r div outdeg").alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("in_c"))
-        )
-        ranks = (
-            verts.join(contrib, verts["v"] == contrib["dst"], "left")
-            .select(
-                "v",
-                F.expr(
-                    f"CAST({TELEPORT_MICRO} + (85 * coalesce(in_c, 0)) div 100"
-                    " AS BIGINT)"
-                ).alias("r"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        ranks = pagerank_round(edges_d, verts, ranks).localCheckpoint(eager=True)
     return ranks.select(F.col("v").alias(id_col), F.col("r").alias("rank_micro"))
+
+
+def pagerank_round(edges_d: DataFrame, verts: DataFrame, ranks: DataFrame) -> DataFrame:
+    """One exact rank round as a LAZY plan (factored out so the plan
+    audit can assert the per-round join shapes without executing the
+    checkpointed loop): equi-join edges⋈ranks on src, integer contrib
+    agg on dst, left join back to the vertex set."""
+    contrib = (
+        edges_d.join(ranks, edges_d["src"] == ranks["v"])
+        .select("dst", F.expr("r div outdeg").alias("c"))
+        .groupBy("dst")
+        .agg(F.sum("c").alias("in_c"))
+    )
+    return (
+        verts.join(contrib, verts["v"] == contrib["dst"], "left")
+        .select(
+            "v",
+            F.expr(
+                f"CAST({TELEPORT_MICRO} + (85 * coalesce(in_c, 0)) div 100"
+                " AS BIGINT)"
+            ).alias("r"),
+        )
+    )
 
 
 def pagerank_sql(

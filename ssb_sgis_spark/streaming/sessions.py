@@ -41,12 +41,14 @@ def session_rollup_stream(
 
     if isinstance(stream.schema[ts_col].dataType, TimestampNTZType):
         # watermarks require TIMESTAMP; convert NTZ wall time to the
-        # same UTC wall time regardless of the session timezone (the
-        # cast alone would shift by the session tz; to_utc_timestamp
-        # with current_timezone() undoes exactly that shift)
+        # same UTC wall time regardless of the session timezone.  The
+        # cast interprets the wall time in the session tz (instant
+        # shifts by -offset); from_utc_timestamp with the same tz adds
+        # the offset back — the exact inverse (to_utc_timestamp would
+        # DOUBLE the shift on any non-UTC host).
         stream = stream.withColumn(
             ts_col,
-            F.to_utc_timestamp(
+            F.from_utc_timestamp(
                 F.col(ts_col).cast("timestamp"), F.expr("current_timezone()")
             ),
         )

@@ -106,7 +106,10 @@ _CROSS_BY_DESIGN = {"all_distances", "ann_topk", "unigram_nll"}
 # elsewhere: tiled_pip wraps the same points_in_polygons_join audited via
 # pip_join above; stream_dedup's plan is a streaming micro-batch, out of
 # scope for a batch-plan sweep.
-_EAGER_QUERIES = {"tiled_pip", "stream_dedup"}
+_EAGER_QUERIES = {"tiled_pip", "stream_dedup", "pagerank"}
+# pagerank also executes at construction (count + eager per-round
+# localCheckpoints) and returns a checkpoint scan; its per-round joins
+# are pinned by test_pagerank_round_plan below
 
 
 def test_no_query_regresses_to_nested_loop(spark):
@@ -137,3 +140,20 @@ def test_unigram_nll_score_join_is_shuffle_hash(spark):
     # each node twice (tree line + details section)
     tree = p.split("\n\n")[0]
     assert tree.count("BroadcastNestedLoopJoin") == 1, tree
+
+
+def test_pagerank_round_plan(spark):
+    """One LAZY rank round: equi joins only (hash or sort-merge), no
+    nested loop, no cartesian — the shape every one of the n_iter
+    checkpointed rounds executes."""
+    from ssb_sgis_spark.operators.linkgraph import link_edges, pagerank_round
+
+    docs = spark.range(1000).select(F.col("id").alias("doc_id"))
+    edges = link_edges(docs, n=1000)
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    edges_d = edges.join(deg, "src")
+    verts = docs.select(F.col("doc_id").alias("v"))
+    ranks = verts.select("v", F.lit(1_000_000).cast("long").alias("r"))
+    p = plan_of(pagerank_round(edges_d, verts, ranks))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p

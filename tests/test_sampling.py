@@ -210,3 +210,13 @@ def test_crawl_delta_classes(spark):
     out = {r.url: r.change for r in crawl_delta(old, new).collect()}
     # a removed, b unchanged (absent), c changed, d added
     assert out == {"a": "removed", "c": "changed", "d": "added"}
+
+
+def test_crawl_delta_null_content(spark):
+    """NULL vs '' content must count as changed (null-safe digest)."""
+    from ssb_sgis_spark.operators.domains import crawl_delta
+
+    old = spark.createDataFrame([("u", None), ("w", "x")], "url string, content string")
+    new = spark.createDataFrame([("u", ""), ("w", None)], "url string, content string")
+    out = {r.url: r.change for r in crawl_delta(old, new).collect()}
+    assert out == {"u": "changed", "w": "changed"}
