@@ -787,6 +787,22 @@ def q_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPAN_TOKENS = 8
+
+
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup (word-level Lee-et-al-2022): merged
+    spans of 8-token windows whose text appears at an earlier
+    (doc_id, pos) anywhere in the corpus — only gram HASHES shuffle,
+    the winner agg is map-side combinable, and the gaps-and-islands
+    merge is one per-doc window."""
+    from ssb_sgis_spark.operators.dedup import dedup_spans
+
+    return dedup_spans(
+        docs_with_dups_df(spark, sf_dir), span_tokens=SPAN_TOKENS
+    )
+
+
 def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted corpus mixing (the pretraining data recipe): per-source
     deterministic Bernoulli-by-hash keep fractions as ONE map-only CASE
@@ -1196,6 +1212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_groups": q_minhash_groups,
         "corpus_pipeline": q_corpus_pipeline,
         "para_dedup": q_para_dedup,
+        "dedup_spans": q_dedup_spans,
         "corpus_mix": q_corpus_mix,
         "unigram_nll": q_unigram_nll,
         "pagerank": q_pagerank,
@@ -1283,6 +1300,7 @@ def oracle_sql() -> dict[str, str]:
     from ssb_sgis_spark.operators.packing import pack_sequences_sql
     from ssb_sgis_spark.operators.dedup import (
         dedup_paragraphs_sql,
+        dedup_spans_sql,
         minhash_dup_groups_sql,
     )
     from ssb_sgis_spark.operators.pipeline import corpus_pipeline_sql
@@ -1469,6 +1487,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "para_dedup": dedup_paragraphs_sql(
             f"({docs_with_dups_sql()})", chunk_tokens=PARA_CHUNK_TOKENS
+        ),
+        "dedup_spans": dedup_spans_sql(
+            f"({docs_with_dups_sql()})", span_tokens=SPAN_TOKENS
         ),
         "corpus_mix": (
             "SELECT doc_id, source FROM documents WHERE "

@@ -545,3 +545,203 @@ def dedup_paragraphs_sql(
            coalesce(r.n_kept, 0) AS n_kept
     FROM src s LEFT JOIN rebuilt r USING ({id_col})
     """
+
+
+# ------------------------------------------------- exact substring spans
+def dup_span_occurrences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 8,
+) -> DataFrame:
+    """Every non-first occurrence of a duplicated ``span_tokens``-word
+    window: ``(id_col, pos)`` rows, 1-based word positions.
+
+    The "exact substring dedup" primitive (word-level analogue of the
+    suffix-array method of Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better"): a window of ``span_tokens``
+    consecutive whitespace tokens is a duplicate occurrence iff the same
+    token window appears at a strictly smaller ``(doc_id, pos)`` anywhere
+    in the corpus.
+
+    Scale shape (mirrors :func:`dedup_paragraphs`):
+    * gram enumeration is map-only — one ``transform`` over a
+      ``sequence``, exploded to ``(id, pos, md5)`` rows; gram TEXT never
+      leaves the map stage, only its 32-byte hash shuffles;
+    * the winner agg (``min(struct(id, pos))`` + ``count``) is map-side
+      combinable, so a boilerplate gram repeated across millions of docs
+      costs one partial row per map task, not a hot window partition;
+    * only grams with ``count > 1`` survive to the join-back (in a clean
+      corpus that side is tiny), and the join is an equi-join on the
+      hash — AQE splits any residual hot hash.
+    """
+    ln = int(span_tokens)
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    occ = (
+        df.filter(n >= ln)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), n - (ln - 1)),
+                    lambda i: F.struct(
+                        i.cast("int").alias("pos"),
+                        F.md5(F.array_join(F.slice(toks, i, ln), " ")).alias("h"),
+                    ),
+                )
+            ).alias("o"),
+        )
+        .select(F.col(id_col), F.col("o.pos").alias("pos"), F.col("o.h").alias("h"))
+    )
+    winners = occ.groupBy("h").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("first"),
+        F.count("*").alias("c"),
+    )
+    dup_grams = winners.filter(F.col("c") > 1).select("h", "first")
+    return (
+        occ.join(dup_grams, "h")
+        .filter(
+            (F.col(id_col) != F.col("first")[id_col])
+            | (F.col("pos") != F.col("first")["pos"])
+        )
+        .select(id_col, "pos")
+    )
+
+
+def dedup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 8,
+) -> DataFrame:
+    """Merged duplicated-substring spans per document:
+    ``(id_col, span_start, span_end, n_words)``, word positions 1-based
+    inclusive, all BIGINT.
+
+    Each duplicate occurrence (see :func:`dup_span_occurrences`) covers
+    words ``[pos, pos + span_tokens - 1]``; overlapping or adjacent
+    covered ranges are merged gaps-and-islands style, so one long
+    repeated region reports as ONE span however many grams tile it.
+
+    The merge is one window shuffle partitioned by document — per-doc
+    row counts are bounded by the doc's own length, so there is no skew
+    surface beyond a single pathological document.
+    """
+    ln = int(span_tokens)
+    from pyspark.sql.window import Window
+
+    d = dup_span_occurrences(df, id_col, text_col, ln).withColumn(
+        "e", F.col("pos") + F.lit(ln - 1)
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    d = d.withColumn(
+        "new_island",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), 1).otherwise(0),
+    )
+    d = d.withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return d.groupBy(id_col, "island").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        F.max("e").cast("long").alias("span_end"),
+        (F.max("e") - F.min("pos") + 1).cast("long").alias("n_words"),
+    ).select(id_col, "span_start", "span_end", "n_words")
+
+
+def dedup_spans_sql(
+    rel: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 8,
+) -> str:
+    """DuckDB mirror: same 1-based gram windows; ``row_number() OVER
+    (PARTITION BY md5(gram) ORDER BY id, pos) > 1`` is the duplicate
+    rule (≡ the Spark min-struct winner), then the same
+    gaps-and-islands merge.  All-integer output → bit-exact."""
+    ln = int(span_tokens)
+    return f"""
+    WITH toks AS (
+        SELECT {id_col}, string_split({text_col}, ' ') AS t FROM {rel}
+    ),
+    occ AS (
+        SELECT {id_col}, CAST(i AS INT) AS pos,
+               md5(array_to_string(list_slice(t, i, i + {ln} - 1), ' ')) AS h
+        FROM toks, unnest(range(1, len(t) - {ln} + 2)) r(i)
+        WHERE len(t) >= {ln}
+    ),
+    ranked AS (
+        SELECT {id_col}, pos,
+               row_number() OVER (
+                   PARTITION BY h ORDER BY {id_col}, pos
+               ) AS rn
+        FROM occ
+    ),
+    d AS (
+        SELECT {id_col}, pos, pos + {ln} - 1 AS e
+        FROM ranked WHERE rn > 1
+    ),
+    m AS (
+        SELECT {id_col}, pos, e,
+               max(e) OVER (
+                   PARTITION BY {id_col} ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS pme
+        FROM d
+    ),
+    isl AS (
+        SELECT {id_col}, pos, e,
+               sum(CASE WHEN pme IS NULL OR pos > pme + 1 THEN 1 ELSE 0 END)
+                   OVER (
+                       PARTITION BY {id_col} ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS island
+        FROM m
+    )
+    SELECT {id_col},
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(e) AS BIGINT) AS span_end,
+           CAST(max(e) - min(pos) + 1 AS BIGINT) AS n_words
+    FROM isl GROUP BY {id_col}, island
+    """
+
+
+def strip_dup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 8,
+) -> DataFrame:
+    """Remove every duplicated span from the text: returns
+    ``(id_col, text, n_removed_words)`` for EVERY input document, the
+    surviving words re-joined in order.
+
+    A word is removed iff some duplicate occurrence ``pos`` satisfies
+    ``pos <= j < pos + span_tokens`` (the covered-word union of
+    :func:`dup_span_occurrences`).  The removal filter is a native
+    ``filter`` lambda over the token array against the doc's (small,
+    collected-per-doc) duplicate-position list — no Python in the path.
+    """
+    ln = int(span_tokens)
+    d = dup_span_occurrences(df, id_col, text_col, ln)
+    per_doc = d.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("pos")).alias("dps")
+    )
+    toks = F.split(F.col(text_col), " ")
+    joined = df.join(per_doc, id_col, "left").withColumn(
+        "dps", F.coalesce(F.col("dps"), F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        toks,
+        lambda tok, j: ~F.exists(
+            F.col("dps"),
+            lambda p: (p <= j + 1) & (j + 1 < p + ln),
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("text"),
+        (F.size(toks) - F.size(kept)).cast("long").alias("n_removed_words"),
+    )

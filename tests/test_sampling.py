@@ -220,3 +220,69 @@ def test_crawl_delta_null_content(spark):
     new = spark.createDataFrame([("u", ""), ("w", None)], "url string, content string")
     out = {r.url: r.change for r in crawl_delta(old, new).collect()}
     assert out == {"u": "changed", "w": "changed"}
+
+
+# ------------------------------------------------ exact substring spans
+def test_dedup_spans_known_corpus(spark):
+    """One 8-word window shared between two docs: only the later
+    (doc_id, pos) occurrence is a span; the first stays."""
+    from ssb_sgis_spark.operators.dedup import dedup_spans
+
+    shared = "a b c d e f g h"
+    df = spark.createDataFrame(
+        [(0, shared + " x y"), (1, shared + " p q"), (2, "u v w z q r s t")],
+        "doc_id long, text string",
+    )
+    rows = [tuple(r) for r in dedup_spans(df, span_tokens=8).collect()]
+    assert rows == [(1, 1, 8, 8)]
+
+
+def test_dedup_spans_merges_tiled_region(spark):
+    """A repeated region longer than the window merges its tiling grams
+    into ONE span covering the region."""
+    from ssb_sgis_spark.operators.dedup import dedup_spans
+
+    region = " ".join(f"w{i}" for i in range(12))  # 12 words
+    df = spark.createDataFrame(
+        [(0, region + " tail0 tail1"), (1, "head0 head1 " + region)],
+        "doc_id long, text string",
+    )
+    rows = [tuple(r) for r in dedup_spans(df, span_tokens=8).collect()]
+    # doc 1: grams at pos 3..7 (5 grams of 8 words) tile words 3..14
+    assert rows == [(1, 3, 14, 12)]
+
+
+def test_dedup_spans_within_doc_repeat(spark):
+    """A window repeated WITHIN one doc dups its second occurrence."""
+    from ssb_sgis_spark.operators.dedup import dedup_spans
+
+    block = "a b c d e f g h"
+    df = spark.createDataFrame(
+        [(0, block + " gap1 gap2 gap3 " + block)],
+        "doc_id long, text string",
+    )
+    rows = [tuple(r) for r in dedup_spans(df, span_tokens=8).collect()]
+    assert rows == [(0, 12, 19, 8)]
+
+
+def test_strip_dup_spans_reconstruction(spark):
+    """strip_dup_spans removes exactly the merged-span words and keeps
+    every doc (empty text allowed); removed counts equal span widths."""
+    from ssb_sgis_spark.operators.dedup import dedup_spans, strip_dup_spans
+
+    shared = "a b c d e f g h"
+    df = spark.createDataFrame(
+        [(0, shared + " x y"), (1, shared + " p q"), (2, "lone r s t u v w z")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.text, r.n_removed_words)
+           for r in strip_dup_spans(df, span_tokens=8).collect()}
+    assert out[0] == (shared + " x y", 0)
+    assert out[1] == ("p q", 8)
+    assert out[2][1] == 0
+    spans = dedup_spans(df, span_tokens=8).groupBy("doc_id").agg(
+        {"n_words": "sum"}
+    ).collect()
+    widths = {r.doc_id: r["sum(n_words)"] for r in spans}
+    for d, (_, n_rm) in out.items():
+        assert widths.get(d, 0) == n_rm
