@@ -788,6 +788,22 @@ def q_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SPAN_TOKENS = 8
+BM25_K = 10
+BM25_QUERY_MOD = 50  # every 50th doc's first 4 tokens form a query
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 retrieval (k1=6/5, b=3/4 as exact rationals):
+    query set = first 4 tokens of every 50th document; one ln per
+    distinct query term floored to integer micro-nats, every per-doc
+    contribution pure 64-bit arithmetic — Spark ≡ DuckDB bit for bit."""
+    from ssb_sgis_spark.operators.search import bm25_topk
+
+    docs = docs_df(spark, sf_dir)
+    queries = docs.filter(F.col("doc_id") % BM25_QUERY_MOD == 7).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("qtext")
+    )
+    return bm25_topk(docs, queries, k=BM25_K)
 
 
 def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1213,6 +1229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pipeline": q_corpus_pipeline,
         "para_dedup": q_para_dedup,
         "dedup_spans": q_dedup_spans,
+        "bm25": q_bm25,
         "corpus_mix": q_corpus_mix,
         "unigram_nll": q_unigram_nll,
         "pagerank": q_pagerank,
@@ -1303,6 +1320,7 @@ def oracle_sql() -> dict[str, str]:
         dedup_spans_sql,
         minhash_dup_groups_sql,
     )
+    from ssb_sgis_spark.operators.search import bm25_topk_sql
     from ssb_sgis_spark.operators.pipeline import corpus_pipeline_sql
     from ssb_sgis_spark.operators.quality import unigram_nll_sql
     from ssb_sgis_spark.operators.linkgraph import link_edges_sql, pagerank_sql
@@ -1490,6 +1508,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_spans": dedup_spans_sql(
             f"({docs_with_dups_sql()})", span_tokens=SPAN_TOKENS
+        ),
+        "bm25": bm25_topk_sql(
+            "documents",
+            "(SELECT doc_id AS query_id, text AS qtext FROM documents"
+            f" WHERE doc_id % {BM25_QUERY_MOD} = 7)",
+            k=BM25_K,
         ),
         "corpus_mix": (
             "SELECT doc_id, source FROM documents WHERE "

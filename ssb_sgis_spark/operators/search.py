@@ -1,0 +1,209 @@
+"""BM25 ranked retrieval over the document corpus.
+
+The inverted-index scoring operator a crawl/training-data pipeline uses
+to find benchmark leakage, build retrieval-augmented eval sets, or rank
+recrawl candidates: Okapi BM25 (k1 = 1.2, b = 0.75) of a (small) query
+set against the full corpus, top-k docs per query.
+
+Exactness design (the same integer discipline as
+``operators/quality.unigram_nll``): with k1 = 6/5 and b = 3/4 the BM25
+term weight is a ratio of integers once both sides are multiplied by
+``10 * S`` (S = total corpus tokens):
+
+    tf_part = 22*S*tf / (10*S*tf + 3*S + 9*dl*N)
+
+and the idf argument is exact as well:
+
+    1 + (N - df + 0.5)/(df + 0.5)  ==  (2N + 2)/(2df + 1)
+
+so the ONLY transcendental is one ``ln`` per distinct query term,
+floored once into integer micro-nats (``idf_micro``).  Every per-doc
+contribution is then pure 64-bit arithmetic —
+
+    contrib = (idf_micro * 22*S*tf) div (10*S*tf + 3*S + 9*dl*N)
+
+— identical in Spark and DuckDB bit for bit, and the final ordering
+(score desc, doc_id asc) has no float ties to break.
+
+64-bit bound: ``idf_micro * 22 * S * tf`` must stay under 2^63 —
+S*tf < ~2.9e13 at the idf ceiling.  Fine for corpora to ~10^11 tokens;
+beyond that, lift the same expressions to DECIMAL(38,0) (both engines)
+or shard S into per-partition scale factors.
+
+Scale shape:
+* tf is one groupBy(doc_id, term) over the exploded tokens with
+  map-side combine (the explode itself is map-only); dl rides along as
+  a functionally-dependent key — no second join against a doc-length
+  table;
+* df(term) is a map-side-combinable count over the tf frame;
+* the query set is small by definition → every query-side join is a
+  broadcast; the only big shuffles are the two term aggs;
+* top-k is a rank window partitioned by query — tiny partitions.
+
+Corpus-derived scalars (N docs, S tokens) enter as a one-row broadcast
+crossJoin so the whole operator stays one lazy DAG (same pattern the
+plan audit already allows for unigram_nll).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _doc_terms(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, term, tf, dl) — one shuffle, dl carried through the group."""
+    toks = F.split(F.col(text_col), " ")
+    with_dl = docs.select(
+        F.col(id_col), toks.alias("_t"), F.size(toks).cast("long").alias("dl")
+    )
+    return (
+        with_dl.select(id_col, "dl", F.explode("_t").alias("term"))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "qtext",
+    max_query_terms: int = 4,
+) -> DataFrame:
+    """Top-k BM25 docs per query: ``(query_id, rank, doc_id,
+    score_micro)`` — rank 1-based by (score desc, doc_id asc), score in
+    integer micro-nats.  Query terms are the first ``max_query_terms``
+    whitespace tokens of ``query_text_col`` (a multiset — a repeated
+    term scores per occurrence, the standard qtf treatment)."""
+    from pyspark.sql.window import Window
+
+    tf = _doc_terms(docs, id_col, text_col)
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    stats = docs.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(F.split(F.col(text_col), " "))).cast("long").alias("s_tokens"),
+    )
+
+    qtoks = F.slice(F.split(F.col(query_text_col), " "), 1, int(max_query_terms))
+    qocc = queries.select(
+        F.col(query_id_col), F.posexplode(qtoks).alias("qpos", "term")
+    )
+    # per-(query, term-occurrence) idf: broadcast the tiny query side into
+    # the big df(term) frame, then attach the corpus scalars
+    q_idf = (
+        dfreq.join(F.broadcast(qocc), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            query_id_col,
+            "qpos",
+            "term",
+            "n_docs",
+            "s_tokens",
+            F.floor(
+                F.lit(1_000_000.0)
+                * F.log(
+                    (2 * F.col("n_docs") + 2).cast("double")
+                    / (2 * F.col("df") + 1).cast("double")
+                )
+            )
+            .cast("long")
+            .alias("idf_micro"),
+        )
+    )
+    scored = tf.join(F.broadcast(q_idf), "term").select(
+        query_id_col,
+        F.col(id_col),
+        F.expr(
+            "(idf_micro * 22 * s_tokens * tf) div "
+            "(10 * s_tokens * tf + 3 * s_tokens + 9 * dl * n_docs)"
+        ).alias("contrib"),
+    )
+    per_doc = scored.groupBy(query_id_col, id_col).agg(
+        F.sum("contrib").cast("long").alias("score_micro")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score_micro").desc(), F.col(id_col).asc()
+    )
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= int(k))
+        .select(query_id_col, "rank", id_col, "score_micro")
+    )
+
+
+def bm25_topk_sql(
+    rel: str,
+    queries_rel: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "qtext",
+    max_query_terms: int = 4,
+) -> str:
+    """DuckDB mirror — the identical integer expressions; the only float
+    is the same ``ln`` of the same exact ratio, floored at micro scale."""
+    m = int(max_query_terms)
+    return f"""
+    WITH toks AS (
+        SELECT {id_col}, string_split({text_col}, ' ') AS t FROM {rel}
+    ),
+    tf AS (
+        SELECT {id_col}, CAST(len(t) AS BIGINT) AS dl, term,
+               CAST(count(*) AS BIGINT) AS tf
+        FROM toks, unnest(t) AS u(term)
+        GROUP BY {id_col}, len(t), term
+    ),
+    dfreq AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(string_split({text_col}, ' '))) AS BIGINT)
+                   AS s_tokens
+        FROM {rel}
+    ),
+    qt AS (
+        SELECT {query_id_col},
+               list_slice(string_split({query_text_col}, ' '), 1, {m}) AS qterms
+        FROM {queries_rel}
+    ),
+    qocc AS (
+        SELECT {query_id_col}, CAST(i - 1 AS INT) AS qpos, qterms[i] AS term
+        FROM qt, unnest(range(1, len(qterms) + 1)) r(i)
+    ),
+    q_idf AS (
+        SELECT q.{query_id_col}, q.qpos, q.term, s.n_docs, s.s_tokens,
+               CAST(floor(1000000.0 * ln(
+                   CAST(2 * s.n_docs + 2 AS DOUBLE)
+                   / CAST(2 * d.df + 1 AS DOUBLE)
+               )) AS BIGINT) AS idf_micro
+        FROM dfreq d JOIN qocc q USING (term) CROSS JOIN stats s
+    ),
+    scored AS (
+        SELECT q.{query_id_col}, t.{id_col},
+               (q.idf_micro * 22 * q.s_tokens * t.tf)
+                   // (10 * q.s_tokens * t.tf + 3 * q.s_tokens
+                       + 9 * t.dl * q.n_docs) AS contrib
+        FROM tf t JOIN q_idf q USING (term)
+    ),
+    per_doc AS (
+        SELECT {query_id_col}, {id_col},
+               CAST(sum(contrib) AS BIGINT) AS score_micro
+        FROM scored GROUP BY {query_id_col}, {id_col}
+    ),
+    ranked AS (
+        SELECT {query_id_col}, {id_col}, score_micro,
+               CAST(row_number() OVER (
+                   PARTITION BY {query_id_col}
+                   ORDER BY score_micro DESC, {id_col} ASC
+               ) AS BIGINT) AS rank
+        FROM per_doc
+    )
+    SELECT {query_id_col}, rank, {id_col}, score_micro
+    FROM ranked WHERE rank <= {int(k)}
+    """

@@ -93,10 +93,12 @@ def test_scan_prunes_columns(spark):
 # (the scale paths are ann_lsh / ann_ivf, both hash-join bucketed).  For
 # these a BroadcastNestedLoopJoin over the tiny broadcast side IS the
 # right physical plan.
-_CROSS_BY_DESIGN = {"all_distances", "ann_topk", "unigram_nll"}
-# unigram_nll's BNLJ is the scalar-broadcast pattern: crossJoin with the
-# ONE-row corpus-total frame (broadcast hint, O(n) probe); its real join
-# (doc_tok ⋈ vocab) is pinned shuffle-hash and asserted below
+_CROSS_BY_DESIGN = {"all_distances", "ann_topk", "unigram_nll", "bm25"}
+# unigram_nll's and bm25's BNLJ is the scalar-broadcast pattern:
+# crossJoin with the ONE-row corpus-total frame (broadcast hint, O(n)
+# probe); their real joins are equi-joins — unigram_nll's is pinned
+# shuffle-hash and asserted below, bm25's scalar count is asserted in
+# test_bm25_single_scalar_bnlj
 
 # These queries EXECUTE at construction time (tiled_pip runs its batches
 # through TiledRun, stream_dedup drives a streaming query) and return a
@@ -140,6 +142,19 @@ def test_unigram_nll_score_join_is_shuffle_hash(spark):
     # each node twice (tree line + details section)
     tree = p.split("\n\n")[0]
     assert tree.count("BroadcastNestedLoopJoin") == 1, tree
+
+
+def test_bm25_single_scalar_bnlj(spark):
+    """bm25's only nested-loop node is the one-row (n_docs, s_tokens)
+    scalar broadcast; tf⋈q_idf and dfreq⋈qocc stay broadcast-hash
+    equi-joins."""
+    import __spark_entry__ as entry
+
+    p = plan_of(entry.queries()["bm25"](spark, SF))
+    tree = p.split("\n\n")[0]
+    assert tree.count("BroadcastNestedLoopJoin") == 1, tree
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
 
 
 def test_pagerank_round_plan(spark):
