@@ -819,6 +819,16 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact length quantiles from the value histogram — map-side
+    combined groupBy(value) + the distributed prefix sum, then ONE
+    conditional-min agg picks every requested permille; no global
+    sort anywhere."""
+    from ssb_sgis_spark.operators.stats import exact_quantiles
+
+    return exact_quantiles(docs_df(spark, sf_dir), "n_chars")
+
+
 def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted corpus mixing (the pretraining data recipe): per-source
     deterministic Bernoulli-by-hash keep fractions as ONE map-only CASE
@@ -1230,6 +1240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "para_dedup": q_para_dedup,
         "dedup_spans": q_dedup_spans,
         "bm25": q_bm25,
+        "quantiles": q_quantiles,
         "corpus_mix": q_corpus_mix,
         "unigram_nll": q_unigram_nll,
         "pagerank": q_pagerank,
@@ -1321,6 +1332,7 @@ def oracle_sql() -> dict[str, str]:
         minhash_dup_groups_sql,
     )
     from ssb_sgis_spark.operators.search import bm25_topk_sql
+    from ssb_sgis_spark.operators.stats import exact_quantiles_sql
     from ssb_sgis_spark.operators.pipeline import corpus_pipeline_sql
     from ssb_sgis_spark.operators.quality import unigram_nll_sql
     from ssb_sgis_spark.operators.linkgraph import link_edges_sql, pagerank_sql
@@ -1515,6 +1527,7 @@ def oracle_sql() -> dict[str, str]:
             f" WHERE doc_id % {BM25_QUERY_MOD} = 7)",
             k=BM25_K,
         ),
+        "quantiles": exact_quantiles_sql("documents", "n_chars"),
         "corpus_mix": (
             "SELECT doc_id, source FROM documents WHERE "
             + mix_corpora_pred_sql(
