@@ -41,6 +41,7 @@ from ssb_sgis_spark.operators.ann import (
     cosine_pairs_sql,
     cosine_topk,
     cosine_topk_sql,
+    quantized_topk_sql,
 )
 from ssb_sgis_spark.operators.clusters import cluster_points_within_distance
 from ssb_sgis_spark.operators.dedup import (
@@ -943,6 +944,19 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(queries, emb, ANN_K, corpus_id="vec_id")
 
 
+def q_ann_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-quantized serving path: symmetric per-vector quantization as
+    a native expression, then top-k by pure-integer dot product — 4x
+    bandwidth off the float corpus, no float ties, bit-exact oracle."""
+    from ssb_sgis_spark.operators.ann import quantized_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % ANN_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return quantized_topk(queries, emb, ANN_K, corpus_id="vec_id")
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN (scale path; approximate by design ->
     no SQL oracle; recall vs brute force is pytest-verified)."""
@@ -1241,6 +1255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": q_dedup_spans,
         "bm25": q_bm25,
         "quantiles": q_quantiles,
+        "ann_quant": q_ann_quant,
         "corpus_mix": q_corpus_mix,
         "unigram_nll": q_unigram_nll,
         "pagerank": q_pagerank,
@@ -1538,6 +1553,12 @@ def oracle_sql() -> dict[str, str]:
             "documents", 2048, tokens_expr=token_count_sql("text")
         ),
         "ann_topk": cosine_topk_sql(
+            f"(SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id % {ANN_QUERY_MOD} = 0)",
+            "embeddings",
+            ANN_K,
+            corpus_id="vec_id",
+        ),
+        "ann_quant": quantized_topk_sql(
             f"(SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id % {ANN_QUERY_MOD} = 0)",
             "embeddings",
             ANN_K,

@@ -348,3 +348,105 @@ def ann_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "vid", F.col("rank").cast("int").alias("rank"))
     )
+
+
+# ------------------------------------------------ int8 quantized search
+def quantize_int8(vec: Column) -> Column:
+    """Unit-sphere int8 quantization as a native expression:
+    ``q_i = round(127 * x_i / ||x||)`` (zero vectors quantize to
+    all-zero; ``|x_i| <= ||x||`` bounds every code to [-127, 127]).
+
+    Normalizing by the L2 norm — not per-vector max-abs — keeps the
+    integer dot product a faithful cosine surrogate: per-vector scales
+    cancel identically on both sides, so ``dot(q_a, q_b) ~= 127^2 *
+    cos(a, b)``.  4x memory/bandwidth off the float32 corpus, with the
+    SAME expression shape in the DuckDB mirror so quantized codes match
+    bit for bit."""
+    v = _as_double(vec)
+    m = _norm(v)
+    return F.transform(
+        v,
+        lambda x: F.when(m == 0.0, F.lit(0).cast("long")).otherwise(
+            F.round(F.lit(127.0) * (x / m)).cast("long")
+        ),
+    )
+
+
+def quantized_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id: str = "qid",
+    corpus_id: str = "vid",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by INTEGER dot product of int8-quantized vectors:
+    ``(qid, rank, vid, iscore)`` — the quantized serving path next to
+    :func:`cosine_topk`'s float baseline.
+
+    After quantization every score is 64-bit integer arithmetic
+    (|iscore| <= dim * 127^2), so ranking has no float ties and the
+    oracle compare is exact.  Same scale shape as cosine_topk:
+    broadcast the (small) query side across the corpus, one per-query
+    top-k window."""
+    q = queries.select(
+        F.col(query_id).alias("qid"), quantize_int8(F.col(vec_col)).alias("_qq")
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("vid"), quantize_int8(F.col(vec_col)).alias("_cq")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "qid",
+        "vid",
+        F.aggregate(
+            F.zip_with(F.col("_qq"), F.col("_cq"), lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("iscore"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("iscore"), F.asc("vid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", F.col("rank").cast("long").alias("rank"), "vid", "iscore")
+    )
+
+
+def quantized_topk_sql(
+    queries_rel: str,
+    corpus_rel: str,
+    k: int,
+    query_id: str = "qid",
+    corpus_id: str = "vid",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB mirror — identical quantization expression, BIGINT dot."""
+
+    def _q(alias: str) -> str:
+        # same sequential-fold L2 norm as the Spark side: DuckDB's
+        # list_dot_product(v, v) folds left-to-right like F.aggregate
+        nrm = (
+            f"sqrt(list_dot_product(CAST({alias}.{vec_col} AS DOUBLE[]), "
+            f"CAST({alias}.{vec_col} AS DOUBLE[])))"
+        )
+        return (
+            f"list_transform(CAST({alias}.{vec_col} AS DOUBLE[]), "
+            f"x -> CASE WHEN {nrm} = 0.0 THEN CAST(0 AS BIGINT) "
+            f"ELSE CAST(round(127.0 * (x / {nrm})) AS BIGINT) END)"
+        )
+
+    return f"""
+    WITH scored AS (
+      SELECT q.{query_id} AS qid, c.{corpus_id} AS vid,
+             CAST(list_dot_product({_q('q')}, {_q('c')}) AS BIGINT) AS iscore
+      FROM {corpus_rel} c CROSS JOIN {queries_rel} q
+    ),
+    ranked AS (
+      SELECT qid, vid, iscore,
+             CAST(row_number() OVER (
+                 PARTITION BY qid ORDER BY iscore DESC, vid ASC
+             ) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT qid, rank, vid, iscore FROM ranked WHERE rank <= {int(k)}
+    """

@@ -93,7 +93,11 @@ def test_scan_prunes_columns(spark):
 # (the scale paths are ann_lsh / ann_ivf, both hash-join bucketed).  For
 # these a BroadcastNestedLoopJoin over the tiny broadcast side IS the
 # right physical plan.
-_CROSS_BY_DESIGN = {"all_distances", "ann_topk", "unigram_nll", "bm25"}
+_CROSS_BY_DESIGN = {
+    "all_distances", "ann_topk", "ann_quant", "unigram_nll", "bm25",
+}
+# ann_quant is the same brute-force scoring cross product as ann_topk
+# (broadcast query side), just over int8-quantized vectors
 # unigram_nll's and bm25's BNLJ is the scalar-broadcast pattern:
 # crossJoin with the ONE-row corpus-total frame (broadcast hint, O(n)
 # probe); their real joins are equi-joins — unigram_nll's is pinned

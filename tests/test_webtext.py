@@ -182,3 +182,51 @@ def test_geocode_html_recovers_formatted_coords(spark):
     )
     row = geocode_html(blank).collect()[0]
     assert row.x is None and row.y is None
+
+
+def test_quantize_int8_bounds_and_zero_vector(spark):
+    from ssb_sgis_spark.operators.ann import quantize_int8
+
+    df = spark.createDataFrame(
+        [(0, [0.5, -1.0, 0.25]), (1, [0.0, 0.0, 0.0]), (2, [3.0])],
+        "vid long, embedding array<float>",
+    )
+    rows = {r.vid: r.q for r in df.select("vid", quantize_int8(F.col("embedding")).alias("q")).collect()}
+    n0 = (0.5**2 + 1.0 + 0.25**2) ** 0.5
+    assert rows[0] == [
+        round(127 * 0.5 / n0),
+        round(127 * -1.0 / n0),
+        round(127 * 0.25 / n0),
+    ]  # round(127*x/||x||)
+    assert rows[1] == [0, 0, 0]               # zero vector -> zeros
+    assert rows[2] == [127]
+    assert all(abs(v) <= 127 for q in rows.values() for v in q)
+
+
+def test_quantized_topk_recall_vs_exact_cosine(spark):
+    """int8 quantization is lossy but must keep high top-k agreement
+    with the exact float cosine ranking on the real embedding table."""
+    from ssb_sgis_spark.operators.ann import cosine_topk, quantized_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    exact = {
+        (r.qid, r.vid)
+        for r in cosine_topk(queries, emb, 5, corpus_id="vec_id").collect()
+    }
+    quant = {
+        (r.qid, r.vid)
+        for r in quantized_topk(queries, emb, 5, corpus_id="vec_id").collect()
+    }
+    nq = queries.count()
+    assert len(quant) == 5 * nq
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.85, recall
+    # self-match survives quantization: every query's own vector at rank 1
+    top1 = {
+        r.qid: r.vid
+        for r in quantized_topk(queries, emb, 1, corpus_id="vec_id").collect()
+    }
+    assert all(q == v for q, v in top1.items())
