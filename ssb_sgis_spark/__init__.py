@@ -128,6 +128,8 @@ from .operators.polygons import (
     get_grouped_centroids,
     get_holes,
     get_rough_centerlines,
+    segmentize,
+    simplify,
     sort_large_first,
     sort_long_first,
     sort_nans_last,

@@ -345,3 +345,86 @@ def explode_parts(ga: GeomArray):
         parts = ga.geom_parts(g)
         for i, rings in enumerate(parts):
             yield g, i, rings
+
+
+# --------------------------------------------------- simplify / segmentize
+def segmentize_ring(ring: np.ndarray, max_len: float) -> np.ndarray:
+    """Insert vertices so no segment exceeds ``max_len`` (reference
+    shapely.segmentize semantics: every segment is split into
+    ``ceil(d / max_len)`` EQUAL subsegments; original vertices are
+    preserved exactly).  Fully vectorized: one repeat + one interp pass,
+    no per-vertex Python."""
+    if len(ring) < 2 or max_len <= 0:
+        return ring
+    a = ring[:-1]
+    b = ring[1:]
+    d = np.hypot(b[:, 0] - a[:, 0], b[:, 1] - a[:, 1])
+    nsub = np.maximum(np.ceil(d / max_len).astype(np.int64), 1)
+    # emit nsub[i] points per segment: a_i + (j/nsub_i) * (b_i - a_i),
+    # j = 0..nsub_i-1, then append the final vertex once
+    seg_idx = np.repeat(np.arange(len(a)), nsub)
+    starts = np.concatenate([[0], np.cumsum(nsub)[:-1]])
+    j = np.arange(len(seg_idx)) - np.repeat(starts, nsub)
+    frac = j / nsub[seg_idx]
+    pts = a[seg_idx] + frac[:, None] * (b[seg_idx] - a[seg_idx])
+    return np.concatenate([pts, ring[-1:]], axis=0)
+
+
+def _dp_keep_mask(ring: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas-Peucker keep-mask with endpoints anchored.  The stack loop
+    is per-SPLIT (log-depth), the distance test inside it is a
+    vectorized perpendicular-distance over the whole sub-span."""
+    n = len(ring)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    x = ring[:, 0]
+    y = ring[:, 1]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        ax, ay, bx, by = x[i], y[i], x[j], y[j]
+        px = x[i + 1 : j]
+        py = y[i + 1 : j]
+        dx, dy = bx - ax, by - ay
+        nrm2 = dx * dx + dy * dy
+        if nrm2 == 0.0:
+            d2 = (px - ax) ** 2 + (py - ay) ** 2
+        else:
+            # squared perpendicular distance to the infinite line a-b
+            # (GEOS DP uses the line, not the clamped segment)
+            cross = dx * (py - ay) - dy * (px - ax)
+            d2 = cross * cross / nrm2
+        m = int(np.argmax(d2))
+        if d2[m] > tol * tol:
+            k = i + 1 + m
+            keep[k] = True
+            stack.append((i, k))
+            stack.append((k, j))
+    return keep
+
+
+def simplify_ring(ring: np.ndarray, tol: float, closed: bool) -> np.ndarray:
+    """Douglas-Peucker simplification of one ring/line.  Open lines
+    anchor both endpoints; closed rings anchor vertex 0 plus the vertex
+    farthest from it (the standard ring split), keeping the ring closed.
+    Non-topology-preserving, like the reference's shapely.simplify."""
+    if tol < 0 or len(ring) <= 2:
+        return ring
+    if not closed:
+        return ring[_dp_keep_mask(ring, tol)]
+    # closed: ring[0] == ring[-1]; split at the farthest vertex from 0
+    body = ring[:-1]
+    if len(body) <= 3:
+        return ring
+    d2 = (body[:, 0] - body[0, 0]) ** 2 + (body[:, 1] - body[0, 1]) ** 2
+    far = int(np.argmax(d2))
+    if far == 0:
+        return ring
+    m1 = _dp_keep_mask(ring[: far + 1], tol)
+    m2 = _dp_keep_mask(ring[far:], tol)
+    keep = np.zeros(len(ring), dtype=bool)
+    keep[: far + 1] = m1
+    keep[far:] |= m2
+    return ring[keep]

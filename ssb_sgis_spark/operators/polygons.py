@@ -521,3 +521,61 @@ def get_rough_centerlines(
             yield o
 
     return df.mapInPandas(kernel, schema=schema)
+
+
+def simplify(
+    df: DataFrame, tolerance: float, geometry_col: str = "geometry"
+) -> DataFrame:
+    """Douglas-Peucker simplification (reference: shapely.simplify,
+    SURVEY §2.14; non-topology-preserving).  Per-row Arrow batch pass —
+    the D-P stack loop is per split with vectorized distance tests, no
+    per-vertex Python.  Polygon parts whose simplified exterior
+    degenerates below a triangle are dropped (→ NULL when nothing is
+    left), matching GEOS's collapse behavior."""
+    from ..kernels.geom import simplify_ring
+
+    tol = float(tolerance)
+
+    def fn(parts, t):
+        if t == wkb.T_POINT:
+            return parts
+        closed = t == wkb.T_POLYGON
+        out_parts = []
+        for rings in parts:
+            new_rings = []
+            for i, r in enumerate(rings):
+                s = simplify_ring(np.asarray(r, dtype=np.float64), tol, closed)
+                if closed and len(s) < 4:
+                    if i == 0:
+                        new_rings = None  # exterior collapsed -> drop part
+                        break
+                    continue  # hole collapsed -> closed
+                new_rings.append(s)
+            if new_rings:
+                out_parts.append(new_rings)
+        return out_parts or None
+
+    return _map_geoms(df, fn, geometry_col)
+
+
+def segmentize(
+    df: DataFrame, max_segment_length: float, geometry_col: str = "geometry"
+) -> DataFrame:
+    """Insert vertices so no segment exceeds ``max_segment_length``
+    (reference: shapely.segmentize, SURVEY §2.14 — used by
+    get_rough_centerlines).  Equal-subdivision per segment, original
+    vertices preserved exactly; one vectorized repeat+interp pass per
+    ring."""
+    from ..kernels.geom import segmentize_ring
+
+    ml = float(max_segment_length)
+
+    def fn(parts, t):
+        if t == wkb.T_POINT:
+            return parts
+        return [
+            [segmentize_ring(np.asarray(r, dtype=np.float64), ml) for r in rings]
+            for rings in parts
+        ]
+
+    return _map_geoms(df, fn, geometry_col)

@@ -445,3 +445,76 @@ def test_to_lines_split_collinear_disjoint_no_spurious_cuts(spark):
     assert lens[0] == pytest.approx(4.0)  # poly1 ring unbroken
     for g in range(2):
         assert len(ga.geom_rings(g)) == 1  # one unbroken piece each
+
+
+# --------------------------------------------------- simplify / segmentize
+def test_segmentize_line_exact_subdivision(spark):
+    from ssb_sgis_spark.operators.polygons import segmentize
+
+    line = np.array([(OX, OY), (OX + 10.0, OY)])
+    df = spark.createDataFrame(
+        [(0, bytearray(wkb.encode_linestring(line)))], "lid long, geometry binary"
+    )
+    out = wkb.decode([segmentize(df, 3.0).collect()[0]["geometry"]])
+    ring = out.geom_rings(0)[0]
+    # ceil(10/3)=4 equal subsegments of 2.5 -> 5 vertices
+    assert len(ring) == 5
+    assert np.allclose(ring[:, 0], OX + np.array([0, 2.5, 5.0, 7.5, 10.0]))
+    assert np.allclose(ring[:, 1], OY)
+    # original endpoints bit-exact
+    assert ring[0, 0] == OX and ring[-1, 0] == OX + 10.0
+
+
+def test_segmentize_polygon_preserves_area_and_closure(spark):
+    from ssb_sgis_spark.operators.polygons import segmentize
+
+    ring = box_ring(OX, OY, OX + 100, OY + 100)
+    df = spark.createDataFrame(
+        [(0, bytearray(wkb.encode_polygon([ring])))], "pid long, geometry binary"
+    )
+    out = wkb.decode([segmentize(df, 7.0).collect()[0]["geometry"]])
+    r = out.geom_rings(0)[0]
+    assert np.array_equal(r[0], r[-1])  # still closed
+    # area unchanged; every segment <= 7
+    d = np.hypot(np.diff(r[:, 0]), np.diff(r[:, 1]))
+    assert d.max() <= 7.0 + 1e-9
+    assert abs(polygon_area([[r]]) - 10000.0) < 1e-6
+
+
+def test_simplify_drops_small_deviations_keeps_large(spark):
+    from ssb_sgis_spark.operators.polygons import simplify
+
+    zig = np.array(
+        [(OX, OY), (OX + 10, OY + 0.5), (OX + 20, OY - 0.5), (OX + 30, OY + 5.0),
+         (OX + 40, OY)]
+    )
+    df = spark.createDataFrame(
+        [(0, bytearray(wkb.encode_linestring(zig)))], "lid long, geometry binary"
+    )
+    out = wkb.decode([simplify(df, 1.0).collect()[0]["geometry"]])
+    r = out.geom_rings(0)[0]
+    # true D-P: the spike splits the span, so (20,-0.5) deviates 3.78
+    # from the (0,0)-(30,5) chord and survives; only (10,+0.5) drops
+    assert [tuple(p) for p in r] == [
+        (OX, OY),
+        (OX + 20, OY - 0.5),
+        (OX + 30, OY + 5.0),
+        (OX + 40, OY),
+    ]
+    # tolerance above the spike -> straight segment
+    out2 = wkb.decode([simplify(df, 6.0).collect()[0]["geometry"]])
+    assert len(out2.geom_rings(0)[0]) == 2
+
+
+def test_simplify_polygon_removes_collinear_keeps_area(spark):
+    from ssb_sgis_spark.operators.polygons import simplify, segmentize
+
+    ring = box_ring(OX, OY, OX + 100, OY + 100)
+    df = spark.createDataFrame(
+        [(0, bytearray(wkb.encode_polygon([ring])))], "pid long, geometry binary"
+    )
+    dense = segmentize(df, 5.0)
+    back = wkb.decode([simplify(dense, 1e-9).collect()[0]["geometry"]])
+    r = back.geom_rings(0)[0]
+    assert len(r) == 5  # the 4 corners + closure: all inserted vertices gone
+    assert abs(polygon_area([[r]]) - 10000.0) < 1e-6
