@@ -820,6 +820,21 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-snapshot dedup: the injected copies (NEW crawl)
+    probed against the base corpus (OLD snapshot) — md5 equi-join for
+    exact, band-key equi-join + integer-Jaccard verify for near.  No
+    self-join of either side; the shape of ingestion-time dedup at
+    10^12 docs (old signatures persisted, new batches probe)."""
+    from ssb_sgis_spark.operators.dedup import dedup_against
+
+    old = docs_df(spark, sf_dir).select("doc_id", "text")
+    new = docs_with_dups_df(spark, sf_dir).filter(
+        F.col("doc_id") >= EXACT_OFFSET
+    )
+    return dedup_against(new, old)
+
+
 def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact length quantiles from the value histogram — map-side
     combined groupBy(value) + the distributed prefix sum, then ONE
@@ -1256,6 +1271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": q_bm25,
         "quantiles": q_quantiles,
         "ann_quant": q_ann_quant,
+        "dedup_incr": q_dedup_incr,
         "corpus_mix": q_corpus_mix,
         "unigram_nll": q_unigram_nll,
         "pagerank": q_pagerank,
@@ -1342,6 +1358,7 @@ def _contamination_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     from ssb_sgis_spark.operators.packing import pack_sequences_sql
     from ssb_sgis_spark.operators.dedup import (
+        dedup_against_sql,
         dedup_paragraphs_sql,
         dedup_spans_sql,
         minhash_dup_groups_sql,
@@ -1543,6 +1560,11 @@ def oracle_sql() -> dict[str, str]:
             k=BM25_K,
         ),
         "quantiles": exact_quantiles_sql("documents", "n_chars"),
+        "dedup_incr": dedup_against_sql(
+            f"(SELECT doc_id, text FROM ({docs_with_dups_sql()})"
+            f" WHERE doc_id >= {EXACT_OFFSET})",
+            "(SELECT doc_id, text FROM documents)",
+        ),
         "corpus_mix": (
             "SELECT doc_id, source FROM documents WHERE "
             + mix_corpora_pred_sql(

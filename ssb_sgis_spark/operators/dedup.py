@@ -172,28 +172,17 @@ def minhash_long(
     return hashed.groupBy(id_col, "_seed").agg(F.min("_h").alias("_mh"))
 
 
-def lsh_candidate_pairs(
+def band_keys(
     sig_long: DataFrame,
     id_col: str = "doc_id",
     n_hashes: int = DEFAULT_N_HASHES,
     bands: int = DEFAULT_BANDS,
     bucket_cap: int | None = 10_000,
 ) -> DataFrame:
-    """Distinct (a < b) pairs sharing at least one LSH band.
-
-    Input is the LONG signature format (id, _seed, _mh); band keys are a
-    lambda-free groupBy (string sort + concat) so everything stays in
-    codegen.  Two docs share a band key iff their `rows` minhashes of that
-    band are all equal — the canonical banding condition.
-
-    ``bucket_cap`` is the skew policy for web-scale corpora: a boilerplate
-    band key with m members would emit m^2 candidate pairs (a 10^6-doc
-    bucket -> 10^12 pairs — one task, fatal).  Buckets wider than the cap
-    are DROPPED from candidate generation: counting members is a linear
-    window over the band shuffle, so the quadratic blow-up is bounded by
-    cap^2 per bucket.  Boilerplate this common is exact-dup territory
-    (dedupe_exact) rather than near-dup; pass ``bucket_cap=None`` to
-    disable.  Standard practice in production MinHash dedup pipelines."""
+    """(id, band_key) rows from LONG signatures — the shared banding
+    step of :func:`lsh_candidate_pairs` and :func:`dedup_against`.
+    Lambda-free (string sort + concat) so the stage stays in codegen;
+    ``bucket_cap`` drops mega-buckets (see lsh_candidate_pairs)."""
     from pyspark.sql.window import Window
 
     rows = n_hashes // bands
@@ -219,6 +208,32 @@ def lsh_candidate_pairs(
             .filter(F.col("_bn") <= bucket_cap)
             .drop("_bn")
         )
+    return banded
+
+
+def lsh_candidate_pairs(
+    sig_long: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = DEFAULT_N_HASHES,
+    bands: int = DEFAULT_BANDS,
+    bucket_cap: int | None = 10_000,
+) -> DataFrame:
+    """Distinct (a < b) pairs sharing at least one LSH band.
+
+    Input is the LONG signature format (id, _seed, _mh); band keys are a
+    lambda-free groupBy (string sort + concat) so everything stays in
+    codegen.  Two docs share a band key iff their `rows` minhashes of that
+    band are all equal — the canonical banding condition.
+
+    ``bucket_cap`` is the skew policy for web-scale corpora: a boilerplate
+    band key with m members would emit m^2 candidate pairs (a 10^6-doc
+    bucket -> 10^12 pairs — one task, fatal).  Buckets wider than the cap
+    are DROPPED from candidate generation: counting members is a linear
+    window over the band shuffle, so the quadratic blow-up is bounded by
+    cap^2 per bucket.  Boilerplate this common is exact-dup territory
+    (dedupe_exact) rather than near-dup; pass ``bucket_cap=None`` to
+    disable.  Standard practice in production MinHash dedup pipelines."""
+    banded = band_keys(sig_long, id_col, n_hashes, bands, bucket_cap)
     other = banded.select(F.col(id_col).alias("_b"), "band_key")
     return (
         banded.join(other, "band_key")
@@ -745,3 +760,125 @@ def strip_dup_spans(
         F.array_join(kept, " ").alias("text"),
         (F.size(toks) - F.size(kept)).cast("long").alias("n_removed_words"),
     )
+
+
+# ------------------------------------------- cross-snapshot incremental
+def dedup_against(
+    new: DataFrame,
+    old: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = DEFAULT_N_HASHES,
+    bands: int = DEFAULT_BANDS,
+    k: int = DEFAULT_SHINGLE_K,
+    tau_num: int = 1,
+    tau_den: int = 2,
+) -> DataFrame:
+    """Incremental dedup of a NEW crawl against an EXISTING corpus:
+    ``(id_col, dup_kind, matched_old_id)`` for every new doc that
+    duplicates an old one — ``dup_kind = 'exact'`` (identical text) or
+    ``'near'`` (shares an LSH band with an old doc and shingle-Jaccard
+    >= tau_num/tau_den, integer cross-multiplied).  Novel docs emit no
+    row; ``matched_old_id`` is the smallest matching old id.
+
+    This is the ingestion-time shape of MinHash dedup at 10^12 docs:
+    the old side's signatures/band keys are computed once per snapshot
+    (persist them — the operator recomputes here only because the
+    sandbox corpus is synthetic) and every new batch probes with an
+    equi-join on (md5) and (band_key).  The quadratic self-join of
+    :func:`near_dup_pairs` never happens: candidates are new x old
+    only, and the same ``bucket_cap`` policy bounds boilerplate bands.
+    """
+    new_h = new.select(F.col(id_col), F.md5(F.col(text_col)).alias("_h"))
+    old_h = old.select(F.col(id_col).alias("_oid"), F.md5(F.col(text_col)).alias("_h"))
+    exact = (
+        new_h.join(old_h, "_h")
+        .groupBy(id_col)
+        .agg(F.min("_oid").alias("matched_old_id"))
+        .select(id_col, F.lit("exact").alias("dup_kind"), "matched_old_id")
+    )
+
+    par = new.sparkSession.sparkContext.defaultParallelism
+    nb = band_keys(
+        minhash_long(new.repartition(par, id_col), id_col, text_col, n_hashes, k),
+        id_col, n_hashes, bands,
+    )
+    ob = band_keys(
+        minhash_long(old.repartition(par, id_col), id_col, text_col, n_hashes, k),
+        id_col, n_hashes, bands,
+    ).select(F.col(id_col).alias("_oid"), "band_key")
+    cand = nb.join(ob, "band_key").select(id_col, "_oid").distinct()
+
+    sh_new = new.select(
+        F.col(id_col), shingles_col(F.col(text_col), k).alias("_sha")
+    ).repartition(par, id_col)
+    sh_old = old.select(
+        F.col(id_col).alias("_oid"), shingles_col(F.col(text_col), k).alias("_shb")
+    ).repartition(par, "_oid")
+    verified = (
+        cand.join(sh_new, id_col)
+        .join(sh_old, "_oid")
+        .withColumn("_i", F.size(F.array_intersect("_sha", "_shb")))
+        .withColumn("_u", F.size(F.array_union("_sha", "_shb")))
+        .filter(F.col("_i") * tau_den >= F.col("_u") * tau_num)
+        .select(id_col, "_oid")
+    )
+    near = (
+        verified.join(exact.select(id_col), id_col, "left_anti")
+        .groupBy(id_col)
+        .agg(F.min("_oid").alias("matched_old_id"))
+        .select(id_col, F.lit("near").alias("dup_kind"), "matched_old_id")
+    )
+    return exact.unionByName(near)
+
+
+def dedup_against_sql(
+    new_rel: str,
+    old_rel: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = DEFAULT_N_HASHES,
+    bands: int = DEFAULT_BANDS,
+    k: int = DEFAULT_SHINGLE_K,
+    tau_num: int = 1,
+    tau_den: int = 2,
+) -> str:
+    """DuckDB mirror: same md5 equi-join, same band keys (identical
+    minhash strings), same integer-cross-multiplied Jaccard verify."""
+    rows = n_hashes // bands
+    mh = ", ".join(minhash_sql_exprs(text_col, n_hashes, k))
+    band_exprs = ", ".join(
+        "concat_ws('|', '%d', %s)"
+        % (b, ", ".join(f"concat(lpad('{b * rows + r}', 2, '0'), '~', mh{b * rows + r})" for r in range(rows)))
+        for b in range(bands)
+    )
+    sh = shingles_sql(text_col, k)
+    return f"""
+    WITH exact AS (
+      SELECT n.{id_col}, 'exact' AS dup_kind,
+             min(o.{id_col}) AS matched_old_id
+      FROM {new_rel} n JOIN {old_rel} o ON md5(n.{text_col}) = md5(o.{text_col})
+      GROUP BY n.{id_col}
+    ),
+    nsig AS (SELECT {id_col}, {mh} FROM {new_rel}),
+    osig AS (SELECT {id_col}, {mh} FROM {old_rel}),
+    nband AS (SELECT {id_col}, unnest([{band_exprs}]) AS band_key FROM nsig),
+    oband AS (SELECT {id_col}, unnest([{band_exprs}]) AS band_key FROM osig),
+    cand AS (
+      SELECT DISTINCT n.{id_col} AS nid, o.{id_col} AS oid
+      FROM nband n JOIN oband o USING (band_key)
+    ),
+    nsh AS (SELECT {id_col}, {sh} AS shset FROM {new_rel}),
+    osh AS (SELECT {id_col}, {sh} AS shset FROM {old_rel}),
+    near AS (
+      SELECT c.nid AS {id_col}, 'near' AS dup_kind, min(c.oid) AS matched_old_id
+      FROM cand c
+      JOIN nsh ON nsh.{id_col} = c.nid
+      JOIN osh ON osh.{id_col} = c.oid
+      WHERE len(list_intersect(nsh.shset, osh.shset)) * {int(tau_den)}
+            >= len(list_distinct(list_concat(nsh.shset, osh.shset))) * {int(tau_num)}
+        AND c.nid NOT IN (SELECT {id_col} FROM exact)
+      GROUP BY c.nid
+    )
+    SELECT * FROM exact UNION ALL SELECT * FROM near
+    """

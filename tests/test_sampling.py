@@ -286,3 +286,41 @@ def test_strip_dup_spans_reconstruction(spark):
     widths = {r.doc_id: r["sum(n_words)"] for r in spans}
     for d, (_, n_rm) in out.items():
         assert widths.get(d, 0) == n_rm
+
+
+# --------------------------------------------- cross-snapshot dedup
+def test_dedup_against_classes(spark):
+    """Exact copy -> 'exact'; token-dropped copy -> 'near' (band hit +
+    Jaccard >= 1/2); novel doc -> no row; matched_old_id = min match."""
+    from ssb_sgis_spark.operators.dedup import dedup_against
+
+    base = " ".join(f"w{(i * 11) % 37}" for i in range(30))
+    old = spark.createDataFrame(
+        [(1, base), (2, base), (3, "completely different words entirely here")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, base),                              # exact (matches 1 and 2)
+            (11, base.rsplit(" ", 2)[0]),            # near (2 tokens dropped)
+            (12, "zz yy xx ww vv uu tt ss"),         # novel
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.dup_kind, r.matched_old_id)
+           for r in dedup_against(new, old).collect()}
+    assert out[10] == ("exact", 1)
+    assert out[11][0] == "near" and out[11][1] in (1, 2)
+    assert 12 not in out
+
+
+def test_dedup_against_exact_takes_precedence(spark):
+    """A doc that is BOTH an exact and a near match reports once, as
+    exact."""
+    from ssb_sgis_spark.operators.dedup import dedup_against
+
+    t = "alpha beta gamma delta epsilon zeta eta theta"
+    old = spark.createDataFrame([(1, t)], "doc_id long, text string")
+    new = spark.createDataFrame([(10, t)], "doc_id long, text string")
+    rows = dedup_against(new, old).collect()
+    assert len(rows) == 1 and rows[0].dup_kind == "exact"
