@@ -217,3 +217,71 @@ def test_proj_central_meridian_is_scaled_arc(lat):
     e, n = proj.lonlat_to_utm33(np.array([15.0, 15.0]), np.array([lat, lat + 0.01]))
     assert e[0] == pytest.approx(500_000.0, abs=1e-6)
     assert n[1] > n[0]
+
+
+# ------------------------------------------------- simplify / segmentize
+from ssb_sgis_spark.kernels.geom import segmentize_ring, simplify_ring
+
+
+@st.composite
+def polylines(draw):
+    n = draw(st.integers(min_value=2, max_value=30))
+    xs = draw(st.lists(coord, min_size=n, max_size=n))
+    ys = draw(st.lists(coord, min_size=n, max_size=n))
+    return np.column_stack([xs, ys]).astype(float)
+
+
+@given(polylines(), st.integers(min_value=1, max_value=100))
+@settings(max_examples=60, deadline=None)
+def test_segmentize_preserves_shape(line, ml4):
+    ml = ml4 / 4.0
+    out = segmentize_ring(line, ml)
+    # endpoints bit-exact, originals present as a subsequence
+    assert (out[0] == line[0]).all() and (out[-1] == line[-1]).all()
+    d = np.hypot(np.diff(out[:, 0]), np.diff(out[:, 1]))
+    assert (d <= ml + 1e-9).all()
+    # total length preserved
+    d0 = np.hypot(np.diff(line[:, 0]), np.diff(line[:, 1]))
+    assert abs(d.sum() - d0.sum()) < 1e-6 * max(1.0, d0.sum())
+    # every original vertex appears in order
+    j = 0
+    for p in line:
+        while j < len(out) and not np.allclose(out[j], p, atol=1e-12):
+            j += 1
+        assert j < len(out)
+    # vertex count is the exact subdivision sum
+    nsub = np.maximum(np.ceil(np.where(d0 > 0, d0 / ml, 1)).astype(int), 1)
+    assert len(out) == nsub.sum() + 1
+
+
+def _line_dist(p, a, b):
+    """Perpendicular distance of p to the INFINITE line through a-b
+    (falls back to point distance when a == b) — the metric D-P prunes
+    by, so it is the metric the guarantee holds in."""
+    dx, dy = b[0] - a[0], b[1] - a[1]
+    nrm2 = dx * dx + dy * dy
+    if nrm2 == 0.0:
+        return float(np.hypot(p[0] - a[0], p[1] - a[1]))
+    return abs(dx * (p[1] - a[1]) - dy * (p[0] - a[0])) / nrm2 ** 0.5
+
+
+@given(polylines(), st.integers(min_value=0, max_value=40))
+@settings(max_examples=60, deadline=None)
+def test_simplify_is_subsequence_within_tolerance(line, tol4):
+    tol = tol4 / 4.0
+    out = simplify_ring(line, tol, closed=False)
+    # endpoints kept; output a subsequence of input (recover indices)
+    assert (out[0] == line[0]).all() and (out[-1] == line[-1]).all()
+    kept_idx = []
+    j = 0
+    for p in out:
+        while j < len(line) and not (line[j] == p).all():
+            j += 1
+        assert j < len(line)
+        kept_idx.append(j)
+        j += 1
+    # D-P guarantee: every dropped vertex between consecutive kept
+    # vertices lies within tol of the infinite line through them
+    for s, e in zip(kept_idx[:-1], kept_idx[1:]):
+        for m in range(s + 1, e):
+            assert _line_dist(line[m], line[s], line[e]) <= tol + 1e-9
