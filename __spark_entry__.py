@@ -835,6 +835,16 @@ def q_dedup_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_against(new, old)
 
 
+def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL register table for distinct-text counting over the
+    dup-injected corpus: bucket = md5 hex prefix, rank = leading zero
+    bits by string arithmetic — one map-side-combined groupBy, sketch
+    rows bit-exact cross-engine (estimate is pytest-verified)."""
+    from ssb_sgis_spark.operators.sketch import hll_sketch
+
+    return hll_sketch(docs_with_dups_df(spark, sf_dir), "text")
+
+
 def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact length quantiles from the value histogram — map-side
     combined groupBy(value) + the distributed prefix sum, then ONE
@@ -1272,6 +1282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles": q_quantiles,
         "ann_quant": q_ann_quant,
         "dedup_incr": q_dedup_incr,
+        "distinct_sketch": q_distinct_sketch,
         "corpus_mix": q_corpus_mix,
         "unigram_nll": q_unigram_nll,
         "pagerank": q_pagerank,
@@ -1364,6 +1375,7 @@ def oracle_sql() -> dict[str, str]:
         minhash_dup_groups_sql,
     )
     from ssb_sgis_spark.operators.search import bm25_topk_sql
+    from ssb_sgis_spark.operators.sketch import hll_sketch_sql
     from ssb_sgis_spark.operators.stats import exact_quantiles_sql
     from ssb_sgis_spark.operators.pipeline import corpus_pipeline_sql
     from ssb_sgis_spark.operators.quality import unigram_nll_sql
@@ -1560,6 +1572,9 @@ def oracle_sql() -> dict[str, str]:
             k=BM25_K,
         ),
         "quantiles": exact_quantiles_sql("documents", "n_chars"),
+        "distinct_sketch": hll_sketch_sql(
+            f"({docs_with_dups_sql()})", "text"
+        ),
         "dedup_incr": dedup_against_sql(
             f"(SELECT doc_id, text FROM ({docs_with_dups_sql()})"
             f" WHERE doc_id >= {EXACT_OFFSET})",
