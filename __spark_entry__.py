@@ -845,6 +845,16 @@ def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_sketch(docs_with_dups_df(spark, sf_dir), "text")
 
 
+def q_freq_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch of per-source byte mass (source weighted by
+    n_chars): d seeded hash rows, one map-side-combined groupBy; the
+    mergeable constant-memory frequency table, registers bit-exact
+    cross-engine (point estimates pytest-verified)."""
+    from ssb_sgis_spark.operators.sketch import cms_sketch
+
+    return cms_sketch(docs_df(spark, sf_dir), "source", weight_col="n_chars")
+
+
 def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact length quantiles from the value histogram — map-side
     combined groupBy(value) + the distributed prefix sum, then ONE
@@ -1283,6 +1293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_quant": q_ann_quant,
         "dedup_incr": q_dedup_incr,
         "distinct_sketch": q_distinct_sketch,
+        "freq_sketch": q_freq_sketch,
         "corpus_mix": q_corpus_mix,
         "unigram_nll": q_unigram_nll,
         "pagerank": q_pagerank,
@@ -1375,7 +1386,7 @@ def oracle_sql() -> dict[str, str]:
         minhash_dup_groups_sql,
     )
     from ssb_sgis_spark.operators.search import bm25_topk_sql
-    from ssb_sgis_spark.operators.sketch import hll_sketch_sql
+    from ssb_sgis_spark.operators.sketch import cms_sketch_sql, hll_sketch_sql
     from ssb_sgis_spark.operators.stats import exact_quantiles_sql
     from ssb_sgis_spark.operators.pipeline import corpus_pipeline_sql
     from ssb_sgis_spark.operators.quality import unigram_nll_sql
@@ -1574,6 +1585,9 @@ def oracle_sql() -> dict[str, str]:
         "quantiles": exact_quantiles_sql("documents", "n_chars"),
         "distinct_sketch": hll_sketch_sql(
             f"({docs_with_dups_sql()})", "text"
+        ),
+        "freq_sketch": cms_sketch_sql(
+            "documents", "source", weight_col="n_chars"
         ),
         "dedup_incr": dedup_against_sql(
             f"(SELECT doc_id, text FROM ({docs_with_dups_sql()})"

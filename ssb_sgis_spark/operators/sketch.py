@@ -98,3 +98,96 @@ def hll_estimate(
     if est <= 2.5 * m and zeros > 0:
         est = m * np.log(m / zeros)  # linear counting
     return float(est)
+
+
+# ------------------------------------------------------------- count-min
+CMS_DEPTH = 4
+CMS_WIDTH_HEX = 3  # 4096 columns per row -> eps ~= e/4096 of the L1 mass
+
+
+def cms_register_exprs(
+    value_sql: str, depth: int = CMS_DEPTH, width_hex: int = CMS_WIDTH_HEX
+):
+    """Per-seed column expressions: col_i = first ``width_hex`` hex chars
+    of md5(seed || value) — one shared SQL text per seed, identical in
+    both engines."""
+    return [
+        f"substr(md5(concat('{i}#', {value_sql})), 1, {int(width_hex)})"
+        for i in range(int(depth))
+    ]
+
+
+def cms_sketch(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str | None = None,
+    depth: int = CMS_DEPTH,
+    width_hex: int = CMS_WIDTH_HEX,
+) -> DataFrame:
+    """Count-min sketch rows ``(seed, col, cnt)`` over ``value_col``
+    (optionally weighted): d seeded hash rows, one map-side-combined
+    groupBy — the mergeable constant-memory frequency table.  Point
+    estimate = min over seeds of the (seed, col(v)) cell (an upper
+    bound; see :func:`cms_estimate`); sketches merge by groupBy.sum."""
+    cols = cms_register_exprs(value_col, depth, width_hex)
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    long_rows = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("long").alias("seed"),
+                        F.expr(c).alias("col"),
+                    )
+                    for i, c in enumerate(cols)
+                ]
+            )
+        ).alias("_s"),
+        w.alias("_w"),
+    )
+    return (
+        long_rows.select("_s.seed", "_s.col", "_w")
+        .groupBy("seed", "col")
+        .agg(F.sum("_w").alias("cnt"))
+    )
+
+
+def cms_sketch_sql(
+    rel: str,
+    value_col: str,
+    weight_col: str | None = None,
+    depth: int = CMS_DEPTH,
+    width_hex: int = CMS_WIDTH_HEX,
+) -> str:
+    cols = cms_register_exprs(value_col, depth, width_hex)
+    w = weight_col if weight_col else "1"
+    arms = "\n      UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS seed, {c} AS col,"
+        f" CAST({w} AS BIGINT) AS w FROM {rel}"
+        for i, c in enumerate(cols)
+    )
+    return f"""
+    SELECT seed, col, CAST(sum(w) AS BIGINT) AS cnt
+    FROM ({arms})
+    GROUP BY seed, col
+    """
+
+
+def cms_estimate(
+    sketch_rows,
+    value: str,
+    depth: int = CMS_DEPTH,
+    width_hex: int = CMS_WIDTH_HEX,
+) -> int:
+    """Point frequency estimate (min over seeds) from collected sketch
+    rows — never under the true count, over by at most ~e/width of the
+    total mass with prob 1-(1/2)^depth."""
+    import hashlib
+
+    cells = {(int(s), c): int(n) for s, c, n in sketch_rows}
+    est = None
+    for i in range(int(depth)):
+        col = hashlib.md5(f"{i}#{value}".encode()).hexdigest()[: int(width_hex)]
+        v = cells.get((i, col), 0)
+        est = v if est is None else min(est, v)
+    return int(est or 0)

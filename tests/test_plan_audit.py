@@ -95,6 +95,7 @@ def test_scan_prunes_columns(spark):
 # right physical plan.
 _CROSS_BY_DESIGN = {
     "all_distances", "ann_topk", "ann_quant", "unigram_nll", "bm25",
+    "quantiles",
 }
 # ann_quant is the same brute-force scoring cross product as ann_topk
 # (broadcast query side), just over int8-quantized vectors
@@ -159,6 +160,17 @@ def test_bm25_single_scalar_bnlj(spark):
     assert tree.count("BroadcastNestedLoopJoin") == 1, tree
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_quantiles_single_scalar_bnlj(spark):
+    """quantiles' only nested-loop node is the one-row total-count
+    scalar broadcast onto the cumulative histogram."""
+    import __spark_entry__ as entry
+
+    p = plan_of(entry.queries()["quantiles"](spark, SF))
+    tree = p.split("\n\n")[0]
+    assert tree.count("BroadcastNestedLoopJoin") == 1, tree
+    assert "CartesianProduct" not in p
 
 
 def test_pagerank_round_plan(spark):

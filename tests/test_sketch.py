@@ -61,3 +61,45 @@ def test_hll_estimate_accuracy(spark):
         regs = {r.bucket: r.max_rank for r in hll_sketch(df, "u").collect()}
         est = hll_estimate(regs)
         assert abs(est - n) / n < 0.06, (n, est)
+
+
+# ------------------------------------------------------------- count-min
+def test_cms_point_estimates_upper_bound_and_exact_when_sparse(spark):
+    from ssb_sgis_spark.operators.sketch import cms_estimate, cms_sketch
+
+    rows = [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    sk = [tuple(r) for r in cms_sketch(df, "k").collect()]
+    # 3 keys in 4096 columns: no collisions -> exact
+    assert cms_estimate(sk, "a") == 50
+    assert cms_estimate(sk, "b") == 30
+    assert cms_estimate(sk, "c") == 1
+    assert cms_estimate(sk, "never-seen") == 0
+
+
+def test_cms_weighted_matches_groupby_sum(spark):
+    from ssb_sgis_spark.operators.sketch import cms_estimate, cms_sketch
+
+    df = spark.range(200).select(
+        F.concat(F.lit("s"), F.pmod("id", F.lit(5)).cast("string")).alias("k"),
+        (F.col("id") + 1).alias("w"),
+    )
+    want = {r.k: r.s for r in df.groupBy("k").agg(F.sum("w").alias("s")).collect()}
+    sk = [tuple(r) for r in cms_sketch(df, "k", weight_col="w").collect()]
+    for k, s in want.items():
+        assert cms_estimate(sk, k) == s
+
+
+def test_cms_merge_by_sum_equals_union_sketch(spark):
+    from ssb_sgis_spark.operators.sketch import cms_sketch
+
+    d1 = spark.range(0, 500).select(F.pmod("id", F.lit(9)).cast("string").alias("k"))
+    d2 = spark.range(0, 300).select(F.pmod("id", F.lit(4)).cast("string").alias("k"))
+    merged = (
+        cms_sketch(d1, "k")
+        .unionAll(cms_sketch(d2, "k"))
+        .groupBy("seed", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    want = sorted(map(tuple, cms_sketch(d1.unionAll(d2), "k").collect()))
+    assert sorted(map(tuple, merged.collect())) == want
