@@ -845,6 +845,16 @@ def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_sketch(docs_with_dups_df(spark, sf_dir), "text")
 
 
+def q_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 PMI collocations: bigram/unigram masses in one event
+    space (marginals summed FROM the bigram table, no second explode),
+    ln of an exact integer ratio floored to micro-nats, distributed
+    top-k via TakeOrdered — no global sort."""
+    from ssb_sgis_spark.functions.text import pmi_collocations
+
+    return pmi_collocations(docs_df(spark, sf_dir))
+
+
 def q_freq_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch of per-source byte mass (source weighted by
     n_chars): d seeded hash rows, one map-side-combined groupBy; the
@@ -1294,6 +1304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incr": q_dedup_incr,
         "distinct_sketch": q_distinct_sketch,
         "freq_sketch": q_freq_sketch,
+        "pmi_top": q_pmi_top,
         "corpus_mix": q_corpus_mix,
         "unigram_nll": q_unigram_nll,
         "pagerank": q_pagerank,
@@ -1399,6 +1410,7 @@ def oracle_sql() -> dict[str, str]:
         sample_stratified_sql,
     )
     from ssb_sgis_spark.functions.url import domain_sql
+    from ssb_sgis_spark.functions.text import pmi_collocations_sql
 
     pages = pages_sql()
     points = points_sql()
@@ -1589,6 +1601,7 @@ def oracle_sql() -> dict[str, str]:
         "freq_sketch": cms_sketch_sql(
             "documents", "source", weight_col="n_chars"
         ),
+        "pmi_top": pmi_collocations_sql("documents"),
         "dedup_incr": dedup_against_sql(
             f"(SELECT doc_id, text FROM ({docs_with_dups_sql()})"
             f" WHERE doc_id >= {EXACT_OFFSET})",

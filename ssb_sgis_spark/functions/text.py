@@ -257,3 +257,100 @@ def pii_redact_sql(t: str = "text") -> str:
         f"'{PII_EMAIL_TOKEN}', 'g'), '{PII_PHONE_PATTERN}', "
         f"'{PII_PHONE_TOKEN}', 'g')"
     )
+
+
+# ---------------------------------------------------------- collocations
+def pmi_collocations(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+):
+    """Top-k PMI collocations (adjacent-token bigrams) over the corpus:
+    ``(w1, w2, c_xy, pmi_micro)`` — pointwise mutual information
+    ``ln(c_xy * N / (c_x * c_y))`` floored once per bigram into integer
+    micro-nats (the unigram_nll discipline), N = total bigram mass.
+
+    Scale shape: two map-side-combinable token aggs (unigrams from the
+    bigram table itself — no second explode pass), two broadcast-free
+    equi-joins on the word, the corpus scalar as a one-row broadcast,
+    and the final top-k as orderBy+limit (TakeOrdered — per-partition
+    heaps, no global sort).  ``min_count`` prunes the long tail before
+    the joins.
+    """
+    from pyspark.sql import functions as F
+
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    big = df.filter(n >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.struct(
+                    F.element_at(toks, i).alias("w1"),
+                    F.element_at(toks, i + 1).alias("w2"),
+                ),
+            )
+        ).alias("_b")
+    ).select("_b.w1", "_b.w2")
+    cxy = big.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c_xy"))
+    # unigram marginals from the bigram table: c_x = count as LEFT word,
+    # c_y = count as RIGHT word (so the marginals and N live in the same
+    # event space and PMI is exactly ln(P(x,y)/(P(x)P(y))))
+    cx = cxy.groupBy("w1").agg(F.sum("c_xy").alias("c_x"))
+    cy = cxy.groupBy("w2").agg(F.sum("c_xy").alias("c_y"))
+    tot = cxy.agg(F.sum("c_xy").cast("long").alias("n_big"))
+    scored = (
+        cxy.filter(F.col("c_xy") >= int(min_count))
+        .join(cx, "w1")
+        .join(cy, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            F.floor(
+                F.lit(1_000_000.0)
+                * F.log(
+                    (F.col("c_xy") * F.col("n_big")).cast("double")
+                    / (F.col("c_x") * F.col("c_y")).cast("double")
+                )
+            )
+            .cast("long")
+            .alias("pmi_micro"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi_micro").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(int(top_k))
+
+
+def pmi_collocations_sql(
+    rel: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+) -> str:
+    toks = f"string_split({text_col}, ' ')"
+    return f"""
+    WITH big AS (
+      SELECT t[i] AS w1, t[i+1] AS w2
+      FROM (SELECT {toks} AS t FROM {rel}) s,
+           unnest(range(1, len(t))) r(i)
+      WHERE len(t) >= 2
+    ),
+    cxy AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy FROM big GROUP BY w1, w2),
+    cx AS (SELECT w1, sum(c_xy) AS c_x FROM cxy GROUP BY w1),
+    cy AS (SELECT w2, sum(c_xy) AS c_y FROM cxy GROUP BY w2),
+    tot AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n_big FROM cxy)
+    SELECT w1, w2, c_xy,
+           CAST(floor(1000000.0 * ln(
+               CAST(c_xy * n_big AS DOUBLE) / CAST(c_x * c_y AS DOUBLE)
+           )) AS BIGINT) AS pmi_micro
+    FROM cxy JOIN cx USING (w1) JOIN cy USING (w2) CROSS JOIN tot
+    WHERE c_xy >= {int(min_count)}
+    ORDER BY pmi_micro DESC, w1 ASC, w2 ASC
+    LIMIT {int(top_k)}
+    """

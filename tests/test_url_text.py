@@ -125,3 +125,44 @@ def test_bpe_token_count_known_values(spark):
     for doc_id, text in rows:
         assert got[doc_id] == len(re.findall(BPE_TOKEN_PATTERN, text)), text
     assert got[1] == 8 and got[2] == 0 and got[3] == 3
+
+
+def test_pmi_collocations_closed_form(spark):
+    """Tiny corpus with one overwhelming collocation: hand-computed PMI
+    in micro-nats, deterministic ordering, min_count pruning."""
+    import math
+
+    from ssb_sgis_spark.functions.text import pmi_collocations
+
+    # "new york" appears 4x; "a b" 4x but both words are everywhere
+    docs = [
+        (0, "new york a b"),
+        (1, "new york a b"),
+        (2, "new york b a"),
+        (3, "new york a b"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = pmi_collocations(df, min_count=2, top_k=10).collect()
+    got = {(r.w1, r.w2): (r.c_xy, r.pmi_micro) for r in rows}
+    # bigram space: per doc 3 bigrams -> N=12
+    n = 12
+    c = {}
+    for _, t in docs:
+        w = t.split()
+        for i in range(len(w) - 1):
+            c[(w[i], w[i + 1])] = c.get((w[i], w[i + 1]), 0) + 1
+    cx = {}
+    cy = {}
+    for (a, b), v in c.items():
+        cx[a] = cx.get(a, 0) + v
+        cy[b] = cy.get(b, 0) + v
+    for pair, v in c.items():
+        if v < 2:
+            assert pair not in got
+            continue
+        want = math.floor(1e6 * math.log(v * n / (cx[pair[0]] * cy[pair[1]])))
+        assert got[pair] == (v, want), pair
+    # (a,b) and (new,york) tie at PMI = ln(3); tie-break is (w1, w2) asc
+    top = math.floor(1e6 * math.log(3))
+    assert (rows[0].w1, rows[0].w2, rows[0].pmi_micro) == ("a", "b", top)
+    assert (rows[1].w1, rows[1].w2, rows[1].pmi_micro) == ("new", "york", top)
