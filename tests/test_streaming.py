@@ -39,3 +39,44 @@ def test_stream_equals_batch(spark, tmp_path):
     exp = {(r["window_start"], r["cell"]): r["n_pages"] for r in exp_df.collect()}
     assert got == exp
     assert sum(got.values()) == 2000
+
+
+def test_windowed_cms_stream_equals_batch_and_merges(spark, tmp_path):
+    """Per-window streaming CMS registers == batch CMS of each window's
+    rows (shared expressions), and the sum over windows == the batch
+    all-time sketch (CMS merge-by-sum)."""
+    from ssb_sgis_spark.operators.sketch import cms_sketch
+    from ssb_sgis_spark.streaming.sketch import windowed_cms
+
+    src = str(tmp_path / "pages_cms")
+    ckpt = str(tmp_path / "ckpt_cms")
+    batch = pages_df(spark, SF, with_payload=True).limit(1500)
+    batch = batch.withColumn("dom", F.concat(F.lit("d"), F.pmod("uid", F.lit(13))))
+    batch.write.parquet(src)
+
+    stream = read_pages_stream(spark, src, batch.schema)
+    agg = windowed_cms(stream, "dom", ts_col="warc_ts", window="10 minutes")
+    q = run_to_sink(agg, ckpt, "cms_stream_test")
+    q.awaitTermination(120)
+
+    got = {
+        (r.window_start, r.seed, r.col): r.cnt
+        for r in spark.sql("SELECT * FROM cms_stream_test").collect()
+    }
+    src_df = spark.read.parquet(src).withColumn(
+        "w", F.window(F.col("warc_ts"), "10 minutes")["start"]
+    )
+    exp = {}
+    for w in [r.w for r in src_df.select("w").distinct().collect()]:
+        for r in cms_sketch(src_df.filter(F.col("w") == w), "dom").collect():
+            exp[(w, r.seed, r.col)] = r.cnt
+    assert got == exp
+    # merge across windows == all-time batch sketch
+    merged = {}
+    for (_, s, c), n in got.items():
+        merged[(s, c)] = merged.get((s, c), 0) + n
+    alltime = {
+        (r.seed, r.col): r.cnt
+        for r in cms_sketch(spark.read.parquet(src), "dom").collect()
+    }
+    assert merged == alltime
