@@ -108,6 +108,7 @@ from ssb_sgis_spark.operators.sjoin import (
     sfilter_inverse,
 )
 from ssb_sgis_spark.cells import cell_of_xy_col
+from ssb_sgis_spark.hexcells import hex_bin, hex_density, hex_qr_sql
 from ssb_sgis_spark.sources.municipalities import muni_df, muni_edges_sql_values
 from ssb_sgis_spark.sources.pages import pages_df, pages_sql
 from ssb_sgis_spark.sources.points import points_df, points_sql
@@ -279,6 +280,22 @@ def q_cell_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pages_df(spark, sf_dir).select(
         "uid", cell_of_xy_col(F.col("x"), F.col("y"), CELL_RES).alias("cell")
     )
+
+
+HEX_SIZE = 4000.0  # circumradius, metres — ~23 hexes across the page extent
+
+
+def q_hex_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hexagonal cell assignment (H3 ``latLngToCell`` analogue in the
+    lake's planar CRS) — pointy-top axial coords via cube rounding, pure
+    whole-stage-codegen float64, map-only (hexcells.py)."""
+    return hex_bin(pages_df(spark, sf_dir), HEX_SIZE).select("uid", "hex_q", "hex_r")
+
+
+def q_hex_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pages-per-hex histogram: one map-side-combined groupBy over the
+    hex key — the density/smoothing rollup hex grids exist for."""
+    return hex_density(pages_df(spark, sf_dir), HEX_SIZE)
 
 
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1274,6 +1291,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_count_by_muni": q_pip_count_by_muni,
         "grid_id": q_grid_id,
         "cell_index": q_cell_index,
+        "hex_index": q_hex_index,
+        "hex_density": q_hex_density,
         "knn": q_knn,
         "knn_haversine": q_knn_haversine,
         "sfilter": q_sfilter,
@@ -1437,6 +1456,22 @@ def oracle_sql() -> dict[str, str]:
         "cell_index": f"""
             WITH pages AS ({pages})
             SELECT uid, {morton_sql('x', 'y', CELL_RES)} AS cell FROM pages
+        """,
+        "hex_index": f"""
+            WITH pages AS ({pages})
+            SELECT uid,
+                   {hex_qr_sql('x', 'y', HEX_SIZE)[0]} AS hex_q,
+                   {hex_qr_sql('x', 'y', HEX_SIZE)[1]} AS hex_r
+            FROM pages
+        """,
+        "hex_density": f"""
+            WITH pages AS ({pages}),
+            binned AS (
+              SELECT {hex_qr_sql('x', 'y', HEX_SIZE)[0]} AS hex_q,
+                     {hex_qr_sql('x', 'y', HEX_SIZE)[1]} AS hex_r
+              FROM pages
+            )
+            SELECT hex_q, hex_r, count(*) AS n FROM binned GROUP BY 1, 2
         """,
         "knn": f"""
             WITH pages AS ({pages}),
