@@ -920,6 +920,16 @@ def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_nll(docs_df(spark, sf_dir))
 
 
+def q_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM score per doc (Jelinek-Mercer 9/10, exact
+    rational) in integer micro-nats — the transition-fluency quality
+    signal one rung above unigram_nll; marginals derived from the bigram
+    agg itself, score join pinned shuffle-hash."""
+    from ssb_sgis_spark.operators.quality import bigram_nll
+
+    return bigram_nll(docs_df(spark, sf_dir))
+
+
 PAGERANK_ITERS = 5
 
 
@@ -1333,6 +1343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_top": q_pmi_top,
         "corpus_mix": q_corpus_mix,
         "unigram_nll": q_unigram_nll,
+        "bigram_nll": q_bigram_nll,
         "pagerank": q_pagerank,
         "sessions": q_sessions,
         "crawl_delta": q_crawl_delta,
@@ -1426,7 +1437,7 @@ def oracle_sql() -> dict[str, str]:
     from ssb_sgis_spark.operators.sketch import cms_sketch_sql, hll_sketch_sql
     from ssb_sgis_spark.operators.stats import exact_quantiles_sql
     from ssb_sgis_spark.operators.pipeline import corpus_pipeline_sql
-    from ssb_sgis_spark.operators.quality import unigram_nll_sql
+    from ssb_sgis_spark.operators.quality import bigram_nll_sql, unigram_nll_sql
     from ssb_sgis_spark.operators.linkgraph import link_edges_sql, pagerank_sql
     from ssb_sgis_spark.operators.sessions import session_stats_sql
     from ssb_sgis_spark.operators.domains import crawl_delta_sql
@@ -1609,6 +1620,7 @@ def oracle_sql() -> dict[str, str]:
             f"(SELECT doc_id, text FROM documents WHERE doc_id % {CONTAM_BENCH_MOD} = 0)",
         ),
         "unigram_nll": unigram_nll_sql("documents"),
+        "bigram_nll": bigram_nll_sql("documents"),
         "sessions": session_stats_sql("events"),
         "crawl_delta": crawl_delta_sql(
             f"(WITH pages AS ({pages}) SELECT url, uid*31+1 AS content"

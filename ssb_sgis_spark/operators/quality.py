@@ -199,3 +199,122 @@ def unigram_nll_sql(
     FROM doc_tok d JOIN scored s USING (tok)
     GROUP BY d.{id_col}
     """
+
+
+# ------------------------------------------ interpolated bigram LM score
+def bigram_nll(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-trained INTERPOLATED BIGRAM language-model score per doc —
+    the next rung above :func:`unigram_nll` on the CCNet/KenLM quality
+    ladder: fluency is judged on word TRANSITIONS, not just word choice,
+    so keyword-stuffed spam (plausible unigrams, implausible sequences)
+    separates from prose.
+
+    Model: Jelinek-Mercer interpolation with exact rational weight
+    9/10 ·  P(w2|w1) = (9/10)·c12/c1 + (1/10)·c2/N, where c1 counts w1
+    as bigram-LEFT, c2 counts w2 as bigram-RIGHT, and N is total bigram
+    mass — all marginals derived from the bigram table itself (single
+    explode pass; same event space, so probabilities sum to 1 exactly).
+    As one exact rational: P = (9·c12·N + c1·c2) / (10·c1·N).
+
+    Returns ``(id_col, nll_micro, n_big)``; ``nll_micro`` is the doc's
+    total NLL in integer MICRO-NATS — one ``floor(-ln(num/den)·1e6)``
+    per distinct corpus bigram (num/den as exact 64-bit integers cast to
+    double), then a pure integer weighted sum per doc: order-independent
+    and bit-identical to the SQL mirror (same cross-engine ulp tolerance
+    as unigram_nll).  Docs with <2 tokens emit no bigrams and drop out
+    (both engines).  Overflow envelope: 9·c12·N needs c12·N < 2^59 —
+    holds through ~10^9 bigrams of corpus with hot bigrams ≤ 10^9; past
+    that, compute the two interpolation terms' logs in DECIMAL or split
+    the rational.
+
+    Scale shape: doc-bigram counts = one groupBy(id, w1, w2) with
+    map-side combine; corpus bigram table re-aggregates it; c1/c2
+    marginals re-aggregate THAT (three shrinking aggs, no second corpus
+    scan); N is a one-row broadcast scalar; the score join is pinned
+    shuffle-hash BUILT FROM the scored-bigram side (same wrong-side-
+    broadcast OOM guard as unigram_nll — the doc-bigram side is the big
+    one).
+    """
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    big = (
+        df.filter(n >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.struct(
+                        F.element_at(toks, i).alias("w1"),
+                        F.element_at(toks, i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("_b"),
+        )
+        .select(id_col, "_b.w1", "_b.w2")
+    )
+    doc_big = big.groupBy(id_col, "w1", "w2").agg(
+        F.count("*").cast("long").alias("c_d12")
+    )
+    c12 = doc_big.groupBy("w1", "w2").agg(F.sum("c_d12").alias("c_12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c_12").alias("c_1"))
+    c2 = c12.groupBy("w2").agg(F.sum("c_12").alias("c_2"))
+    tot = c12.agg(F.sum("c_12").cast("long").alias("n_all"))
+    num = (F.lit(9) * F.col("c_12") * F.col("n_all") + F.col("c_1") * F.col("c_2")).cast(
+        "double"
+    )
+    den = (F.lit(10) * F.col("c_1") * F.col("n_all")).cast("double")
+    scored = (
+        c12.join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.floor(-F.log(num / den) * 1e6).cast("long").alias("nll_big_micro"),
+        )
+    )
+    return (
+        doc_big.join(scored.hint("shuffle_hash"), ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("c_d12") * F.col("nll_big_micro")).alias("nll_micro"),
+            F.sum("c_d12").alias("n_big"),
+        )
+    )
+
+
+def bigram_nll_sql(rel: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+    """DuckDB mirror: identical rational, identical micro-nat floor."""
+    return f"""
+    WITH big AS (
+      SELECT {id_col}, t[i] AS w1, t[i+1] AS w2
+      FROM (SELECT {id_col}, string_split({text_col}, ' ') AS t FROM {rel}) s,
+           unnest(range(1, len(t))) r(i)
+      WHERE len(t) >= 2
+    ),
+    doc_big AS (
+      SELECT {id_col}, w1, w2, CAST(count(*) AS BIGINT) AS c_d12
+      FROM big GROUP BY 1, 2, 3
+    ),
+    c12 AS (SELECT w1, w2, sum(c_d12) AS c_12 FROM doc_big GROUP BY 1, 2),
+    c1t AS (SELECT w1, sum(c_12) AS c_1 FROM c12 GROUP BY 1),
+    c2t AS (SELECT w2, sum(c_12) AS c_2 FROM c12 GROUP BY 1),
+    tot AS (SELECT CAST(sum(c_12) AS BIGINT) AS n_all FROM c12),
+    scored AS (
+      SELECT w1, w2,
+             CAST(floor(-ln(CAST(9 * c_12 * n_all + c_1 * c_2 AS DOUBLE)
+                            / CAST(10 * c_1 * n_all AS DOUBLE)) * 1e6)
+                  AS BIGINT) AS nll_big_micro
+      FROM c12 JOIN c1t USING (w1) JOIN c2t USING (w2), tot
+    )
+    SELECT d.{id_col},
+           CAST(sum(d.c_d12 * s.nll_big_micro) AS BIGINT) AS nll_micro,
+           CAST(sum(d.c_d12) AS BIGINT) AS n_big
+    FROM doc_big d JOIN scored s USING (w1, w2)
+    GROUP BY d.{id_col}
+    """

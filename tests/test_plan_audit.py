@@ -94,12 +94,12 @@ def test_scan_prunes_columns(spark):
 # these a BroadcastNestedLoopJoin over the tiny broadcast side IS the
 # right physical plan.
 _CROSS_BY_DESIGN = {
-    "all_distances", "ann_topk", "ann_quant", "unigram_nll", "bm25",
-    "quantiles",
+    "all_distances", "ann_topk", "ann_quant", "unigram_nll", "bigram_nll",
+    "bm25", "quantiles", "pmi_top",
 }
 # ann_quant is the same brute-force scoring cross product as ann_topk
 # (broadcast query side), just over int8-quantized vectors
-# unigram_nll's and bm25's BNLJ is the scalar-broadcast pattern:
+# unigram_nll's, bigram_nll's and bm25's BNLJ is the scalar-broadcast pattern:
 # crossJoin with the ONE-row corpus-total frame (broadcast hint, O(n)
 # probe); their real joins are equi-joins — unigram_nll's is pinned
 # shuffle-hash and asserted below, bm25's scalar count is asserted in
@@ -132,6 +132,26 @@ def test_no_query_regresses_to_nested_loop(spark):
         assert "CartesianProduct" not in p, name
         if name not in _CROSS_BY_DESIGN:
             assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_pmi_top_single_scalar_bnlj(spark):
+    """pmi_top's only BNLJ is the one-row bigram-mass scalar broadcast;
+    its marginal joins stay equi-joins."""
+    p = plan_of(entry.queries()["pmi_top"](spark, SF))
+    tree = p.split("\n\n")[0]
+    assert tree.count("BroadcastNestedLoopJoin") == 1, tree
+    assert "CartesianProduct" not in p
+
+
+def test_bigram_nll_score_join_is_shuffle_hash(spark):
+    """Same wrong-side-broadcast guard as unigram_nll: the (w1, w2) score
+    join builds from the scored-bigram side, and the only BNLJ is the
+    one-row corpus-total scalar."""
+    p = plan_of(entry.queries()["bigram_nll"](spark, SF))
+    assert "ShuffledHashJoin" in p
+    tree = p.split("\n\n")[0]
+    assert tree.count("BroadcastNestedLoopJoin") == 1, tree
+    assert "CartesianProduct" not in p
 
 
 def test_unigram_nll_score_join_is_shuffle_hash(spark):
