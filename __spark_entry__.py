@@ -108,7 +108,7 @@ from ssb_sgis_spark.operators.sjoin import (
     sfilter_inverse,
 )
 from ssb_sgis_spark.cells import cell_of_xy_col
-from ssb_sgis_spark.hexcells import hex_bin, hex_density, hex_qr_sql
+from ssb_sgis_spark.hexcells import hex_bin, hex_density, hex_qr_sql, hex_smooth
 from ssb_sgis_spark.sources.municipalities import muni_df, muni_edges_sql_values
 from ssb_sgis_spark.sources.pages import pages_df, pages_sql
 from ssb_sgis_spark.sources.points import points_df, points_sql
@@ -296,6 +296,16 @@ def q_hex_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pages-per-hex histogram: one map-side-combined groupBy over the
     hex key — the density/smoothing rollup hex grids exist for."""
     return hex_density(pages_df(spark, sf_dir), HEX_SIZE)
+
+
+def q_hex_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-disk smoothing (H3 ``gridDisk(cell, 1)`` rollup):
+    per-hex page count summed over itself + its 6 equidistant neighbors.
+    Scale shape: the per-hex histogram SCATTERS to its disk via a
+    map-only explode of a 7-element literal array (no join), then one
+    groupBy re-aggregates — the shuffle carries <= 7 x |occupied hexes|
+    rows, never the pages (hexcells.py)."""
+    return hex_smooth(pages_df(spark, sf_dir), HEX_SIZE)
 
 
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1303,6 +1313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_index": q_cell_index,
         "hex_index": q_hex_index,
         "hex_density": q_hex_density,
+        "hex_smooth": q_hex_smooth,
         "knn": q_knn,
         "knn_haversine": q_knn_haversine,
         "sfilter": q_sfilter,
@@ -1483,6 +1494,22 @@ def oracle_sql() -> dict[str, str]:
               FROM pages
             )
             SELECT hex_q, hex_r, count(*) AS n FROM binned GROUP BY 1, 2
+        """,
+        "hex_smooth": f"""
+            WITH pages AS ({pages}),
+            dens AS (
+              SELECT {hex_qr_sql('x', 'y', HEX_SIZE)[0]} AS hex_q,
+                     {hex_qr_sql('x', 'y', HEX_SIZE)[1]} AS hex_r,
+                     count(*) AS n
+              FROM pages GROUP BY 1, 2
+            ),
+            offs(dq, dr) AS (
+              VALUES (0, 0), (1, 0), (-1, 0), (1, -1), (-1, 1), (0, -1), (0, 1)
+            )
+            SELECT d.hex_q + o.dq AS hex_q, d.hex_r + o.dr AS hex_r,
+                   CAST(sum(d.n) AS BIGINT) AS n_disk
+            FROM dens d CROSS JOIN offs o
+            GROUP BY 1, 2
         """,
         "knn": f"""
             WITH pages AS ({pages}),

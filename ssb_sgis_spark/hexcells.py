@@ -44,6 +44,7 @@ __all__ = [
     "hex_cols",
     "hex_bin",
     "hex_density",
+    "hex_smooth",
     "hex_qr_np",
     "hex_center_np",
     "hex_neighbors_np",
@@ -135,6 +136,41 @@ def hex_density(
         hex_bin(df, size, x_col, y_col)
         .groupBy("hex_q", "hex_r")
         .agg(F.count("*").alias("n"))
+    )
+
+
+def hex_smooth(
+    df: DataFrame,
+    size: float,
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Neighborhood-disk density (H3 ``gridDisk(cell, 1)`` rollup): for
+    every hex, the page count summed over itself + its 6 neighbors — the
+    smoothing/hot-zone primitive hex grids exist for (every contribution
+    travels the SAME center distance, which square grids can't offer).
+
+    Scale shape: the per-hex histogram SCATTERS to its 7-cell disk via a
+    map-only explode of a literal offset array (no join, no broadcast),
+    then ONE groupBy re-aggregates — the shuffle carries at most
+    7 × |occupied hexes| rows, never the pages.  Scatter ≡ gather here
+    because the disk offsets are symmetric.
+    """
+    dens = hex_density(df, size, x_col, y_col)
+    offsets = ((0, 0), *AXIAL_NEIGHBORS)
+    arr = F.array(
+        *[
+            F.struct(F.lit(a).alias("dq"), F.lit(b).alias("dr"))
+            for a, b in offsets
+        ]
+    )
+    return (
+        dens.select("hex_q", "hex_r", "n", F.explode(arr).alias("o"))
+        .groupBy(
+            (F.col("hex_q") + F.col("o.dq")).alias("hex_q"),
+            (F.col("hex_r") + F.col("o.dr")).alias("hex_r"),
+        )
+        .agg(F.sum("n").alias("n_disk"))
     )
 
 

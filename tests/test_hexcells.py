@@ -10,6 +10,7 @@ from ssb_sgis_spark.hexcells import (
     hex_density,
     hex_neighbors_np,
     hex_qr_np,
+    hex_smooth,
 )
 from tests.conftest import spark  # noqa: F401
 
@@ -90,3 +91,36 @@ def test_hex_density_counts(spark):
     cnt = collections.Counter(zip(q.tolist(), r.tolist()))
     got = {(int(a), int(b)): int(n) for a, b, n in dens.itertuples(index=False)}
     assert got == dict(cnt)
+
+
+def test_hex_smooth_is_7_cell_disk_sum(spark):
+    """hex_smooth(hex) == sum of hex_density over {hex} + its 6 neighbors
+    (zero-count hexes contribute nothing but can still RECEIVE a row when
+    a neighbor is occupied — scatter covers the occupied set's halo)."""
+    x, y = _points(3000)
+    pdf = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(x, y)], "x double, y double"
+    )
+    q, r = hex_qr_np(x, y, SIZE)
+    import collections
+
+    cnt = collections.Counter(zip(q.tolist(), r.tolist()))
+    want = collections.Counter()
+    for (cq, cr), n in cnt.items():
+        for dq, dr in ((0, 0), *AXIAL_NEIGHBORS):
+            want[(cq + dq, cr + dr)] += n
+
+    out = hex_smooth(pdf, SIZE).toPandas()
+    got = {(int(a), int(b)): int(n) for a, b, n in out.itertuples(index=False)}
+    assert got == dict(want)
+    # total mass: every page counted exactly 7 times (once per disk cell)
+    assert int(out["n_disk"].sum()) == 7 * 3000
+
+    import io, contextlib
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        hex_smooth(pdf, SIZE).explain("formatted")
+    p = buf.getvalue()
+    assert "Join" not in p  # scatter-explode, never a join
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
