@@ -940,6 +940,16 @@ def q_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_nll(docs_df(spark, sf_dir))
 
 
+def q_nll_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity buckets: unigram-LM score per
+    doc + exact 333/667-permille tercile thresholds from the value
+    histogram, labeling map-only off a one-row broadcast — the
+    stage-gating split CCNet applies to web text before training."""
+    from ssb_sgis_spark.operators.quality import nll_buckets
+
+    return nll_buckets(docs_df(spark, sf_dir))
+
+
 PAGERANK_ITERS = 5
 
 
@@ -1355,6 +1365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix": q_corpus_mix,
         "unigram_nll": q_unigram_nll,
         "bigram_nll": q_bigram_nll,
+        "nll_buckets": q_nll_buckets,
         "pagerank": q_pagerank,
         "sessions": q_sessions,
         "crawl_delta": q_crawl_delta,
@@ -1448,7 +1459,11 @@ def oracle_sql() -> dict[str, str]:
     from ssb_sgis_spark.operators.sketch import cms_sketch_sql, hll_sketch_sql
     from ssb_sgis_spark.operators.stats import exact_quantiles_sql
     from ssb_sgis_spark.operators.pipeline import corpus_pipeline_sql
-    from ssb_sgis_spark.operators.quality import bigram_nll_sql, unigram_nll_sql
+    from ssb_sgis_spark.operators.quality import (
+        bigram_nll_sql,
+        nll_buckets_sql,
+        unigram_nll_sql,
+    )
     from ssb_sgis_spark.operators.linkgraph import link_edges_sql, pagerank_sql
     from ssb_sgis_spark.operators.sessions import session_stats_sql
     from ssb_sgis_spark.operators.domains import crawl_delta_sql
@@ -1648,6 +1663,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "unigram_nll": unigram_nll_sql("documents"),
         "bigram_nll": bigram_nll_sql("documents"),
+        "nll_buckets": nll_buckets_sql("documents"),
         "sessions": session_stats_sql("events"),
         "crawl_delta": crawl_delta_sql(
             f"(WITH pages AS ({pages}) SELECT url, uid*31+1 AS content"

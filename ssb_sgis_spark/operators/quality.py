@@ -30,7 +30,17 @@ from ..functions.text import (
     word_chars_col,
 )
 
-__all__ = ["quality_filter", "quality_filter_sql", "QUALITY_RULES"]
+__all__ = [
+    "quality_filter",
+    "quality_filter_sql",
+    "QUALITY_RULES",
+    "unigram_nll",
+    "unigram_nll_sql",
+    "bigram_nll",
+    "bigram_nll_sql",
+    "nll_buckets",
+    "nll_buckets_sql",
+]
 
 # (rule name, spark condition builder, sql condition builder) — a doc FAILS
 # a rule when the condition is true; fail_reason = first failing rule in
@@ -198,6 +208,89 @@ def unigram_nll_sql(
            CAST(sum(d.c_dt) AS BIGINT) AS n_tok
     FROM doc_tok d JOIN scored s USING (tok)
     GROUP BY d.{id_col}
+    """
+
+
+# --------------------------------------------- CCNet perplexity buckets
+def nll_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style head/middle/tail perplexity bucketing: score every
+    document with the corpus-trained unigram LM (:func:`unigram_nll`),
+    then split the corpus into thirds by per-token score — ``head`` is
+    the most-fluent third (lowest mean NLL), ``tail`` the least.  CCNet
+    (Wenzek et al. 2020) uses exactly this head/middle/tail split to
+    stage-gate web text into LM training mixes.
+
+    Returns ``(id_col, nll_mean_micro, bucket)``.  ``nll_mean_micro`` is
+    the integer per-token mean ``nll_micro div n_tok`` (micro-nats) —
+    kept integer so the tercile thresholds (exact 333/667-permille
+    quantiles from the value histogram, :func:`~.stats.exact_quantiles`)
+    and the bucket compares are pure 64-bit arithmetic, bit-identical to
+    the SQL mirror.  ``n_tok >= 1`` always (splitting "" yields one empty
+    token), so the division is total.
+
+    Scale shape: the unigram score DAG (two shrinking aggs + pinned
+    shuffle-hash join) feeds BOTH the threshold histogram and the final
+    labeling; the histogram side collapses to distinct-mean-value rows
+    (tiny — bounded by the distinct integer means), the thresholds come
+    back as a ONE-row broadcast, and labeling is map-only.  At 10^12
+    docs persist the scored frame before calling if the upstream scan is
+    expensive — the two branches otherwise recompute it (the exchanges
+    dedupe under ReuseExchange within this one plan, so in practice the
+    corpus is exploded once).
+    """
+    from .stats import exact_quantiles
+
+    scored = unigram_nll(df, id_col, text_col).withColumn(
+        "nll_mean_micro", F.expr("nll_micro div n_tok")
+    )
+    q = exact_quantiles(scored, "nll_mean_micro", (333, 667))
+    thr = q.agg(
+        F.min(F.when(F.col("p_permille") == 333, F.col("value"))).alias("q33"),
+        F.min(F.when(F.col("p_permille") == 667, F.col("value"))).alias("q67"),
+    )
+    return scored.crossJoin(F.broadcast(thr)).select(
+        id_col,
+        "nll_mean_micro",
+        F.when(F.col("nll_mean_micro") <= F.col("q33"), F.lit("head"))
+        .when(F.col("nll_mean_micro") <= F.col("q67"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+def nll_buckets_sql(rel: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+    """DuckDB mirror: same integer mean, same histogram-quantile
+    thresholds (lower discrete quantile at 333/667 permille), same CASE."""
+    return f"""
+    WITH scored AS (
+        SELECT {id_col}, CAST(nll_micro // n_tok AS BIGINT) AS nll_mean_micro
+        FROM ({unigram_nll_sql(rel, id_col, text_col)})
+    ),
+    hist AS (
+        SELECT nll_mean_micro AS v, CAST(count(*) AS BIGINT) AS c
+        FROM scored GROUP BY 1
+    ),
+    cum AS (
+        SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+        FROM hist
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM hist),
+    thr AS (
+        SELECT min(CASE WHEN cum >= greatest(1, (333 * n + 999) // 1000)
+                   THEN v END) AS q33,
+               min(CASE WHEN cum >= greatest(1, (667 * n + 999) // 1000)
+                   THEN v END) AS q67
+        FROM cum CROSS JOIN tot
+    )
+    SELECT s.{id_col}, s.nll_mean_micro,
+           CASE WHEN s.nll_mean_micro <= t.q33 THEN 'head'
+                WHEN s.nll_mean_micro <= t.q67 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored s CROSS JOIN thr t
     """
 
 

@@ -95,8 +95,11 @@ def test_scan_prunes_columns(spark):
 # right physical plan.
 _CROSS_BY_DESIGN = {
     "all_distances", "ann_topk", "ann_quant", "unigram_nll", "bigram_nll",
-    "bm25", "quantiles", "pmi_top",
+    "bm25", "quantiles", "pmi_top", "nll_buckets",
 }
+# nll_buckets composes unigram_nll + exact_quantiles + a one-row
+# threshold broadcast: its BNLJs are all one-row scalars, counted in
+# test_nll_buckets_scalar_bnljs_only
 # ann_quant is the same brute-force scoring cross product as ann_topk
 # (broadcast query side), just over int8-quantized vectors
 # unigram_nll's, bigram_nll's and bm25's BNLJ is the scalar-broadcast pattern:
@@ -180,6 +183,23 @@ def test_bm25_single_scalar_bnlj(spark):
     assert tree.count("BroadcastNestedLoopJoin") == 1, tree
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_nll_buckets_scalar_bnljs_only(spark):
+    """nll_buckets' nested-loop nodes are exactly its one-row scalar
+    broadcasts: unigram corpus total (appears TWICE in the tree — the
+    scored frame feeds both the labeling branch and the histogram
+    branch; the exchanges under it dedupe via ReusedExchange but the
+    join node prints per branch), histogram total, and the tercile
+    thresholds = 4 nodes; the vocab score join stays pinned
+    shuffle-hash."""
+    import __spark_entry__ as entry
+
+    p = plan_of(entry.queries()["nll_buckets"](spark, SF))
+    tree = p.split("\n\n")[0]
+    assert tree.count("BroadcastNestedLoopJoin") == 4, tree
+    assert "CartesianProduct" not in p
+    assert "ShuffledHashJoin" in p
 
 
 def test_quantiles_single_scalar_bnlj(spark):

@@ -68,3 +68,38 @@ def test_unigram_nll_closed_form(spark):
            {"a": 2, "b": 2, "c": 1}.items()}
     assert out[1] == (2 * nll["a"] + nll["b"], 3)
     assert out[2] == (nll["b"] + nll["c"], 2)
+
+
+def test_nll_buckets_matches_python_terciles(spark):
+    """The head/middle/tail split must reproduce the exact
+    lower-discrete-quantile rule applied in Python to the (already
+    oracle-checked) unigram means: q_p = min(v : cum(v) >= ceil(p*N/1000)),
+    head = mean <= q333, middle = mean <= q667, else tail."""
+    import math
+
+    from ssb_sgis_spark.operators.quality import nll_buckets, unigram_nll
+
+    # 30 docs over a zipf-ish vocab so means are spread and ties exist
+    docs = [
+        (i, " ".join(f"w{(i * j) % (3 + i % 7)}" for j in range(5 + i % 11)))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    means = {
+        r.doc_id: r.nll_micro // r.n_tok for r in unigram_nll(df).collect()
+    }
+    vals = sorted(means.values())
+    n = len(vals)
+
+    def q(p):
+        return vals[max(1, math.ceil(p * n / 1000)) - 1]
+
+    q33, q67 = q(333), q(667)
+    want = {
+        d: ("head" if m <= q33 else "middle" if m <= q67 else "tail")
+        for d, m in means.items()
+    }
+    got = {r.doc_id: r.bucket for r in nll_buckets(df).collect()}
+    assert got == want
+    got_means = {r.doc_id: r.nll_mean_micro for r in nll_buckets(df).collect()}
+    assert got_means == means
