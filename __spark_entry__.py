@@ -43,6 +43,7 @@ from ssb_sgis_spark.operators.ann import (
     cosine_topk_sql,
     quantized_topk_sql,
 )
+from ssb_sgis_spark.operators.semdedup import semdedup_sql
 from ssb_sgis_spark.operators.clusters import cluster_points_within_distance
 from ssb_sgis_spark.operators.dedup import (
     dedupe_exact,
@@ -1066,6 +1067,25 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(queries, emb, ANN_K, corpus_id="vec_id")
 
 
+EMB_DIM = 64
+SEMDEDUP_K = 8
+SEMDEDUP_TAU = (3, 10)  # cos >= 0.3 in the quantized space
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): integer k-means over int8-quantized
+    embeddings (2 unrolled Lloyd rounds, deterministic min-id seeds),
+    then near-dup pruning WITHIN clusters only — pairs join on the
+    cluster key, keep the min-id representative.  Every step integer /
+    exact-double, bit-identical to the unrolled-CTE SQL mirror."""
+    from ssb_sgis_spark.operators.semdedup import semdedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semdedup(
+        emb, EMB_DIM, k_clusters=SEMDEDUP_K, n_iter=2, tau=SEMDEDUP_TAU
+    )
+
+
 def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT embedding-cosine near-duplicate pairs (blocked all-pairs
     matmul, no cross join, no driver collect — `operators/ann.py`
@@ -1373,6 +1393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "cosine_pairs": q_cosine_pairs,
+        "semdedup": q_semdedup,
         "dup_groups": q_dup_groups,
         "stream_dedup": q_stream_dedup,
         "od_cost": q_od_cost,
@@ -1727,6 +1748,10 @@ def oracle_sql() -> dict[str, str]:
             corpus_id="vec_id",
         ),
         "cosine_pairs": cosine_pairs_sql("embeddings", COSINE_PAIR_TAU),
+        "semdedup": semdedup_sql(
+            "embeddings", EMB_DIM, k_clusters=SEMDEDUP_K, n_iter=2,
+            tau=SEMDEDUP_TAU,
+        ),
         "dup_groups": f"""
             WITH RECURSIVE pairs AS (
               SELECT a.vec_id AS u, b.vec_id AS v FROM (

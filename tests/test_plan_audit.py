@@ -95,8 +95,11 @@ def test_scan_prunes_columns(spark):
 # right physical plan.
 _CROSS_BY_DESIGN = {
     "all_distances", "ann_topk", "ann_quant", "unigram_nll", "bigram_nll",
-    "bm25", "quantiles", "pmi_top", "nll_buckets",
+    "bm25", "quantiles", "pmi_top", "nll_buckets", "semdedup",
 }
+# semdedup's BNLJs are the k-row centroid-table broadcasts of its Lloyd
+# assignment rounds (the IVF-train layout); the expensive pair join is
+# pinned to the cluster-key equi-join in test_semdedup_pair_join_is_equi
 # nll_buckets composes unigram_nll + exact_quantiles + a one-row
 # threshold broadcast: its BNLJs are all one-row scalars, counted in
 # test_nll_buckets_scalar_bnljs_only
@@ -200,6 +203,24 @@ def test_nll_buckets_scalar_bnljs_only(spark):
     assert tree.count("BroadcastNestedLoopJoin") == 4, tree
     assert "CartesianProduct" not in p
     assert "ShuffledHashJoin" in p
+
+
+def test_semdedup_pair_join_is_equi(spark):
+    """semdedup's only nested-loop nodes are the k-row centroid
+    broadcasts of the Lloyd rounds; the within-cluster PAIR join — the
+    one that blows up row counts — must be an equi join on the cluster
+    id (hash or sort-merge), and the keep rule an equi left join."""
+    import __spark_entry__ as entry
+
+    p = plan_of(entry.queries()["semdedup"](spark, SF))
+    tree = p.split("\n\n")[0]
+    assert "CartesianProduct" not in p
+    # every BNLJ is a centroid broadcast: cheap k-row build side
+    assert tree.count("BroadcastNestedLoopJoin") <= 6, tree
+    # the pair join and keep join are equi joins
+    assert ("SortMergeJoin" in tree) or ("ShuffledHashJoin" in tree) or (
+        "BroadcastHashJoin" in tree
+    ), tree
 
 
 def test_quantiles_single_scalar_bnlj(spark):
