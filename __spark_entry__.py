@@ -1154,6 +1154,41 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(sink).select("content_hash").distinct()
 
 
+def q_stream_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed hex density: the pages stream (2 file batches,
+    availableNow) through the SAME hex-binning expression as the batch
+    path, watermarked hourly windows, complete-mode rollup — the live
+    H3-style skew histogram.  Counts are order-free, so stream == batch
+    == SQL mirror exactly."""
+    import tempfile
+    import uuid
+
+    from ssb_sgis_spark.streaming.ingest import (
+        hex_counts_windowed,
+        read_pages_stream,
+        run_to_sink,
+    )
+
+    pages = pages_df(spark, sf_dir, with_payload=True).select(
+        "uid", "x", "y", "warc_ts"
+    )
+    work = tempfile.mkdtemp(prefix="stream_hex_")
+    src, ckpt = f"{work}/in", f"{work}/ckpt"
+    pages.filter(F.col("uid") % 2 == 0).coalesce(2).write.mode(
+        "overwrite"
+    ).parquet(src)
+    pages.filter(F.col("uid") % 2 == 1).coalesce(2).write.mode("append").parquet(
+        src
+    )
+    stream = read_pages_stream(
+        spark, src, pages.schema, max_files_per_trigger=2
+    )
+    name = f"stream_hex_{uuid.uuid4().hex[:8]}"
+    q = run_to_sink(hex_counts_windowed(stream, HEX_SIZE), ckpt, query_name=name)
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 def q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate GROUPS — the canonical dedup output:
     exact cosine pairs (blocked all-pairs) fed through the distributed
@@ -1396,6 +1431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "dup_groups": q_dup_groups,
         "stream_dedup": q_stream_dedup,
+        "stream_hex": q_stream_hex,
         "od_cost": q_od_cost,
         "service_area": q_service_area,
         "network_components": q_network_components,
@@ -1786,6 +1822,20 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup": f"""
             SELECT DISTINCT md5(text) AS content_hash
             FROM ({docs_with_dups_sql()})
+        """,
+        "stream_hex": f"""
+            WITH pages AS ({pages}),
+            t AS (
+              SELECT uid, x, y,
+                     CAST(epoch(TIMESTAMP '2024-01-01 00:00:00'
+                                + uid * INTERVAL '1 second') AS BIGINT) AS es
+              FROM pages
+            )
+            SELECT CAST((es // 3600) * 3600 AS BIGINT) AS win_start_s,
+                   {hex_qr_sql('x', 'y', HEX_SIZE)[0]} AS hex_q,
+                   {hex_qr_sql('x', 'y', HEX_SIZE)[1]} AS hex_r,
+                   count(*) AS n_pages
+            FROM t GROUP BY 1, 2, 3
         """,
         "od_cost": f"""
             WITH o AS ({origins_sql(OD_ORIGIN_MOD, 'origin')}),

@@ -56,6 +56,40 @@ def cell_counts_windowed(
     )
 
 
+def hex_counts_windowed(
+    stream: DataFrame,
+    size: float,
+    ts_col: str = "warc_ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked windowed per-HEX page counts — the H3-style streaming
+    density rollup (hexcells.py): the hex assignment is the same
+    whole-stage-codegen expression as the batch path, so a page lands in
+    the same hex whether it arrives in batch or stream, and the windowed
+    counts are the live version of :func:`~..hexcells.hex_density`.
+
+    Emitted ``win_start_s`` is the window start in epoch SECONDS (BIGINT)
+    — timezone-neutral for cross-engine compares."""
+    from ..hexcells import hex_bin
+
+    return (
+        hex_bin(stream.withWatermark(ts_col, watermark), size)
+        .groupBy(
+            F.window(F.col(ts_col), window).alias("w"),
+            F.col("hex_q"),
+            F.col("hex_r"),
+        )
+        .agg(F.count("*").alias("n_pages"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("win_start_s"),
+            "hex_q",
+            "hex_r",
+            "n_pages",
+        )
+    )
+
+
 def run_to_sink(
     agg: DataFrame,
     checkpoint_dir: str,

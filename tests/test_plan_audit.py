@@ -119,7 +119,10 @@ _CROSS_BY_DESIGN = {
 # elsewhere: tiled_pip wraps the same points_in_polygons_join audited via
 # pip_join above; stream_dedup's plan is a streaming micro-batch, out of
 # scope for a batch-plan sweep.
-_EAGER_QUERIES = {"tiled_pip", "stream_dedup", "pagerank"}
+_EAGER_QUERIES = {"tiled_pip", "stream_dedup", "stream_hex", "pagerank"}
+# stream_hex drives a streaming query at construction (complete-mode
+# memory sink) like stream_dedup; its rollup is a streaming micro-batch
+# plan, out of scope for the batch sweep
 # pagerank also executes at construction (count + eager per-round
 # localCheckpoints) and returns a checkpoint scan; its per-round joins
 # are pinned by test_pagerank_round_plan below

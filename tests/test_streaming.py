@@ -80,3 +80,47 @@ def test_windowed_cms_stream_equals_batch_and_merges(spark, tmp_path):
         for r in cms_sketch(spark.read.parquet(src), "dom").collect()
     }
     assert merged == alltime
+
+
+def test_stream_hex_two_batches_equals_batch(spark, tmp_path):
+    """Windowed hex density over a MULTI-TRIGGER stream (2 file batches,
+    maxFilesPerTrigger=1) equals the batch rollup — state merges across
+    micro-batches and the hex assignment is the same expression in both
+    paths."""
+    from ssb_sgis_spark.hexcells import hex_bin
+    from ssb_sgis_spark.streaming.ingest import hex_counts_windowed
+
+    src = str(tmp_path / "hex_in")
+    ckpt = str(tmp_path / "hex_ckpt")
+    batch = pages_df(spark, SF, with_payload=True).select(
+        "uid", "x", "y", "warc_ts"
+    )
+    batch.filter(F.col("uid") % 2 == 0).coalesce(1).write.parquet(src)
+    batch.filter(F.col("uid") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    stream = read_pages_stream(
+        spark, src, batch.schema, max_files_per_trigger=1
+    )
+    q = run_to_sink(hex_counts_windowed(stream, 4000.0), ckpt, "hex_test")
+    q.awaitTermination(120)
+    assert q.lastProgress is not None
+
+    got = {
+        (r["win_start_s"], r["hex_q"], r["hex_r"]): r["n_pages"]
+        for r in spark.sql("SELECT * FROM hex_test").collect()
+    }
+    exp_df = (
+        hex_bin(spark.read.parquet(src), 4000.0)
+        .groupBy(
+            F.window(F.col("warc_ts"), "1 hour").alias("w"), "hex_q", "hex_r"
+        )
+        .agg(F.count("*").alias("n_pages"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("s"),
+            "hex_q",
+            "hex_r",
+            "n_pages",
+        )
+    )
+    exp = {(r["s"], r["hex_q"], r["hex_r"]): r["n_pages"] for r in exp_df.collect()}
+    assert got == exp and sum(got.values()) == batch.count()
