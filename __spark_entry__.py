@@ -951,6 +951,19 @@ def q_nll_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nll_buckets(docs_df(spark, sf_dir))
 
 
+BPE_MERGES = 8
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training: word histogram (one combine
+    groupBy), then 8 merge rounds of pair-count argmax + greedy
+    leftmost fold, per-round checkpointed like pagerank — the merge
+    table bit-exact vs the unrolled-CTE SQL mirror."""
+    from ssb_sgis_spark.operators.bpe import bpe_merges
+
+    return bpe_merges(docs_df(spark, sf_dir), BPE_MERGES)
+
+
 PAGERANK_ITERS = 5
 
 
@@ -1421,6 +1434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_nll": q_unigram_nll,
         "bigram_nll": q_bigram_nll,
         "nll_buckets": q_nll_buckets,
+        "bpe_merges": q_bpe_merges,
         "pagerank": q_pagerank,
         "sessions": q_sessions,
         "crawl_delta": q_crawl_delta,
@@ -1516,6 +1530,7 @@ def oracle_sql() -> dict[str, str]:
     from ssb_sgis_spark.operators.sketch import cms_sketch_sql, hll_sketch_sql
     from ssb_sgis_spark.operators.stats import exact_quantiles_sql
     from ssb_sgis_spark.operators.pipeline import corpus_pipeline_sql
+    from ssb_sgis_spark.operators.bpe import bpe_merges_sql
     from ssb_sgis_spark.operators.quality import (
         bigram_nll_sql,
         nll_buckets_sql,
@@ -1721,6 +1736,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_nll": unigram_nll_sql("documents"),
         "bigram_nll": bigram_nll_sql("documents"),
         "nll_buckets": nll_buckets_sql("documents"),
+        "bpe_merges": bpe_merges_sql("documents", BPE_MERGES),
         "sessions": session_stats_sql("events"),
         "crawl_delta": crawl_delta_sql(
             f"(WITH pages AS ({pages}) SELECT url, uid*31+1 AS content"

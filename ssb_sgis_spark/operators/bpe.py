@@ -1,0 +1,165 @@
+"""Distributed BPE merge training — learn a byte-pair-encoding merge
+table from the corpus itself.
+
+Sennrich et al. 2016 / GPT-2-style BPE training loop: represent every
+word as a symbol sequence (initially characters), repeatedly find the
+most frequent ADJACENT symbol pair across the corpus and merge it, and
+record the merge order — the merge table IS the tokenizer.  An LLM-data
+engine that counts tokens (``doc_stats``) and packs sequences
+(``seq_pack``) should be able to TRAIN the vocabulary those steps
+assume, on the same cluster that holds the corpus.
+
+Distribution shape (the classic trick): BPE statistics only depend on
+the **word histogram**, so the corpus collapses to one
+``groupBy(word).sum()`` with map-side combine — at 10^12 documents the
+histogram is orders of magnitude smaller than the corpus and naturally
+partitioned.  Every merge round is then:
+
+1. adjacent-pair counts — explode ``(sym_i, sym_i+1)`` weighted by the
+   word count, one ``groupBy(a, b)`` (map-side combined);
+2. argmax with a total tie order (count DESC, then pair lexicographic)
+   — a one-row collect;
+3. apply the merge to every symbol array with a **greedy
+   leftmost-non-overlapping fold** (``F.aggregate``; DuckDB
+   ``list_reduce`` computes the identical fold in the mirror), then
+   eager-localCheckpoint the (small) histogram so the round chain
+   doesn't branch exponentially — the same per-round checkpoint
+   discipline as ``pagerank``.
+
+Exactness: counts are 64-bit integers, the tie order is total, and the
+fold is deterministic, so the merge table is bit-identical to the
+unrolled-CTE DuckDB mirror.  The ONLY cross-engine assumption is binary
+(codepoint) string comparison for the lexicographic tie-break — true
+for both engines' defaults.
+
+Precondition for the mirror: the corpus must supply at least
+``n_merges`` rounds of pairs (the unrolled SQL has no early-exit);
+the operator raises if pairs run dry first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["bpe_merges", "bpe_merges_sql"]
+
+_FOLD_SPARK = """
+aggregate(syms, cast(array() as array<string>),
+  (acc, x) -> CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{a}'
+                    AND x = '{b}'
+              THEN concat(slice(acc, 1, size(acc) - 1), array('{a}{b}'))
+              ELSE concat(acc, array(x)) END)
+"""
+
+_PAIRS_SPARK = """
+transform(sequence(1, size(syms) - 1),
+          i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))
+"""
+
+
+def _esc(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def bpe_merges(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """Train ``n_merges`` BPE merges on the corpus; returns the merge
+    table ``(merge_rank, left_sym, right_sym, pair_count)`` — rank 1 is
+    the first (most frequent) merge, applied before rank 2 counted.
+
+    Raises ``ValueError`` if the corpus runs out of distinct pairs
+    before ``n_merges`` rounds (keep ``n_merges`` well under the
+    character inventory's pair capacity)."""
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    cur = words.select(
+        "cnt",
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+        ).alias("syms"),
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(1, int(n_merges) + 1):
+        pairs = (
+            cur.filter(F.size("syms") >= 2)
+            .select("cnt", F.explode(F.expr(_PAIRS_SPARK)).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").alias("pair_count"))
+        )
+        top = pairs.orderBy(
+            F.desc("pair_count"), F.asc("a"), F.asc("b")
+        ).limit(1).collect()
+        if not top:
+            raise ValueError(
+                f"corpus exhausted after {r - 1} merges (< n_merges="
+                f"{n_merges}); the unrolled SQL mirror has no early exit"
+            )
+        a, b, c = top[0]["a"], top[0]["b"], int(top[0]["pair_count"])
+        merges.append((r, a, b, c))
+        cur = cur.select(
+            "cnt",
+            F.expr(_FOLD_SPARK.format(a=_esc(a), b=_esc(b))).alias("syms"),
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank long, left_sym string, right_sym string, pair_count long",
+    )
+
+
+def bpe_merges_sql(rel: str, n_merges: int, text_col: str = "text") -> str:
+    """DuckDB mirror: fully unrolled rounds — pair counts, one-row
+    argmax (same total tie order), identical greedy fold via
+    ``list_reduce``."""
+    ctes = [
+        f"""w0 AS (
+  SELECT CAST(count(*) AS BIGINT) AS cnt,
+         list_transform(range(1, length(word) + 1),
+                        i -> word[i]) AS syms
+  FROM (
+    SELECT unnest(string_split({text_col}, ' ')) AS word FROM {rel}
+  ) WHERE length(word) > 0
+  GROUP BY word
+)"""
+    ]
+    for r in range(1, int(n_merges) + 1):
+        ctes.append(
+            f"""p{r} AS (
+  SELECT syms[i] AS a, syms[i + 1] AS b, CAST(sum(cnt) AS BIGINT) AS pair_count
+  FROM w{r - 1}, unnest(range(1, len(syms))) t(i)
+  WHERE len(syms) >= 2
+  GROUP BY 1, 2
+)"""
+        )
+        ctes.append(
+            f"t{r} AS (SELECT a, b, pair_count FROM p{r} "
+            f"ORDER BY pair_count DESC, a, b LIMIT 1)"
+        )
+        ctes.append(
+            f"""w{r} AS (
+  SELECT cnt, list_reduce(
+    list_prepend(CAST([] AS VARCHAR[]), list_transform(syms, s -> [s])),
+    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = t{r}.a AND x[1] = t{r}.b
+                THEN list_append(acc[1:len(acc) - 1], t{r}.a || t{r}.b)
+                ELSE list_append(acc, x[1]) END
+  ) AS syms
+  FROM w{r - 1} CROSS JOIN t{r}
+)"""
+        )
+    unions = "\n    UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_rank, a AS left_sym, "
+        f"b AS right_sym, pair_count FROM t{r}"
+        for r in range(1, int(n_merges) + 1)
+    )
+    return f"""
+    WITH {','.join(ctes)}
+    {unions}
+    """

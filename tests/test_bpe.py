@@ -1,0 +1,73 @@
+"""BPE merge training (operators/bpe.py) vs a pure-Python reference."""
+
+import pytest
+from tests.conftest import spark  # noqa: F401
+
+from ssb_sgis_spark.operators.bpe import bpe_merges
+
+
+def _bpe_ref(texts, n_merges):
+    """Classic histogram-based BPE trainer: count adjacent pairs over
+    the word histogram, merge the (count DESC, pair ASC) argmax with a
+    greedy leftmost-non-overlapping pass, repeat."""
+    hist = {}
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                hist[w] = hist.get(w, 0) + 1
+    state = {w: list(w) for w in hist}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        counts = {}
+        for w, syms in state.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + hist[w]
+        if not counts:
+            return merges
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, a, b, c))
+        for w, syms in state.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            state[w] = out
+    return merges
+
+
+def test_bpe_merges_match_python_reference(spark):
+    texts = [
+        "low low low lower lowest",
+        "new newer newest low lowly",
+        "wide wider widest new news",
+    ] * 3
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        (r.merge_rank, r.left_sym, r.right_sym, r.pair_count)
+        for r in bpe_merges(df, 10).orderBy("merge_rank").collect()
+    ]
+    assert got == _bpe_ref(texts, 10)
+    # first merge on this corpus: 'l'+'o' or 'o'+'w' at count 21 each —
+    # lexicographic tie-break picks ('l', 'o')
+    assert got[0][1:3] == ("l", "o")
+
+
+def test_bpe_overlapping_runs_merge_greedy_leftmost(spark):
+    """'aaaa' with merge (a,a) must fold to [aa, aa], never [a, aa, a]."""
+    df = spark.createDataFrame([("aaaa aaaa b",)], "text string")
+    out = bpe_merges(df, 2).orderBy("merge_rank").collect()
+    # round 1: (a, a) appears 3x per word x 2 words = 6
+    assert (out[0].left_sym, out[0].right_sym, out[0].pair_count) == ("a", "a", 6)
+    # after greedy fold each word is [aa, aa]: round 2 merges (aa, aa) x2
+    assert (out[1].left_sym, out[1].right_sym, out[1].pair_count) == (
+        "aa", "aa", 2,
+    )
+
+
+def test_bpe_raises_when_exhausted(spark):
+    df = spark.createDataFrame([("ab ab",)], "text string")
+    with pytest.raises(ValueError, match="exhausted"):
+        bpe_merges(df, 5)  # only 1 possible merge exists

@@ -119,7 +119,12 @@ _CROSS_BY_DESIGN = {
 # elsewhere: tiled_pip wraps the same points_in_polygons_join audited via
 # pip_join above; stream_dedup's plan is a streaming micro-batch, out of
 # scope for a batch-plan sweep.
-_EAGER_QUERIES = {"tiled_pip", "stream_dedup", "stream_hex", "pagerank"}
+_EAGER_QUERIES = {
+    "tiled_pip", "stream_dedup", "stream_hex", "pagerank", "bpe_merges",
+}
+# bpe_merges collects a one-row argmax per round and returns a
+# driver-built merge table (pagerank's eager-round pattern); its inner
+# pair-count plan is a plain exploded groupBy
 # stream_hex drives a streaming query at construction (complete-mode
 # memory sink) like stream_dedup; its rollup is a streaming micro-batch
 # plan, out of scope for the batch sweep
