@@ -15,7 +15,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ssb_sgis_spark.cells import morton_sql, ssb_grid_id_sql
+from ssb_sgis_spark.cells import cell_pyramid_sql, morton_sql, ssb_grid_id_sql
 from ssb_sgis_spark.functions.text import (
     avg_token_len_col,
     avg_token_len_sql,
@@ -281,6 +281,19 @@ def q_cell_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pages_df(spark, sf_dir).select(
         "uid", cell_of_xy_col(F.col("x"), F.col("y"), CELL_RES).alias("cell")
     )
+
+
+PYRAMID_LEVELS = (7, 10, 13)
+
+
+def q_cell_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile-pyramid counts at zoom 7/10/13: pages binned ONCE at the
+    finest Morton resolution, coarser levels derived from the histogram
+    by the parent bit-shift — one corpus shuffle for the whole pyramid
+    (cells.py cell_pyramid)."""
+    from ssb_sgis_spark.cells import cell_pyramid
+
+    return cell_pyramid(pages_df(spark, sf_dir), PYRAMID_LEVELS)
 
 
 HEX_SIZE = 4000.0  # circumradius, metres — ~23 hexes across the page extent
@@ -1389,6 +1402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_count_by_muni": q_pip_count_by_muni,
         "grid_id": q_grid_id,
         "cell_index": q_cell_index,
+        "cell_pyramid": q_cell_pyramid,
         "hex_index": q_hex_index,
         "hex_density": q_hex_density,
         "hex_smooth": q_hex_smooth,
@@ -1565,6 +1579,11 @@ def oracle_sql() -> dict[str, str]:
         "cell_index": f"""
             WITH pages AS ({pages})
             SELECT uid, {morton_sql('x', 'y', CELL_RES)} AS cell FROM pages
+        """,
+        "cell_pyramid": f"""
+            WITH pages AS ({pages}),
+            pyr AS ({cell_pyramid_sql('pages', PYRAMID_LEVELS)})
+            SELECT * FROM pyr
         """,
         "hex_index": f"""
             WITH pages AS ({pages})

@@ -321,3 +321,68 @@ def pick_cover_resolution(bbox, target_cells_across: int = 16) -> int:
     extent = max(maxx - minx, maxy - miny, 1e-9)
     res = int(np.ceil(np.log2(DOMAIN_SIZE / (extent / target_cells_across))))
     return int(np.clip(res, 4, MAX_RES))
+
+
+def cell_pyramid(
+    df,
+    resolutions,
+    x_col: str = "x",
+    y_col: str = "y",
+):
+    """Multi-resolution tile-pyramid counts ``(res, cell, n_pages)`` —
+    the zoom-level density rollup a tiled lake maintains (tile manifests,
+    render pyramids, salt-count policies per zoom).
+
+    Scale shape: pages are binned ONCE at the finest requested
+    resolution (one map-side-combined groupBy); every coarser level is
+    derived from that HISTOGRAM by the Morton parent identity
+    ``parent = cell >> 2*(res_f - res)`` (interleaved bits drop in
+    pairs), exploded map-only and re-aggregated — the pyramid costs one
+    corpus shuffle plus work proportional to the finest histogram, never
+    a second scan.  Same identity in the DuckDB mirror
+    (:func:`cell_pyramid_sql`) and numpy (:func:`cell_parent`).
+    """
+    from pyspark.sql import functions as F
+
+    rs = sorted({int(r) for r in resolutions})
+    rf = rs[-1]
+    hist = df.groupBy(
+        cell_of_xy_col(F.col(x_col), F.col(y_col), rf).alias("_c")
+    ).agg(F.count("*").alias("_n"))
+    levels = F.explode(F.array(*[F.lit(r).cast("long") for r in rs])).alias(
+        "res"
+    )
+    return (
+        hist.select("_c", "_n", levels)
+        .groupBy(
+            "res",
+            F.expr(f"shiftright(_c, cast(({rf} - res) * 2 as int))").alias(
+                "cell"
+            ),
+        )
+        .agg(F.sum("_n").alias("n_pages"))
+    )
+
+
+def cell_pyramid_sql(
+    rel: str,
+    resolutions,
+    x_col: str = "x",
+    y_col: str = "y",
+) -> str:
+    """DuckDB mirror: same finest-level histogram, same parent shift."""
+    rs = sorted({int(r) for r in resolutions})
+    rf = rs[-1]
+    vals = ", ".join(f"({r})" for r in rs)
+    return f"""
+    WITH h AS (
+      SELECT {morton_sql(x_col, y_col, rf)} AS c, CAST(count(*) AS BIGINT) AS n
+      FROM {rel} GROUP BY 1
+    ),
+    lv(res) AS (VALUES {vals})
+    SELECT CAST(res AS BIGINT) AS res,
+           (c >> (({rf} - res) * 2)) AS cell,
+           CAST(sum(n) AS BIGINT) AS n_pages
+    FROM h CROSS JOIN lv
+    GROUP BY 1, 2
+    """

@@ -89,3 +89,34 @@ def test_cover_resolution_picker():
     r = cells.pick_cover_resolution((0, 0, 25000, 25000))
     # ~25 km polygon -> cell ~1.5 km -> res ~12-13
     assert 11 <= r <= 14
+
+
+def test_cell_pyramid_shift_equals_direct_binning(spark):
+    """The pyramid's shift-derived coarse cells must equal binning the
+    points DIRECTLY at each coarse resolution (the Morton parent
+    identity survives the axis clamping), and per-level mass is total."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ssb_sgis_spark.cells import cell_of_xy_col, cell_pyramid
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    # include points OUTSIDE the domain so the clamp path is exercised
+    x = rng.uniform(-1_200_000, 8_000_000, n)
+    y = rng.uniform(4_800_000, 14_000_000, n)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(x, y)], "x double, y double"
+    )
+    levels = (5, 9, 12)
+    out = cell_pyramid(df, levels).collect()
+    got = {(r.res, r.cell): r.n_pages for r in out}
+    for res in levels:
+        direct = (
+            df.groupBy(cell_of_xy_col(F.col("x"), F.col("y"), res).alias("c"))
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        want = {(res, r.c): r.n for r in direct}
+        assert {k: v for k, v in got.items() if k[0] == res} == want
+    assert sum(got.values()) == n * len(levels)
