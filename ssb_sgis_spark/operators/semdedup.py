@@ -123,6 +123,13 @@ def semdedup(
                 *[F.sum(f"q{i}").alias(f"s{i}") for i in range(1, dim + 1)],
             )
     t_num, t_den = int(tau[0]), int(tau[1])
+    # the final assignment feeds THREE consumers (both pair-join sides
+    # and the output row set); persist it so the Lloyd chain executes
+    # once, spilling to disk when the corpus outgrows executor memory
+    # (lazy — nothing runs until the caller acts)
+    from pyspark import StorageLevel
+
+    assign = assign.persist(StorageLevel.MEMORY_AND_DISK)
     # norms once per ROW (before the pair blow-up), dot once per PAIR:
     # the equi-join key is the cluster id, the dot/threshold compare is
     # a post-join projection + filter, never re-evaluated in the
