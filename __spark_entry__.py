@@ -1004,6 +1004,31 @@ def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats(ev)
 
 
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention triangle over the events table: one
+    DISTINCT (user, epoch-week) pass, first-week cohorts, integer
+    (cohort_week, week_offset) rollup (operators/sessions.py)."""
+    from ssb_sgis_spark.operators.sessions import cohort_retention
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cohort_retention(ev)
+
+
+def q_hex_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct site count per hex cell — 'how many distinct hosts
+    publish from this zone': hex binning (map-only) + a two-stage
+    count-distinct (Spark expands to (hex, site) partial dedup, then
+    counts — never a collect_set blow-up)."""
+    pages = pages_df(spark, sf_dir).select(
+        "x", "y", (F.col("uid") % 1000).alias("site")
+    )
+    return (
+        hex_bin(pages, HEX_SIZE)
+        .groupBy("hex_q", "hex_r")
+        .agg(F.countDistinct("site").alias("n_sites"))
+    )
+
+
 def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recrawl snapshot diff: two closed-form snapshots of the page
     table (old = uid%5!=0 at content v1; new = uid%7!=0, content bumped
@@ -1451,6 +1476,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "pagerank": q_pagerank,
         "sessions": q_sessions,
+        "retention": q_retention,
+        "hex_domains": q_hex_domains,
         "crawl_delta": q_crawl_delta,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
@@ -1551,7 +1578,10 @@ def oracle_sql() -> dict[str, str]:
         unigram_nll_sql,
     )
     from ssb_sgis_spark.operators.linkgraph import link_edges_sql, pagerank_sql
-    from ssb_sgis_spark.operators.sessions import session_stats_sql
+    from ssb_sgis_spark.operators.sessions import (
+        cohort_retention_sql,
+        session_stats_sql,
+    )
     from ssb_sgis_spark.operators.domains import crawl_delta_sql
     from ssb_sgis_spark.operators.sampling import (
         mix_corpora_pred_sql,
@@ -1757,6 +1787,14 @@ def oracle_sql() -> dict[str, str]:
         "nll_buckets": nll_buckets_sql("documents"),
         "bpe_merges": bpe_merges_sql("documents", BPE_MERGES),
         "sessions": session_stats_sql("events"),
+        "retention": cohort_retention_sql("events"),
+        "hex_domains": f"""
+            WITH pages AS ({pages})
+            SELECT {hex_qr_sql('x', 'y', HEX_SIZE)[0]} AS hex_q,
+                   {hex_qr_sql('x', 'y', HEX_SIZE)[1]} AS hex_r,
+                   CAST(count(DISTINCT uid % 1000) AS BIGINT) AS n_sites
+            FROM pages GROUP BY 1, 2
+        """,
         "crawl_delta": crawl_delta_sql(
             f"(WITH pages AS ({pages}) SELECT url, uid*31+1 AS content"
             " FROM pages WHERE uid % 5 <> 0)",

@@ -30,9 +30,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["sessionize", "session_stats", "session_stats_sql"]
+__all__ = [
+    "sessionize",
+    "session_stats",
+    "session_stats_sql",
+    "cohort_retention",
+    "cohort_retention_sql",
+]
 
 DEFAULT_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
+WEEK_US = 7 * 24 * 3600 * 1_000_000
 
 
 def sessionize(
@@ -122,4 +129,72 @@ def session_stats_sql(
                AS value_cents
     FROM labeled
     GROUP BY {user_col}, session_id
+    """
+
+
+# ------------------------------------------------------ cohort retention
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    week_us: int = WEEK_US,
+) -> DataFrame:
+    """Weekly cohort-retention triangle: users are cohorted by the epoch
+    week of their FIRST event; ``n_users`` counts how many of a cohort
+    were active again ``week_offset`` weeks later (offset 0 is the
+    cohort size).  The classic product-analytics rollup over the events
+    table.
+
+    Exactness: weeks are integer epoch-week ordinals (the same tz-free
+    microsecond diff as :func:`sessionize`, floor-divided), so every
+    output is 64-bit integer and order-free.
+
+    Scale shape: one DISTINCT (user, week) shuffle — the only pass over
+    raw events; the first-week agg and the final (cohort, offset)
+    rollup both re-aggregate that deduped set with map-side combine;
+    the cohort join is an equi-join on the user key.  At 10^12 events
+    the distinct set is bounded by users x active-weeks, orders of
+    magnitude below the event count.
+    """
+    ts_us = (
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        f" {ts_col})"
+    )
+    # integer `div` — DuckDB's `//` on BIGINTs is integer division too;
+    # a float `/` + cast would round through double
+    weeks = df.select(
+        F.col(user_col).alias("_u"),
+        F.expr(f"({ts_us}) div {int(week_us)}").cast("long").alias("_wk"),
+    ).distinct()
+    firsts = weeks.groupBy("_u").agg(F.min("_wk").alias("cohort_week"))
+    return (
+        weeks.join(firsts, "_u")
+        .groupBy(
+            "cohort_week",
+            (F.col("_wk") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+def cohort_retention_sql(
+    rel: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    week_us: int = WEEK_US,
+) -> str:
+    """DuckDB mirror: same tz-free week ordinal, same dedup-then-rollup."""
+    return f"""
+    WITH wk AS (
+        SELECT DISTINCT {user_col} AS u,
+               date_diff('microsecond', TIMESTAMP '1970-01-01 00:00:00',
+                         {ts_col}) // {int(week_us)} AS wk
+        FROM {rel}
+    ),
+    f AS (SELECT u, min(wk) AS cohort_week FROM wk GROUP BY 1)
+    SELECT CAST(f.cohort_week AS BIGINT) AS cohort_week,
+           CAST(wk.wk - f.cohort_week AS BIGINT) AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM wk JOIN f USING (u)
+    GROUP BY 1, 2
     """

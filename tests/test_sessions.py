@@ -45,3 +45,37 @@ def test_exactly_30min_gap_stays_in_session(spark):
     )
     out = {r.event_id: r.session_id for r in sessionize(df).collect()}
     assert out == {0: 1, 1: 1}
+
+
+def test_cohort_retention_triangle(spark):
+    """Hand-built triangle: user 1 active weeks 0,1,3 (cohort 0); user 2
+    weeks 0,1 (cohort 0); user 3 week 1 only (cohort 1).  Duplicate
+    events within a week must not double-count."""
+    import datetime as dt
+
+    from ssb_sgis_spark.operators.sessions import WEEK_US, cohort_retention
+
+    def at_week(w, extra_s=0):
+        return dt.datetime(1970, 1, 1) + dt.timedelta(
+            seconds=w * (WEEK_US // 1_000_000) + extra_s
+        )
+
+    rows = [
+        (1, 1, at_week(0)), (2, 1, at_week(0, 60)),  # dup week for u1
+        (3, 1, at_week(1)), (4, 1, at_week(3)),
+        (5, 2, at_week(0)), (6, 2, at_week(1)),
+        (7, 3, at_week(1)),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp"
+    )
+    got = {
+        (r.cohort_week, r.week_offset): r.n_users
+        for r in cohort_retention(df).collect()
+    }
+    assert got == {
+        (0, 0): 2,  # users 1, 2
+        (0, 1): 2,  # both active week 1
+        (0, 3): 1,  # only user 1
+        (1, 0): 1,  # user 3's cohort
+    }
