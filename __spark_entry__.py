@@ -993,6 +993,21 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(docs, link_edges(docs, n=n), n_iter=PAGERANK_ITERS)
 
 
+HITS_ITERS = 3
+
+
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the same closed-form citation graph
+    as pagerank (operators/linkgraph.py): 3 exact integer rounds with
+    max-norm rescaling — two combinable shuffles per round, scalar
+    max-norm per half-round, unrolled-CTE DuckDB mirror bit-for-bit."""
+    from ssb_sgis_spark.operators.linkgraph import hits, link_edges
+
+    docs = docs_df(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    return hits(docs, link_edges(docs, n=n), n_iter=HITS_ITERS)
+
+
 def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization of the events stream (30-min inactivity
     gap): one shared window (shuffle on user_id) labels every event,
@@ -1012,6 +1027,57 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return cohort_retention(ev)
+
+
+ASOF_EPOCH_US = 1704067200 * 1_000_000  # 2024-01-01 00:00:00, microseconds
+ASOF_STRETCH_US = 40_000_000  # one synthetic crawl every 40 s per uid step
+
+
+def q_asof_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal as-of join (operators/asof.py): every event gets the
+    crawl snapshot of its site that was CURRENT at the event time —
+    latest crawl with crawl_ts <= event_ts, NULL before a site's first
+    crawl.  Crawl times are the uid sequence stretched to 40 s steps so
+    the snapshots span the events month (same closed-form in both
+    engines); one shuffle on site, no range explosion.  The DuckDB
+    oracle runs its native ASOF LEFT JOIN — an independent algorithm,
+    not a mirrored window."""
+    from ssb_sgis_spark.operators.asof import asof_join
+
+    pages = pages_df(spark, sf_dir)
+    crawls = pages.select(
+        (F.col("uid") % 1000).alias("site"),
+        (F.lit(ASOF_EPOCH_US) + F.col("uid") * ASOF_STRETCH_US)
+        .cast("long")
+        .alias("ts_us"),
+        F.col("uid").alias("crawl_uid"),
+    ).withColumn("crawl_ts_us", F.col("ts_us"))
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        (F.col("user_id") % 1000).alias("site"),
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
+        .cast("long")
+        .alias("ts_us"),
+    )
+    return asof_join(ev, crawls, on="site", ts="ts_us").select(
+        "event_id",
+        "site",
+        "crawl_uid",
+        F.expr("(ts_us - crawl_ts_us) div 1000000").cast("long").alias("age_s"),
+    )
+
+
+def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/dsir.py, Xie et al. 2023):
+    hashed-bigram bag models for the lang='en' target slice vs the raw
+    corpus, per-document log-likelihood ratio in integer micro-nats.
+    One gram pass builds both models; scoring is a 256-row broadcast."""
+    from ssb_sgis_spark.operators.dsir import dsir_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dsir_weights(docs, is_target=F.col("lang") == "en")
 
 
 def q_hex_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1475,8 +1541,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nll_buckets": q_nll_buckets,
         "bpe_merges": q_bpe_merges,
         "pagerank": q_pagerank,
+        "hits": q_hits,
         "sessions": q_sessions,
         "retention": q_retention,
+        "asof_crawl": q_asof_crawl,
+        "dsir": q_dsir,
         "hex_domains": q_hex_domains,
         "crawl_delta": q_crawl_delta,
         "ann_topk": q_ann_topk,
@@ -1557,6 +1626,22 @@ def _contamination_oracle() -> str:
         f"WHERE doc_id % {CONTAM_BENCH_MOD} != 0 OR doc_id >= {EXACT_OFFSET})"
     )
     return contamination_sql(corpus, bench)
+
+
+def _hits_oracle() -> str:
+    from ssb_sgis_spark.operators.linkgraph import hits_sql, link_edges_sql
+
+    return hits_sql(
+        "documents",
+        link_edges_sql("documents", n="(SELECT count(*) FROM documents)"),
+        n_iter=HITS_ITERS,
+    )
+
+
+def _dsir_oracle() -> str:
+    from ssb_sgis_spark.operators.dsir import dsir_weights_sql
+
+    return dsir_weights_sql("documents", "lang = 'en'")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1788,6 +1873,21 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": bpe_merges_sql("documents", BPE_MERGES),
         "sessions": session_stats_sql("events"),
         "retention": cohort_retention_sql("events"),
+        "asof_crawl": f"""
+            WITH pages AS ({pages_sql()}),
+            c AS (SELECT uid % 1000 AS site,
+                         CAST({ASOF_EPOCH_US} + uid * {ASOF_STRETCH_US} AS BIGINT) AS ts_us,
+                         uid AS crawl_uid
+                  FROM pages),
+            e AS (SELECT event_id, user_id % 1000 AS site,
+                         date_diff('microsecond',
+                                   TIMESTAMP '1970-01-01 00:00:00', ts) AS ts_us
+                  FROM events)
+            SELECT e.event_id, e.site, c.crawl_uid,
+                   CAST((e.ts_us - c.ts_us) // 1000000 AS BIGINT) AS age_s
+            FROM e ASOF LEFT JOIN c ON e.site = c.site AND e.ts_us >= c.ts_us
+        """,
+        "dsir": _dsir_oracle(),
         "hex_domains": f"""
             WITH pages AS ({pages})
             SELECT {hex_qr_sql('x', 'y', HEX_SIZE)[0]} AS hex_q,
@@ -1809,6 +1909,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             n_iter=PAGERANK_ITERS,
         ),
+        "hits": _hits_oracle(),
         "para_dedup": dedup_paragraphs_sql(
             f"({docs_with_dups_sql()})", chunk_tokens=PARA_CHUNK_TOKENS
         ),

@@ -36,7 +36,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["link_edges", "link_edges_sql", "pagerank", "pagerank_round", "pagerank_sql"]
+__all__ = [
+    "link_edges",
+    "link_edges_sql",
+    "pagerank",
+    "pagerank_round",
+    "pagerank_sql",
+    "hits",
+    "hits_sql",
+]
 
 # closed-form edge constants (Lehmer/Park-Miller multipliers — chosen
 # only for being well-mixed odd constants, no cryptographic intent)
@@ -120,6 +128,110 @@ def pagerank_round(edges_d: DataFrame, verts: DataFrame, ranks: DataFrame) -> Da
                 " AS BIGINT)"
             ).alias("r"),
         )
+    )
+
+
+def hits(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    n_iter: int = 3,
+) -> DataFrame:
+    """Kleinberg's HITS (hubs & authorities) as exact integer fixed
+    point: ``(id_col, hub_micro, auth_micro)`` after ``n_iter`` rounds.
+
+    Per round: ``auth'(v) = Σ_{(u,v)} hub(u)`` then rescaled to
+    ``(auth' * 10^6) div max(auth')`` (max-norm instead of the classic
+    L2 so every operation stays 64-bit integer and order-free);
+    symmetrically for hubs against the fresh authorities.  Nodes
+    outside the edge set settle at 0 via left joins.
+
+    Scale shape: identical to :func:`pagerank` — two map-side-combined
+    shuffles per round over the CHECKPOINTED edge list, state is one row
+    per node; the max-norm is one scalar aggregate per round (a
+    driver-side collect of a single row, same discipline as
+    ``bpe_merges``' per-round argmax).  Precondition: the graph has at
+    least one edge (max-norm divides by the max mass).
+    """
+    deg_src = edges.localCheckpoint(eager=True)
+    verts = nodes.select(F.col(id_col).alias("v")).localCheckpoint(eager=True)
+    hub = verts.select("v", F.lit(R0_MICRO).cast("long").alias("h"))
+    auth = verts.select("v", F.lit(R0_MICRO).cast("long").alias("a"))
+    for _ in range(n_iter):
+        a_raw = (
+            deg_src.join(hub, deg_src["src"] == hub["v"])
+            .groupBy("dst")
+            .agg(F.sum("h").alias("m"))
+        )
+        auth = _max_norm(verts, a_raw, "dst", "a").localCheckpoint(eager=True)
+        h_raw = (
+            deg_src.join(auth, deg_src["dst"] == auth["v"])
+            .groupBy("src")
+            .agg(F.sum("a").alias("m"))
+        )
+        hub = _max_norm(verts, h_raw, "src", "h").localCheckpoint(eager=True)
+    return (
+        hub.join(auth, "v")
+        .select(
+            F.col("v").alias(id_col),
+            F.col("h").alias("hub_micro"),
+            F.col("a").alias("auth_micro"),
+        )
+    )
+
+
+def _max_norm(verts: DataFrame, raw: DataFrame, key: str, out: str) -> DataFrame:
+    """(mass * 10^6) div max(mass), 0 for vertices with no mass."""
+    mx = raw.agg(F.max("m")).collect()[0][0]
+    if mx is None:
+        raise ValueError("HITS requires a graph with at least one edge")
+    return verts.join(raw, verts["v"] == raw[key], "left").select(
+        "v",
+        F.expr(f"CAST((coalesce(m, 0) * {R0_MICRO}) div {int(mx)} AS BIGINT)").alias(
+            out
+        ),
+    )
+
+
+def hits_sql(
+    rel: str,
+    edges_sql: str,
+    id_col: str = "doc_id",
+    n_iter: int = 3,
+) -> str:
+    """DuckDB mirror of :func:`hits`: unrolled rounds, scalar-subquery
+    max-norms, same integer arithmetic."""
+    ctes = [
+        f"verts AS (SELECT {id_col} AS v FROM {rel})",
+        f"e AS ({edges_sql})",
+        f"h0 AS (SELECT v, CAST({R0_MICRO} AS BIGINT) AS h FROM verts)",
+    ]
+    ph = "h0"
+    pa = None
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"ar{i} AS (SELECT e.dst, CAST(sum({ph}.h) AS BIGINT) AS m "
+            f"FROM e JOIN {ph} ON e.src = {ph}.v GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"a{i} AS (SELECT verts.v, CAST((coalesce(ar{i}.m, 0) * {R0_MICRO}) "
+            f"// (SELECT max(m) FROM ar{i}) AS BIGINT) AS a "
+            f"FROM verts LEFT JOIN ar{i} ON verts.v = ar{i}.dst)"
+        )
+        ctes.append(
+            f"hr{i} AS (SELECT e.src, CAST(sum(a{i}.a) AS BIGINT) AS m "
+            f"FROM e JOIN a{i} ON e.dst = a{i}.v GROUP BY e.src)"
+        )
+        ctes.append(
+            f"h{i} AS (SELECT verts.v, CAST((coalesce(hr{i}.m, 0) * {R0_MICRO}) "
+            f"// (SELECT max(m) FROM hr{i}) AS BIGINT) AS h "
+            f"FROM verts LEFT JOIN hr{i} ON verts.v = hr{i}.src)"
+        )
+        ph, pa = f"h{i}", f"a{i}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT {ph}.v AS {id_col}, {ph}.h AS hub_micro, {pa}.a AS auth_micro"
+        + f"\nFROM {ph} JOIN {pa} ON {ph}.v = {pa}.v"
     )
 
 
