@@ -627,6 +627,16 @@ def q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs(docs_with_dups_df(spark, sf_dir))
 
 
+def q_contain_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-containment pairs (Broder's containment
+    coefficient) over the dup-injected corpus: catches short-inside-long
+    inclusions Jaccard misses — gram-hash self-join with a boilerplate
+    gram cap, integer cross-multiplied threshold (operators/dedup.py)."""
+    from ssb_sgis_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(docs_with_dups_df(spark, sf_dir))
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document, all native expressions."""
     return simhash_df(docs_df(spark, sf_dir))
@@ -975,6 +985,16 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ssb_sgis_spark.operators.bpe import bpe_merges
 
     return bpe_merges(docs_df(spark, sf_dir), BPE_MERGES)
+
+
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the corpus-trained BPE: per-document (n_words,
+    n_bpe_tokens) — tokenizer fertility.  The fold runs once per
+    DISTINCT word (Zipf-bounded vocabulary), encoding is an explode +
+    broadcast join + combinable groupBy (operators/bpe.py)."""
+    from ssb_sgis_spark.operators.bpe import bpe_token_stats
+
+    return bpe_token_stats(docs_df(spark, sf_dir), BPE_MERGES)
 
 
 PAGERANK_ITERS = 5
@@ -1512,6 +1532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_lake_pruned": q_pip_lake_pruned,
         "dedup_exact": q_dedup_exact,
         "near_dup": q_near_dup,
+        "contain_pairs": q_contain_pairs,
         "contamination": q_contamination,
         "simhash": q_simhash,
         "doc_stats": q_doc_stats,
@@ -1540,6 +1561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_nll": q_bigram_nll,
         "nll_buckets": q_nll_buckets,
         "bpe_merges": q_bpe_merges,
+        "bpe_tokens": q_bpe_tokens,
         "pagerank": q_pagerank,
         "hits": q_hits,
         "sessions": q_sessions,
@@ -1626,6 +1648,18 @@ def _contamination_oracle() -> str:
         f"WHERE doc_id % {CONTAM_BENCH_MOD} != 0 OR doc_id >= {EXACT_OFFSET})"
     )
     return contamination_sql(corpus, bench)
+
+
+def _contain_pairs_oracle() -> str:
+    from ssb_sgis_spark.operators.dedup import containment_pairs_sql
+
+    return containment_pairs_sql(f"({docs_with_dups_sql()})")
+
+
+def _bpe_tokens_oracle() -> str:
+    from ssb_sgis_spark.operators.bpe import bpe_token_stats_sql
+
+    return bpe_token_stats_sql("documents", BPE_MERGES)
 
 
 def _hits_oracle() -> str:
@@ -1818,6 +1852,7 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT uid, muni_id FROM hits",
         "dedup_exact": dedupe_exact_sql(f"({docs_with_dups_sql()})"),
         "near_dup": near_dup_pairs_sql(f"({docs_with_dups_sql()})"),
+        "contain_pairs": _contain_pairs_oracle(),
         "contamination": _contamination_oracle(),
         "simhash": simhash_sql("documents"),
         "doc_stats": f"""
@@ -1871,6 +1906,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_nll": bigram_nll_sql("documents"),
         "nll_buckets": nll_buckets_sql("documents"),
         "bpe_merges": bpe_merges_sql("documents", BPE_MERGES),
+        "bpe_tokens": _bpe_tokens_oracle(),
         "sessions": session_stats_sql("events"),
         "retention": cohort_retention_sql("events"),
         "asof_crawl": f"""

@@ -42,7 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["bpe_merges", "bpe_merges_sql"]
+__all__ = ["bpe_merges", "bpe_merges_sql", "bpe_token_stats", "bpe_token_stats_sql"]
 
 _FOLD_SPARK = """
 aggregate(syms, cast(array() as array<string>),
@@ -74,7 +74,19 @@ def bpe_merges(
     Raises ``ValueError`` if the corpus runs out of distinct pairs
     before ``n_merges`` rounds (keep ``n_merges`` well under the
     character inventory's pair capacity)."""
-    spark = df.sparkSession
+    merges, _ = _train(df, n_merges, text_col)
+    return df.sparkSession.createDataFrame(
+        merges,
+        "merge_rank long, left_sym string, right_sym string, pair_count long",
+    )
+
+
+def _train(
+    df: DataFrame, n_merges: int, text_col: str
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """The shared training loop: returns the merge list AND the final
+    fully-folded word table ``(word, cnt, syms)`` — the tokenizer's
+    vocabulary view, reused by :func:`bpe_token_stats`."""
     words = (
         df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
         .filter(F.length("word") > 0)
@@ -82,6 +94,7 @@ def bpe_merges(
         .agg(F.count("*").cast("long").alias("cnt"))
     )
     cur = words.select(
+        "word",
         "cnt",
         F.expr(
             "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
@@ -106,22 +119,58 @@ def bpe_merges(
         a, b, c = top[0]["a"], top[0]["b"], int(top[0]["pair_count"])
         merges.append((r, a, b, c))
         cur = cur.select(
+            "word",
             "cnt",
             F.expr(_FOLD_SPARK.format(a=_esc(a), b=_esc(b))).alias("syms"),
         ).localCheckpoint(eager=True)
-    return spark.createDataFrame(
-        merges,
-        "merge_rank long, left_sym string, right_sym string, pair_count long",
+    return merges, cur
+
+
+def bpe_token_stats(
+    df: DataFrame,
+    n_merges: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize the corpus with its own freshly-trained ``n_merges``-merge
+    BPE and report per-document ``(id_col, n_words, n_bpe_tokens)`` —
+    the fertility measurement (tokens per word) every tokenizer
+    decision is judged by.
+
+    Scale shape: the expensive fold runs ONCE per distinct word on the
+    training histogram (Zipf-bounded — a 10^12-doc corpus has ~10^7-8
+    distinct words, megabytes of (word, token_len)), so per-document
+    cost is an explode + a broadcast join against that map + one
+    combinable groupBy.  Documents whose text yields no words keep
+    (0, 0) via the left join."""
+    _, folded = _train(df, n_merges, text_col)
+    wl = folded.select("word", F.size("syms").cast("long").alias("_tl"))
+    dw = (
+        df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .filter(F.length("word") > 0)
+    )
+    per = (
+        dw.join(F.broadcast(wl), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("_tl").cast("long").alias("n_bpe_tokens"),
+        )
+    )
+    return df.select(id_col).join(per, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_words"), F.lit(0)).cast("long").alias("n_words"),
+        F.coalesce(F.col("n_bpe_tokens"), F.lit(0)).cast("long").alias("n_bpe_tokens"),
     )
 
 
-def bpe_merges_sql(rel: str, n_merges: int, text_col: str = "text") -> str:
-    """DuckDB mirror: fully unrolled rounds — pair counts, one-row
-    argmax (same total tie order), identical greedy fold via
-    ``list_reduce``."""
+def _chain_ctes(rel: str, n_merges: int, text_col: str) -> list[str]:
+    """The unrolled training chain shared by both mirrors: w0 is the
+    word histogram (word kept so the encode mirror can join back),
+    p{r}/t{r} the pair counts + argmax, w{r} the folded histogram."""
     ctes = [
         f"""w0 AS (
-  SELECT CAST(count(*) AS BIGINT) AS cnt,
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt,
          list_transform(range(1, length(word) + 1),
                         i -> word[i]) AS syms
   FROM (
@@ -145,7 +194,7 @@ def bpe_merges_sql(rel: str, n_merges: int, text_col: str = "text") -> str:
         )
         ctes.append(
             f"""w{r} AS (
-  SELECT cnt, list_reduce(
+  SELECT word, cnt, list_reduce(
     list_prepend(CAST([] AS VARCHAR[]), list_transform(syms, s -> [s])),
     (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = t{r}.a AND x[1] = t{r}.b
                 THEN list_append(acc[1:len(acc) - 1], t{r}.a || t{r}.b)
@@ -154,6 +203,43 @@ def bpe_merges_sql(rel: str, n_merges: int, text_col: str = "text") -> str:
   FROM w{r - 1} CROSS JOIN t{r}
 )"""
         )
+    return ctes
+
+
+def bpe_token_stats_sql(
+    rel: str, n_merges: int, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB mirror of :func:`bpe_token_stats`: the same unrolled
+    training chain, then per-document word explode joined to the folded
+    word lengths."""
+    ctes = _chain_ctes(rel, n_merges, text_col)
+    n = int(n_merges)
+    return f"""
+    WITH {','.join(ctes)},
+    wl AS (SELECT word, CAST(len(syms) AS BIGINT) AS tl FROM w{n}),
+    dw AS (
+      SELECT {id_col}, unnest(string_split({text_col}, ' ')) AS word FROM {rel}
+    ),
+    per AS (
+      SELECT dw.{id_col},
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(wl.tl) AS BIGINT) AS n_bpe_tokens
+      FROM dw JOIN wl USING (word)
+      WHERE length(dw.word) > 0
+      GROUP BY dw.{id_col}
+    )
+    SELECT d.{id_col},
+           CAST(coalesce(per.n_words, 0) AS BIGINT) AS n_words,
+           CAST(coalesce(per.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
+    FROM {rel} d LEFT JOIN per ON d.{id_col} = per.{id_col}
+    """
+
+
+def bpe_merges_sql(rel: str, n_merges: int, text_col: str = "text") -> str:
+    """DuckDB mirror: fully unrolled rounds — pair counts, one-row
+    argmax (same total tie order), identical greedy fold via
+    ``list_reduce``."""
+    ctes = _chain_ctes(rel, n_merges, text_col)
     unions = "\n    UNION ALL ".join(
         f"SELECT CAST({r} AS BIGINT) AS merge_rank, a AS left_sym, "
         f"b AS right_sym, pair_count FROM t{r}"

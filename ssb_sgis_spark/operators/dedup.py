@@ -315,6 +315,96 @@ def near_dup_pairs_sql(
     """
 
 
+# ------------------------------------------------------------- containment
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = DEFAULT_SHINGLE_K,
+    threshold: tuple[int, int] = (9, 10),
+    gram_cap: int = 100,
+) -> DataFrame:
+    """Asymmetric shingle-containment pairs — the quote/inclusion
+    detector Jaccard misses: a short document pasted inside a long one
+    has low Jaccard (the union is big) but containment
+    ``|S(inner) ∩ S(outer)| / |S(inner)|`` near 1 (Broder 1997's
+    containment coefficient).  Returns ordered rows
+    ``(inner_id, outer_id, n_shared, n_inner)`` where
+    ``n_shared / n_inner >= threshold`` (compared by integer
+    cross-multiplication — no float division anywhere).
+
+    Scale shape (10^12 docs):
+    * distinct-shingle hashes explode map-only to ``(id, h)``; gram TEXT
+      never shuffles (md5 only);
+    * the self-join runs on the gram hash, with grams present in more
+      than ``gram_cap`` documents DROPPED first (one combinable count —
+      the same boilerplate policy as LSH ``bucket_cap``: a gram shared
+      by m docs emits m² pairs, and grams that common are boilerplate,
+      not quotation);
+    * per-document shingle counts are computed MAP-ONLY from the
+      shingle array (no extra shuffle) and joined onto the
+      pair-intersection aggregate.
+    """
+    num, den = int(threshold[0]), int(threshold[1])
+    sh = df.select(
+        F.col(id_col), shingles_col(F.col(text_col), k).alias("_sh")
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+    grams = sh.select(
+        F.col(id_col), F.explode("_sh").alias("_g")
+    ).select(id_col, F.md5("_g").alias("h"))
+    rare = (
+        grams.groupBy("h")
+        .agg(F.count("*").alias("_docs"))
+        .filter(F.col("_docs") <= gram_cap)
+        .select("h")
+    )
+    g = grams.join(rare, "h")
+    inter = (
+        g.join(g.select(F.col(id_col).alias("_b"), "h"), "h")
+        .filter(F.col(id_col) != F.col("_b"))
+        .groupBy(F.col(id_col).alias("inner_id"), F.col("_b").alias("outer_id"))
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    sizes = sh.select(
+        F.col(id_col).alias("inner_id"), F.size("_sh").cast("long").alias("n_inner")
+    ).filter(F.col("n_inner") > 0)
+    return inter.join(sizes, "inner_id").filter(
+        F.col("n_shared") * den >= F.col("n_inner") * num
+    )
+
+
+def containment_pairs_sql(
+    rel: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = DEFAULT_SHINGLE_K,
+    threshold: tuple[int, int] = (9, 10),
+    gram_cap: int = 100,
+) -> str:
+    """DuckDB mirror: same distinct shingles, same gram cap, same
+    integer cross-multiplied threshold."""
+    num, den = int(threshold[0]), int(threshold[1])
+    sh = shingles_sql(text_col, k)
+    return f"""
+    WITH sh AS (SELECT {id_col}, {sh} AS shset FROM {rel}),
+    grams AS (SELECT {id_col}, md5(unnest(shset)) AS h FROM sh),
+    rare AS (SELECT h FROM grams GROUP BY h HAVING count(*) <= {gram_cap}),
+    g AS (SELECT grams.* FROM grams JOIN rare USING (h)),
+    inter AS (
+      SELECT x.{id_col} AS inner_id, y.{id_col} AS outer_id,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM g x JOIN g y ON x.h = y.h
+      WHERE x.{id_col} != y.{id_col}
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT {id_col} AS inner_id, CAST(len(shset) AS BIGINT) AS n_inner
+              FROM sh WHERE len(shset) > 0)
+    SELECT i.inner_id, i.outer_id, i.n_shared, s.n_inner
+    FROM inter i JOIN sizes s USING (inner_id)
+    WHERE i.n_shared * {den} >= s.n_inner * {num}
+    """
+
+
 # ----------------------------------------------------------------- simhash
 def simhash_df(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"

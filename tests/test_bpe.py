@@ -71,3 +71,42 @@ def test_bpe_raises_when_exhausted(spark):
     df = spark.createDataFrame([("ab ab",)], "text string")
     with pytest.raises(ValueError, match="exhausted"):
         bpe_merges(df, 5)  # only 1 possible merge exists
+
+
+def test_bpe_token_stats_match_python_encode(spark):
+    """Per-doc (n_words, n_bpe_tokens) equals a full Python re-derivation:
+    train with the reference trainer, greedily fold every word, count."""
+    from ssb_sgis_spark.operators.bpe import bpe_token_stats
+
+    texts = [
+        "low low low lower lowest",
+        "new newer newest low lowly",
+        "",  # no words -> (0, 0)
+        "wide wider widest new news",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    merges = _bpe_ref(texts, 6)
+
+    def encode_len(word):
+        syms = list(word)
+        for _, a, b, _c in merges:
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            syms = out
+        return len(syms)
+
+    want = {}
+    for i, t in enumerate(texts):
+        words = [w for w in t.split(" ") if w]
+        want[i] = (len(words), sum(encode_len(w) for w in words))
+
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in bpe_token_stats(df, 6).collect()
+    }
+    assert got == want
+    assert got[2] == (0, 0)
