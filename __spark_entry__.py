@@ -296,6 +296,19 @@ def q_cell_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cell_pyramid(pages_df(spark, sf_dir), PYRAMID_LEVELS)
 
 
+AREAL_RES = 13  # 1024 m Morton cells -> 1 km SSB grid
+
+
+def q_areal_ssb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Areal-weighted interpolation (operators/areal.py): page counts
+    per res-13 Morton cell redistributed onto the SSB 1 km grid by
+    exact integer overlap areas — closed-form cross-tiling transfer,
+    one combinable histogram shuffle + a <=9-way map-only scatter."""
+    from ssb_sgis_spark.operators.areal import areal_interpolate_to_ssb
+
+    return areal_interpolate_to_ssb(pages_df(spark, sf_dir), res=AREAL_RES)
+
+
 HEX_SIZE = 4000.0  # circumradius, metres — ~23 hexes across the page extent
 
 
@@ -635,6 +648,16 @@ def q_contain_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ssb_sgis_spark.operators.dedup import containment_pairs
 
     return containment_pairs(docs_with_dups_df(spark, sf_dir))
+
+
+def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (MOSS selection rule, SIGMOD'03): every
+    >= w+k-1-token shared substring is guaranteed a shared selected
+    fingerprint — map-only positional grams, literal-offset window
+    scatter, one row_number winner per window (operators/winnow.py)."""
+    from ssb_sgis_spark.operators.winnow import winnow_fingerprints
+
+    return winnow_fingerprints(docs_df(spark, sf_dir))
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1512,6 +1535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_join": q_pip_join,
         "pip_count_by_muni": q_pip_count_by_muni,
         "grid_id": q_grid_id,
+        "areal_ssb": q_areal_ssb,
         "cell_index": q_cell_index,
         "cell_pyramid": q_cell_pyramid,
         "hex_index": q_hex_index,
@@ -1533,6 +1557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "near_dup": q_near_dup,
         "contain_pairs": q_contain_pairs,
+        "winnow": q_winnow,
         "contamination": q_contamination,
         "simhash": q_simhash,
         "doc_stats": q_doc_stats,
@@ -1650,6 +1675,18 @@ def _contamination_oracle() -> str:
     return contamination_sql(corpus, bench)
 
 
+def _areal_ssb_oracle() -> str:
+    from ssb_sgis_spark.operators.areal import areal_interpolate_to_ssb_sql
+
+    return areal_interpolate_to_ssb_sql(pages_sql(), res=AREAL_RES)
+
+
+def _winnow_oracle() -> str:
+    from ssb_sgis_spark.operators.winnow import winnow_fingerprints_sql
+
+    return winnow_fingerprints_sql("documents")
+
+
 def _contain_pairs_oracle() -> str:
     from ssb_sgis_spark.operators.dedup import containment_pairs_sql
 
@@ -1729,6 +1766,7 @@ def oracle_sql() -> dict[str, str]:
             WITH pages AS ({pages})
             SELECT uid, {morton_sql('x', 'y', CELL_RES)} AS cell FROM pages
         """,
+        "areal_ssb": _areal_ssb_oracle(),
         "cell_pyramid": f"""
             WITH pages AS ({pages}),
             pyr AS ({cell_pyramid_sql('pages', PYRAMID_LEVELS)})
@@ -1853,6 +1891,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dedupe_exact_sql(f"({docs_with_dups_sql()})"),
         "near_dup": near_dup_pairs_sql(f"({docs_with_dups_sql()})"),
         "contain_pairs": _contain_pairs_oracle(),
+        "winnow": _winnow_oracle(),
         "contamination": _contamination_oracle(),
         "simhash": simhash_sql("documents"),
         "doc_stats": f"""
