@@ -650,6 +650,16 @@ def q_contain_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(docs_with_dups_df(spark, sf_dir))
 
 
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document (operators/search.py): one
+    combinable (doc, term) aggregate reused for document frequencies,
+    one ln per distinct term floored to micro-nats, broadcast idf join,
+    per-doc top-j window."""
+    from ssb_sgis_spark.operators.search import tfidf_keywords
+
+    return tfidf_keywords(docs_df(spark, sf_dir), j=3)
+
+
 def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (MOSS selection rule, SIGMOD'03): every
     >= w+k-1-token shared substring is guaranteed a shared selected
@@ -1558,6 +1568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup": q_near_dup,
         "contain_pairs": q_contain_pairs,
         "winnow": q_winnow,
+        "tfidf": q_tfidf,
         "contamination": q_contamination,
         "simhash": q_simhash,
         "doc_stats": q_doc_stats,
@@ -1679,6 +1690,12 @@ def _areal_ssb_oracle() -> str:
     from ssb_sgis_spark.operators.areal import areal_interpolate_to_ssb_sql
 
     return areal_interpolate_to_ssb_sql(pages_sql(), res=AREAL_RES)
+
+
+def _tfidf_oracle() -> str:
+    from ssb_sgis_spark.operators.search import tfidf_keywords_sql
+
+    return tfidf_keywords_sql("documents", j=3)
 
 
 def _winnow_oracle() -> str:
@@ -1892,6 +1909,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup": near_dup_pairs_sql(f"({docs_with_dups_sql()})"),
         "contain_pairs": _contain_pairs_oracle(),
         "winnow": _winnow_oracle(),
+        "tfidf": _tfidf_oracle(),
         "contamination": _contamination_oracle(),
         "simhash": simhash_sql("documents"),
         "doc_stats": f"""

@@ -47,7 +47,7 @@ plan audit already allows for unigram_nll).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -206,4 +206,92 @@ def bm25_topk_sql(
     )
     SELECT {query_id_col}, rank, {id_col}, score_micro
     FROM ranked WHERE rank <= {int(k)}
+    """
+
+
+# ------------------------------------------------------------ tf-idf keywords
+def tfidf_keywords(
+    docs: DataFrame,
+    j: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``j`` TF-IDF keywords per document:
+    ``(id_col, term, tf, score_micro, kw_rank)`` — the per-document
+    summarization/tagging primitive next to :func:`bm25_topk`'s
+    query-side ranking.
+
+    Exactness: ``idf = ln((N + 1) / (df + 1))`` is one ``ln`` of an
+    exact integer ratio per DISTINCT term, floored once into micro-nats;
+    the score is then ``tf * idf_micro`` (pure int64) and the per-doc
+    top-j is a total (score DESC, term ASC) order — bit-stable in both
+    engines.  (+1 smoothing keeps corpus-universal terms at idf 0
+    instead of dropping them.)
+
+    Scale shape: the (id, term, tf) aggregate is ONE combinable
+    shuffle; document frequencies re-aggregate that output (not the raw
+    corpus); the df join is broadcast (vocabulary is Zipf-bounded); the
+    final window partitions by document — no global sort anywhere.
+    """
+    terms = _doc_terms(docs, id_col, text_col).localCheckpoint(eager=True)
+    n_docs = docs.count()
+    df_tbl = terms.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    idf = df_tbl.select(
+        "term",
+        F.floor(
+            F.log(F.lit(float(n_docs + 1)) / (F.col("df") + 1).cast("double")) * 1e6
+        )
+        .cast("long")
+        .alias("idf_micro"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score_micro"), F.asc("term")
+    )
+    return (
+        terms.join(F.broadcast(idf), "term")
+        .select(
+            id_col,
+            "term",
+            "tf",
+            (F.col("tf") * F.col("idf_micro")).cast("long").alias("score_micro"),
+        )
+        .withColumn("kw_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("kw_rank") <= int(j))
+    )
+
+
+def tfidf_keywords_sql(
+    rel: str,
+    j: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB mirror: same smoothing, same single floor, same total
+    order."""
+    return f"""
+    WITH terms AS (
+      SELECT {id_col}, term, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT {id_col}, unnest(string_split({text_col}, ' ')) AS term
+            FROM {rel})
+      GROUP BY 1, 2
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM {rel}),
+    idf AS (
+      SELECT term,
+             CAST(floor(ln(CAST(n_docs + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) * 1e6)
+                  AS BIGINT) AS idf_micro
+      FROM (SELECT term, CAST(count(*) AS BIGINT) AS df FROM terms GROUP BY 1)
+           CROSS JOIN n
+    ),
+    scored AS (
+      SELECT terms.{id_col}, terms.term, terms.tf,
+             CAST(terms.tf * idf.idf_micro AS BIGINT) AS score_micro
+      FROM terms JOIN idf USING (term)
+    )
+    SELECT {id_col}, term, tf, score_micro, CAST(kw_rank AS BIGINT) AS kw_rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY {id_col}
+                                   ORDER BY score_micro DESC, term ASC) AS kw_rank
+      FROM scored
+    ) WHERE kw_rank <= {int(j)}
     """

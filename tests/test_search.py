@@ -122,3 +122,25 @@ def test_bm25_duckdb_parity_small(spark):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(res.astype("int64"), ora.astype("int64"))
+
+
+def test_tfidf_keywords_rare_term_wins(spark):
+    from ssb_sgis_spark.operators.search import tfidf_keywords
+
+    rows = [
+        (1, "common common common zebra"),
+        (2, "common words here too"),
+        (3, "common words again common"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_keywords(df, j=2).collect()
+    top = {r.doc_id: r.term for r in out if r.kw_rank == 1}
+    # 'zebra' is unique to doc 1 -> highest idf beats tf=3 of the
+    # corpus-universal 'common' (idf exactly ln(4/4)=0)
+    assert top[1] == "zebra"
+    got1 = {(r.kw_rank, r.term) for r in out if r.doc_id == 1}
+    assert (2, "common") in got1
+    # exactly j rows per doc (docs have >= j distinct terms)
+    from collections import Counter
+
+    assert set(Counter(r.doc_id for r in out).values()) == {2}
