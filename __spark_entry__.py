@@ -640,6 +640,11 @@ def q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs(docs_with_dups_df(spark, sf_dir))
 
 
+CONTAIN_K = 5  # Broder-style longer shingles: 3-grams of this synthetic
+# vocab are shared by up to 75 docs (24M self-join rows at sf0.1);
+# 5-grams cut that 10x and are the standard containment shingle length
+
+
 def q_contain_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric shingle-containment pairs (Broder's containment
     coefficient) over the dup-injected corpus: catches short-inside-long
@@ -647,7 +652,7 @@ def q_contain_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram cap, integer cross-multiplied threshold (operators/dedup.py)."""
     from ssb_sgis_spark.operators.dedup import containment_pairs
 
-    return containment_pairs(docs_with_dups_df(spark, sf_dir))
+    return containment_pairs(docs_with_dups_df(spark, sf_dir), k=CONTAIN_K)
 
 
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1707,7 +1712,7 @@ def _winnow_oracle() -> str:
 def _contain_pairs_oracle() -> str:
     from ssb_sgis_spark.operators.dedup import containment_pairs_sql
 
-    return containment_pairs_sql(f"({docs_with_dups_sql()})")
+    return containment_pairs_sql(f"({docs_with_dups_sql()})", k=CONTAIN_K)
 
 
 def _bpe_tokens_oracle() -> str:

@@ -53,17 +53,28 @@ def dedupe_exact_sql(rel: str, id_col: str = "doc_id", text_col: str = "text") -
 
 
 # ----------------------------------------------------------------- minhash
-def shingles_col(text: Column, k: int = DEFAULT_SHINGLE_K) -> Column:
+def shingle_seq_col(text: Column, k: int = DEFAULT_SHINGLE_K) -> Column:
+    """Positional (non-distinct) k-shingle SEQUENCE, shingle i starting
+    at token i+1.  Built as a zip_with chain over k shifted slices:
+    HOF lambdas are interpreted, so per-ELEMENT work must be tiny — a
+    2-string concat here, vs the slice+concat_ws-per-shingle variant
+    (3.5x slower: a k-array allocation per shingle) or element_at
+    lookups inside the lambda (catastrophic: the split() subtree is
+    re-evaluated per element, O(tokens²) per document — measured 9 s →
+    31 s on sf0.1's longer documents before this was caught)."""
     toks = F.split(text, " ")
     n = F.size(toks)
-    sh = F.transform(
-        F.sequence(F.lit(1), n - (k - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-    )
-    # guard: Spark's sequence(1, m) COUNTS DOWN when m < 1
-    return F.when(n >= k, F.array_distinct(sh)).otherwise(
-        F.array().cast("array<string>")
-    )
+    m = n - (k - 1)
+    sh = F.slice(toks, 1, m)
+    for j in range(1, k):
+        sh = F.zip_with(
+            sh, F.slice(toks, j + 1, m), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return F.when(n >= k, sh).otherwise(F.array().cast("array<string>"))
+
+
+def shingles_col(text: Column, k: int = DEFAULT_SHINGLE_K) -> Column:
+    return F.array_distinct(shingle_seq_col(text, k))
 
 
 def shingles_sql(t: str = "text", k: int = DEFAULT_SHINGLE_K) -> str:
@@ -349,9 +360,11 @@ def containment_pairs(
     sh = df.select(
         F.col(id_col), shingles_col(F.col(text_col), k).alias("_sh")
     ).repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+    # 16 hex chars (64 bits) — the hash is an internal join key only,
+    # and halving it halves the bytes the self-join shuffles
     grams = sh.select(
         F.col(id_col), F.explode("_sh").alias("_g")
-    ).select(id_col, F.md5("_g").alias("h"))
+    ).select(id_col, F.substring(F.md5("_g"), 1, 16).alias("h"))
     rare = (
         grams.groupBy("h")
         .agg(F.count("*").alias("_docs"))
@@ -387,7 +400,7 @@ def containment_pairs_sql(
     sh = shingles_sql(text_col, k)
     return f"""
     WITH sh AS (SELECT {id_col}, {sh} AS shset FROM {rel}),
-    grams AS (SELECT {id_col}, md5(unnest(shset)) AS h FROM sh),
+    grams AS (SELECT {id_col}, substring(md5(unnest(shset)), 1, 16) AS h FROM sh),
     rare AS (SELECT h FROM grams GROUP BY h HAVING count(*) <= {gram_cap}),
     g AS (SELECT grams.* FROM grams JOIN rare USING (h)),
     inter AS (

@@ -53,24 +53,22 @@ def winnow_fingerprints(
     k, w = int(k), int(w)
     toks = F.split(F.col(text_col), " ")
     n_tok = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), n_tok - (k - 1)),
-        lambda i: F.struct(
-            i.alias("pos"), F.md5(F.concat_ws(" ", F.slice(toks, i, k))).alias("h")
-        ),
-    )
-    g = (
-        df.select(
-            F.col(id_col),
-            (n_tok - (k - 1)).cast("long").alias("_n"),
-            F.explode(F.when(n_tok >= k, grams)).alias("_g"),
-        )
-        .select(
-            id_col,
-            "_n",
-            F.col("_g.pos").cast("long").alias("pos"),
-            F.col("_g.h").alias("h"),
-        )
+    # positional shingles from the shared zip_with-chain builder (see
+    # shingle_seq_col for why NOT per-shingle slices or element_at
+    # lookups inside the lambda); posexplode supplies the 1-based
+    # position.  16 hex chars of md5 (64 bits): fingerprints only need
+    # equality, and the hash rides the window scatter w times.
+    from ssb_sgis_spark.operators.dedup import shingle_seq_col
+
+    g = df.select(
+        F.col(id_col),
+        (n_tok - (k - 1)).cast("long").alias("_n"),
+        F.posexplode(shingle_seq_col(F.col(text_col), k)).alias("_p", "_g"),
+    ).select(
+        id_col,
+        "_n",
+        (F.col("_p") + 1).cast("long").alias("pos"),
+        F.substring(F.md5("_g"), 1, 16).alias("h"),
     )
     # scatter each gram to the w windows containing it; a window s is
     # real iff 1 <= s <= max(1, n - w + 1)
@@ -116,7 +114,7 @@ def winnow_fingerprints_sql(
       SELECT {id_col},
              CAST(len(t) - {k - 1} AS BIGINT) AS n,
              CAST(i AS BIGINT) AS pos,
-             md5(array_to_string(list_slice(t, i, i + {k - 1}), ' ')) AS h
+             substring(md5(array_to_string(list_slice(t, i, i + {k - 1}), ' ')), 1, 16) AS h
       FROM toks, unnest(range(1, len(t) - {k - 2})) r(i)
       WHERE len(t) >= {k}
     ),

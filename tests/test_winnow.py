@@ -9,7 +9,7 @@ from ssb_sgis_spark.operators.winnow import winnow_fingerprints
 def _ref(text, k=3, w=4):
     toks = text.split(" ")
     grams = [
-        (i + 1, hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest())
+        (i + 1, hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()[:16])
         for i in range(len(toks) - k + 1)
     ]
     if not grams:
