@@ -112,6 +112,7 @@ from ssb_sgis_spark.cells import cell_of_xy_col
 from ssb_sgis_spark.hexcells import hex_bin, hex_density, hex_qr_sql, hex_smooth
 from ssb_sgis_spark.sources.municipalities import muni_df, muni_edges_sql_values
 from ssb_sgis_spark.sources.pages import pages_df, pages_sql
+from ssb_sgis_spark.sources.events import events_df
 from ssb_sgis_spark.sources.points import points_df, points_sql
 from ssb_sgis_spark.sources.sites import (
     sites_bounds_sql,
@@ -655,6 +656,20 @@ def q_contain_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(docs_with_dups_df(spark, sf_dir), k=CONTAIN_K)
 
 
+JL_OUT_DIM = 16
+
+
+def q_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss ±1 projection (Achlioptas 2003) of the
+    int8-quantized embeddings to 16 integer coordinates — map-only, the
+    sign matrix generated once driver-side and shared as literals with
+    the DuckDB mirror (operators/jl.py)."""
+    from ssb_sgis_spark.operators.jl import jl_project
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return jl_project(emb, out_dim=JL_OUT_DIM)
+
+
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF keywords per document (operators/search.py): one
     combinable (doc, term) aggregate reused for document frequencies,
@@ -1073,7 +1088,7 @@ def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     event counts, integer-cent value sums, all 64-bit exact."""
     from ssb_sgis_spark.operators.sessions import session_stats
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = events_df(spark, sf_dir)
     return session_stats(ev)
 
 
@@ -1083,7 +1098,7 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cohort_week, week_offset) rollup (operators/sessions.py)."""
     from ssb_sgis_spark.operators.sessions import cohort_retention
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = events_df(spark, sf_dir)
     return cohort_retention(ev)
 
 
@@ -1110,7 +1125,7 @@ def q_asof_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ts_us"),
         F.col("uid").alias("crawl_uid"),
     ).withColumn("crawl_ts_us", F.col("ts_us"))
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = events_df(spark, sf_dir).select(
         "event_id",
         (F.col("user_id") % 1000).alias("site"),
         F.expr(
@@ -1574,6 +1589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contain_pairs": q_contain_pairs,
         "winnow": q_winnow,
         "tfidf": q_tfidf,
+        "jl_project": q_jl_project,
         "contamination": q_contamination,
         "simhash": q_simhash,
         "doc_stats": q_doc_stats,
@@ -1695,6 +1711,12 @@ def _areal_ssb_oracle() -> str:
     from ssb_sgis_spark.operators.areal import areal_interpolate_to_ssb_sql
 
     return areal_interpolate_to_ssb_sql(pages_sql(), res=AREAL_RES)
+
+
+def _jl_oracle() -> str:
+    from ssb_sgis_spark.operators.jl import jl_project_sql
+
+    return jl_project_sql("embeddings", out_dim=JL_OUT_DIM)
 
 
 def _tfidf_oracle() -> str:
@@ -1915,6 +1937,7 @@ def oracle_sql() -> dict[str, str]:
         "contain_pairs": _contain_pairs_oracle(),
         "winnow": _winnow_oracle(),
         "tfidf": _tfidf_oracle(),
+        "jl_project": _jl_oracle(),
         "contamination": _contamination_oracle(),
         "simhash": simhash_sql("documents"),
         "doc_stats": f"""

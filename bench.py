@@ -120,10 +120,25 @@ def main() -> None:
         documents_mod.docs_df = parquet_docs_df
         entrymod.docs_df = parquet_docs_df
 
+    events_parquet = os.environ.get("SPARK_GRAFT_EVENTS_PARQUET")
+    if events_parquet:
+        # lake-table model for the window-shuffle (sessionization)
+        # profile
+        import ssb_sgis_spark.sources.events as events_mod
+
+        def parquet_events_df(spark_, sf_dir_):
+            return spark_.read.parquet(events_parquet)
+
+        events_mod.events_df = parquet_events_df
+        entrymod.events_df = parquet_events_df
+
     n_pages = pages_mod.pages_df(spark, sf_dir).count()
     n_docs = None
     if docs_parquet:
         n_docs = spark.read.parquet(docs_parquet).count()
+    n_events = None
+    if events_parquet:
+        n_events = spark.read.parquet(events_parquet).count()
 
     # spin up the Python worker pool once OUTSIDE the timed region — the
     # first Arrow stage of a fresh JVM pays worker spawn + numpy/pandas
@@ -200,6 +215,7 @@ def main() -> None:
                 "sf": sf,
                 "n_pages": n_pages,
                 **({"n_docs": n_docs} if n_docs is not None else {}),
+                **({"n_events": n_events} if n_events is not None else {}),
                 "cpus": int(cpus),
                 **({"errors": errors} if errors else {}),
             }

@@ -100,6 +100,10 @@ def docs_parquet_path(scale: int) -> str:
     return f"/tmp/ssb_sgis_scaled_docs_x{scale}.parquet"
 
 
+def events_parquet_path(scale: int) -> str:
+    return f"/tmp/ssb_sgis_scaled_events_x{scale}.parquet"
+
+
 def _pin(cpus: int) -> list[str]:
     return ["taskset", "-c", f"0-{min(cpus, NCPU) - 1}"]
 
@@ -153,6 +157,32 @@ print("rows", spark.read.parquet({docs_parquet!r}).count())
     subprocess.run([sys.executable, "-c", code], check=True, timeout=1200)
 
 
+def materialize_events(scale: int) -> None:
+    """Scaled events table (window-shuffle / sessionization profile):
+    scale x USERS with the per-user temporal pattern unchanged — the
+    realistic growth axis for event streams (more users, not
+    pathologically longer per-user histories)."""
+    events_parquet = events_parquet_path(scale)
+    if os.path.isdir(events_parquet):
+        return
+    code = f"""
+import sys; sys.path.insert(0, {REPO!r})
+from pyspark.sql import SparkSession, functions as F
+spark = (SparkSession.builder.master("local[32]")
+  .config("spark.driver.memory", "12g")
+  .config("spark.ui.enabled","false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+df = spark.read.parquet("/root/testdata/sf0.1/events.parquet").repartition(64)
+out = (df.withColumn("_k", F.explode(F.sequence(F.lit(0), F.lit({scale} - 1))))
+  .withColumn("user_id", F.col("user_id") * {scale} + F.col("_k"))
+  .withColumn("event_id", F.col("event_id") * {scale} + F.col("_k"))
+  .drop("_k"))
+out.write.mode("overwrite").parquet({events_parquet!r})
+print("rows", spark.read.parquet({events_parquet!r}).count())
+"""
+    subprocess.run([sys.executable, "-c", code], check=True, timeout=1200)
+
+
 def run_level(cpus: int, queries: str, scale: int, kind: str = "pages") -> dict:
     # heap scales WITH the level (1.5 GB/core): a real N -> 4N executor
     # comparison holds memory-per-core constant — each executor ships
@@ -164,15 +194,17 @@ def run_level(cpus: int, queries: str, scale: int, kind: str = "pages") -> dict:
     mem = os.environ.get(
         "SPARK_GRAFT_DRIVER_MEM", f"{max(3, (cpus * 3) // 2)}g"
     )
-    table_env = (
+    if kind == "docs":
         # SPARK_GRAFT_SCALE pinned to 1: an inherited value would trigger
         # bench.py's on-the-fly page-scaling path (pages_parquet unset in
         # docs runs) and synthesize a huge page table before every session
-        {"SPARK_GRAFT_DOCS_PARQUET": docs_parquet_path(scale),
-         "SPARK_GRAFT_SCALE": "1"}
-        if kind == "docs"
-        else {"SPARK_GRAFT_PAGES_PARQUET": pages_parquet_path(scale)}
-    )
+        table_env = {"SPARK_GRAFT_DOCS_PARQUET": docs_parquet_path(scale),
+                     "SPARK_GRAFT_SCALE": "1"}
+    elif kind == "events":
+        table_env = {"SPARK_GRAFT_EVENTS_PARQUET": events_parquet_path(scale),
+                     "SPARK_GRAFT_SCALE": "1"}
+    else:
+        table_env = {"SPARK_GRAFT_PAGES_PARQUET": pages_parquet_path(scale)}
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
@@ -234,7 +266,12 @@ print(json.dumps({"cpus": cpus, "min": round(min(times), 2)}))
     return res
 
 
+EVENTS_QUERIES = {"sessions", "retention"}
+
+
 def _kind(q: str) -> str:
+    if q in EVENTS_QUERIES:
+        return "events"
     return "docs" if q in DOC_QUERIES else "pages"
 
 
@@ -250,7 +287,8 @@ def _check_scales() -> None:
 def main() -> None:
     _check_scales()
     for q, sc in QUERY_SCALES:
-        (materialize_docs if _kind(q) == "docs" else materialize_pages)(sc)
+        {"docs": materialize_docs, "events": materialize_events,
+         "pages": materialize_pages}[_kind(q)](sc)
     probe = run_capacity_probe() if os.environ.get("SPARK_GRAFT_PROBE", "1") == "1" else {}
     print(f"host capacity probe (pure-codegen arithmetic): {probe}", flush=True)
     # queries sharing a (table, scale) share one bench subprocess
@@ -267,10 +305,12 @@ def main() -> None:
                 r = run_level(c, qnames, sc, kind)
                 merged["queries"].update(r["queries"])
                 for q in qnames.split(","):
-                    pages_per_query[q] = (
-                        r.get("n_docs", r["n_pages"])
-                        if kind == "docs" else r["n_pages"]
-                    )
+                    if kind == "docs":
+                        pages_per_query[q] = r.get("n_docs", r["n_pages"])
+                    elif kind == "events":
+                        pages_per_query[q] = r.get("n_events", r["n_pages"])
+                    else:
+                        pages_per_query[q] = r["n_pages"]
             samples[c].append(merged)
             print(f"session {s} local[{c}] pinned to {c} cores: {merged['queries']}", flush=True)
     n_pages = pages_per_query.get("pip_join", max(pages_per_query.values()))
