@@ -63,10 +63,18 @@ def areal_interpolate_to_ssb(
     # SSBID parts from shifted grid indices: real floor(x/g) = _cx + X0/g
     xoff = (2_000_000 + int(DOMAIN_X0)) // g  # false easting, grid units
     yoff = int(DOMAIN_Y0) // g
+    n_cells = (1 << int(res))
     hist = (
         df.select(
             F.floor((F.col(x_col) - DOMAIN_X0) / cm).cast("long").alias("ix"),
             F.floor((F.col(y_col) - DOMAIN_Y0) / cm).cast("long").alias("iy"),
+        )
+        # out-of-domain points would give negative shifted coords, where
+        # integer `div` truncation is no longer floor — drop them (the
+        # Morton tiling doesn't cover them either); mirrored in the SQL
+        .filter(
+            (F.col("ix") >= 0) & (F.col("ix") < n_cells)
+            & (F.col("iy") >= 0) & (F.col("iy") < n_cells)
         )
         .groupBy("ix", "iy")
         .agg(F.count("*").cast("long").alias("cnt"))
@@ -114,7 +122,12 @@ def areal_interpolate_to_ssb_sql(
       SELECT CAST(floor(({x_col} - ({DOMAIN_X0})) / {cm}) AS BIGINT) AS ix,
              CAST(floor(({y_col} - ({DOMAIN_Y0})) / {cm}) AS BIGINT) AS iy,
              CAST(count(*) AS BIGINT) AS cnt
-      FROM pages GROUP BY 1, 2
+      FROM pages
+      WHERE floor(({x_col} - ({DOMAIN_X0})) / {cm}) >= 0
+        AND floor(({x_col} - ({DOMAIN_X0})) / {cm}) < {1 << int(res)}
+        AND floor(({y_col} - ({DOMAIN_Y0})) / {cm}) >= 0
+        AND floor(({y_col} - ({DOMAIN_Y0})) / {cm}) < {1 << int(res)}
+      GROUP BY 1, 2
     ),
     cells AS (SELECT cnt, ix * {cm} AS sx0, iy * {cm} AS sy0 FROM hist),
     scattered AS (

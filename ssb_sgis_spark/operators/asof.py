@@ -77,14 +77,15 @@ def asof_join(
         F.lit(0).alias("_src"),
         payload.alias("_pay"),
         # deterministic order among right rows tied on (key, ts): the
-        # LAST by this column wins, matching the SQL mirror's max
-        F.col(value_cols[0]).cast("string").alias("_tie"),
+        # row with the LARGEST first value column (native type order)
+        # wins
+        F.col(value_cols[0]).alias("_tie"),
     )
     l = left.select(
         *left.columns,
         F.lit(1).alias("_src"),
         F.lit(None).cast(r.schema["_pay"].dataType).alias("_pay"),
-        F.lit(None).cast("string").alias("_tie"),
+        F.lit(None).cast(r.schema["_tie"].dataType).alias("_tie"),
     )
     u = l.unionByName(r, allowMissingColumns=True)
     w = (
