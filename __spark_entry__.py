@@ -1153,6 +1153,15 @@ def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_weights(docs, is_target=F.col("lang") == "en")
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view→click→purchase first-touch funnel within one week
+    (operators/funnel.py): chained conditional-min windows over ONE
+    user shuffle, NULL three-valued logic does the step gating."""
+    from ssb_sgis_spark.operators.funnel import funnel_counts
+
+    return funnel_counts(events_df(spark, sf_dir))
+
+
 def q_hex_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct site count per hex cell — 'how many distinct hosts
     publish from this zone': hex binning (map-only) + a two-stage
@@ -1624,6 +1633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessions": q_sessions,
         "retention": q_retention,
         "asof_crawl": q_asof_crawl,
+        "funnel": q_funnel,
         "dsir": q_dsir,
         "hex_domains": q_hex_domains,
         "crawl_delta": q_crawl_delta,
@@ -1751,6 +1761,12 @@ def _hits_oracle() -> str:
         link_edges_sql("documents", n="(SELECT count(*) FROM documents)"),
         n_iter=HITS_ITERS,
     )
+
+
+def _funnel_oracle() -> str:
+    from ssb_sgis_spark.operators.funnel import funnel_counts_sql
+
+    return funnel_counts_sql("events")
 
 
 def _dsir_oracle() -> str:
@@ -2009,6 +2025,7 @@ def oracle_sql() -> dict[str, str]:
             FROM e ASOF LEFT JOIN c ON e.site = c.site AND e.ts_us >= c.ts_us
         """,
         "dsir": _dsir_oracle(),
+        "funnel": _funnel_oracle(),
         "hex_domains": f"""
             WITH pages AS ({pages})
             SELECT {hex_qr_sql('x', 'y', HEX_SIZE)[0]} AS hex_q,
