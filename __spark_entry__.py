@@ -646,6 +646,25 @@ CONTAIN_K = 5  # Broder-style longer shingles: 3-grams of this synthetic
 # 5-grams cut that 10x and are the standard containment shingle length
 
 
+NORM_MOD = 50  # every 50th doc gets a reformatted twin
+NORM_OFFSET = 3_000_000
+
+
+def q_dedup_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-based fuzzy-exact dedup (C4/Gopher discipline):
+    the corpus plus reformatted twins (uppercased + trailing
+    punctuation) — raw-hash dedup misses them, the normalized key
+    collapses each twin with its source (operators/dedup.py)."""
+    from ssb_sgis_spark.operators.dedup import dedupe_normalized
+
+    docs = docs_df(spark, sf_dir).select("doc_id", "text")
+    twins = docs.filter(F.col("doc_id") % NORM_MOD == 0).select(
+        (F.col("doc_id") + NORM_OFFSET).alias("doc_id"),
+        F.concat(F.upper(F.col("text")), F.lit(" !!")).alias("text"),
+    )
+    return dedupe_normalized(docs.unionByName(twins))
+
+
 def q_contain_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric shingle-containment pairs (Broder's containment
     coefficient) over the dup-injected corpus: catches short-inside-long
@@ -1596,6 +1615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "near_dup": q_near_dup,
         "contain_pairs": q_contain_pairs,
+        "dedup_norm": q_dedup_norm,
         "winnow": q_winnow,
         "tfidf": q_tfidf,
         "jl_project": q_jl_project,
@@ -1739,6 +1759,18 @@ def _winnow_oracle() -> str:
     from ssb_sgis_spark.operators.winnow import winnow_fingerprints_sql
 
     return winnow_fingerprints_sql("documents")
+
+
+def _dedup_norm_oracle() -> str:
+    from ssb_sgis_spark.operators.dedup import dedupe_normalized_sql
+
+    corpus = f"""(
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {NORM_OFFSET} AS doc_id, upper(text) || ' !!' AS text
+      FROM documents WHERE doc_id % {NORM_MOD} = 0
+    )"""
+    return dedupe_normalized_sql(corpus)
 
 
 def _contain_pairs_oracle() -> str:
@@ -1951,6 +1983,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dedupe_exact_sql(f"({docs_with_dups_sql()})"),
         "near_dup": near_dup_pairs_sql(f"({docs_with_dups_sql()})"),
         "contain_pairs": _contain_pairs_oracle(),
+        "dedup_norm": _dedup_norm_oracle(),
         "winnow": _winnow_oracle(),
         "tfidf": _tfidf_oracle(),
         "jl_project": _jl_oracle(),

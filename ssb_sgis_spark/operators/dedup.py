@@ -52,6 +52,60 @@ def dedupe_exact_sql(rel: str, id_col: str = "doc_id", text_col: str = "text") -
     """
 
 
+_NORM_STRIP = "[^a-z0-9 ]"
+_NORM_WS = "  *"
+
+
+def normalize_text_col(text: Column) -> Column:
+    """C4/Gopher-style dedup normalization: lowercase, strip
+    non-alphanumerics, collapse whitespace, trim — so trivial formatting
+    variants (casing, punctuation, spacing) collapse to one key.  Pure
+    RE2-compatible regexp chain, byte-identical in the DuckDB mirror
+    (the pii_redact discipline)."""
+    s = F.lower(text)
+    s = F.regexp_replace(s, _NORM_STRIP, " ")
+    s = F.regexp_replace(s, _NORM_WS, " ")
+    return F.trim(s)
+
+
+def normalize_text_sql(t: str = "text") -> str:
+    return (
+        f"trim(regexp_replace(regexp_replace(lower({t}), "
+        f"'{_NORM_STRIP}', ' ', 'g'), '{_NORM_WS}', ' ', 'g'))"
+    )
+
+
+def dedupe_normalized(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup over NORMALIZED text — catches the reformatted
+    copies raw-hash dedup misses: ``(norm_hash, doc_id_kept = min id,
+    n_copies, n_raw_variants = distinct raw hashes in the group)``.
+    Same one-shuffle hash-groupBy shape as :func:`dedupe_exact`; the
+    normalization itself is map-only."""
+    return (
+        df.groupBy(F.md5(normalize_text_col(F.col(text_col))).alias("norm_hash"))
+        .agg(
+            F.min(id_col).alias("doc_id_kept"),
+            F.count("*").alias("n_copies"),
+            F.countDistinct(F.md5(F.col(text_col))).alias("n_raw_variants"),
+        )
+    )
+
+
+def dedupe_normalized_sql(
+    rel: str, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    n = normalize_text_sql(text_col)
+    return f"""
+    SELECT md5({n}) AS norm_hash,
+           min({id_col}) AS doc_id_kept,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(count(DISTINCT md5({text_col})) AS BIGINT) AS n_raw_variants
+    FROM {rel} GROUP BY 1
+    """
+
+
 # ----------------------------------------------------------------- minhash
 def shingle_seq_col(text: Column, k: int = DEFAULT_SHINGLE_K) -> Column:
     """Positional (non-distinct) k-shingle SEQUENCE, shingle i starting

@@ -44,3 +44,18 @@ def test_containment_gram_cap_drops_boilerplate(spark):
     # raise the cap and the same corpus pairs up fully (5 docs -> 20
     # ordered pairs)
     assert containment_pairs(df, gram_cap=5).count() == 20
+
+
+def test_normalized_dedup_collapses_formatting_variants(spark):
+    from ssb_sgis_spark.operators.dedup import dedupe_normalized
+
+    rows = [
+        (1, "Hello, World!"),
+        (2, "hello world"),          # same after normalization
+        (3, "HELLO   WORLD !!"),     # same after normalization
+        (4, "a different document"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id_kept: (r.n_copies, r.n_raw_variants)
+           for r in dedupe_normalized(df).collect()}
+    assert out == {1: (3, 3), 4: (1, 1)}
