@@ -1340,6 +1340,43 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-dup: the stateful LSH band registry
+    (streaming/neardup.py) run availableNow over the duplicated corpus
+    in 2 file batches.  Per-shard processing is id-ordered and batch
+    boundaries respect id order, so the per-doc verdict ('any band seen
+    before') is deterministic and equals the SQL first-registrant rule
+    min_doc(band_key) < doc_id."""
+    import tempfile
+
+    from ssb_sgis_spark.streaming.neardup import near_dup_stream
+
+    d = docs_with_dups_df(spark, sf_dir).select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="stream_neardup_")
+    src, sink, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
+    d.filter(F.col("doc_id") < NEAR_OFFSET).coalesce(2).write.mode(
+        "overwrite"
+    ).parquet(src)
+    d.filter(F.col("doc_id") >= NEAR_OFFSET).coalesce(2).write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema(d.schema).parquet(src)
+    q = (
+        near_dup_stream(stream, n_shards=8)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.read.parquet(sink)
+        .groupBy("doc_id")
+        .agg(F.max(F.col("seen").cast("long")).alias("is_dup"))
+    )
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming stateful dedup (applyInPandasWithState) run availableNow
     over the duplicated corpus split into 2 file batches; the admitted
@@ -1664,6 +1701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "dup_groups": q_dup_groups,
         "stream_dedup": q_stream_dedup,
+        "stream_neardup": q_stream_neardup,
         "stream_hex": q_stream_hex,
         "od_cost": q_od_cost,
         "service_area": q_service_area,
@@ -1759,6 +1797,33 @@ def _winnow_oracle() -> str:
     from ssb_sgis_spark.operators.winnow import winnow_fingerprints_sql
 
     return winnow_fingerprints_sql("documents")
+
+
+def _stream_neardup_oracle() -> str:
+    from ssb_sgis_spark.operators.dedup import (
+        DEFAULT_BANDS,
+        DEFAULT_N_HASHES,
+        minhash_sql_exprs,
+    )
+
+    rows = DEFAULT_N_HASHES // DEFAULT_BANDS
+    mh = ", ".join(minhash_sql_exprs("text"))
+    band_exprs = ", ".join(
+        "concat_ws('|', '%d', %s)"
+        % (b, ", ".join(f"mh{b * rows + r}" for r in range(rows)))
+        for b in range(DEFAULT_BANDS)
+    )
+    return f"""
+    WITH corpus AS ({docs_with_dups_sql()}),
+    sig AS (SELECT doc_id, {mh} FROM corpus),
+    banded AS (SELECT doc_id, unnest([{band_exprs}]) AS bk FROM sig),
+    firsts AS (SELECT bk, min(doc_id) AS fd FROM banded GROUP BY bk)
+    SELECT b.doc_id,
+           CAST(max(CASE WHEN f.fd < b.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS is_dup
+    FROM banded b JOIN firsts f USING (bk)
+    GROUP BY b.doc_id
+    """
 
 
 def _dedup_norm_oracle() -> str:
@@ -1984,6 +2049,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup": near_dup_pairs_sql(f"({docs_with_dups_sql()})"),
         "contain_pairs": _contain_pairs_oracle(),
         "dedup_norm": _dedup_norm_oracle(),
+        "stream_neardup": _stream_neardup_oracle(),
         "winnow": _winnow_oracle(),
         "tfidf": _tfidf_oracle(),
         "jl_project": _jl_oracle(),
