@@ -49,7 +49,7 @@ from ssb_sgis_spark.operators.dedup import (
     minhash_array_col,
 )
 
-__all__ = ["band_keys_array_col", "near_dup_stream"]
+__all__ = ["band_keys_array_col", "band_registry_stream", "near_dup_stream"]
 
 
 def band_keys_array_col(
@@ -91,7 +91,25 @@ def near_dup_stream(
         F.explode(band_keys_array_col(F.col(text_col), n_hashes, bands, k)).alias(
             "band_key"
         ),
-    ).withColumn("_shard", F.pmod(F.xxhash64("band_key"), F.lit(n_shards)))
+    )
+    return band_registry_stream(banded, id_col=id_col, n_shards=n_shards)
+
+
+def band_registry_stream(
+    banded: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 32,
+) -> DataFrame:
+    """The stateful core over an already-banded stream
+    ``(id_col, band_key)`` — use this (with band keys computed
+    relationally in the ingest job, ``operators.dedup.band_keys``)
+    when rates make the per-row signature expression the bottleneck:
+    the registry doesn't care HOW the keys were produced, only that
+    equal content yields equal keys."""
+    n_shards = int(n_shards)
+    banded = banded.withColumn(
+        "_shard", F.pmod(F.xxhash64("band_key"), F.lit(n_shards))
+    )
     out_schema = StructType(
         [
             StructField(id_col, LongType()),
