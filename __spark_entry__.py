@@ -1181,6 +1181,33 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_counts(events_df(spark, sf_dir))
 
 
+DSIR_KEEP_PERMILLE = 750  # keep the top quartile by importance weight
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed DSIR selection step (the paper's 'resample by
+    importance'): score every document (q_dsir), derive the exact
+    750-permille threshold from the score histogram
+    (stats.exact_quantiles — no global sort), flag the top quartile.
+    Threshold comes back as a one-row broadcast; labeling is map-only."""
+    from ssb_sgis_spark.operators.dsir import dsir_weights
+    from ssb_sgis_spark.operators.stats import exact_quantiles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = dsir_weights(docs, is_target=F.col("lang") == "en")
+    q = exact_quantiles(scored, "dsir_micro", (DSIR_KEEP_PERMILLE,))
+    thr = q.agg(
+        F.min(
+            F.when(F.col("p_permille") == DSIR_KEEP_PERMILLE, F.col("value"))
+        ).alias("q75")
+    )
+    return scored.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "dsir_micro",
+        (F.col("dsir_micro") >= F.col("q75")).cast("long").alias("selected"),
+    )
+
+
 def q_hex_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct site count per hex cell — 'how many distinct hosts
     publish from this zone': hex binning (map-only) + a two-stage
@@ -1698,6 +1725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_crawl": q_asof_crawl,
         "funnel": q_funnel,
         "dsir": q_dsir,
+        "dsir_select": q_dsir_select,
         "hex_domains": q_hex_domains,
         "crawl_delta": q_crawl_delta,
         "ann_topk": q_ann_topk,
@@ -1864,6 +1892,26 @@ def _hits_oracle() -> str:
         link_edges_sql("documents", n="(SELECT count(*) FROM documents)"),
         n_iter=HITS_ITERS,
     )
+
+
+def _dsir_select_oracle() -> str:
+    from ssb_sgis_spark.operators.dsir import dsir_weights_sql
+
+    p = DSIR_KEEP_PERMILLE
+    return f"""
+    WITH scored AS ({dsir_weights_sql("documents", "lang = 'en'")}),
+    hist AS (SELECT dsir_micro AS v, CAST(count(*) AS BIGINT) AS c
+             FROM scored GROUP BY 1),
+    cum AS (SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+            FROM hist),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM hist),
+    thr AS (SELECT min(CASE WHEN cum >= greatest(1, ({p} * n + 999) // 1000)
+                       THEN v END) AS q75
+            FROM cum CROSS JOIN tot)
+    SELECT s.doc_id, s.dsir_micro,
+           CAST(s.dsir_micro >= t.q75 AS BIGINT) AS selected
+    FROM scored s CROSS JOIN thr t
+    """
 
 
 def _funnel_oracle() -> str:
@@ -2131,6 +2179,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dsir": _dsir_oracle(),
         "funnel": _funnel_oracle(),
+        "dsir_select": _dsir_select_oracle(),
         "hex_domains": f"""
             WITH pages AS ({pages})
             SELECT {hex_qr_sql('x', 'y', HEX_SIZE)[0]} AS hex_q,

@@ -96,7 +96,11 @@ def test_scan_prunes_columns(spark):
 _CROSS_BY_DESIGN = {
     "all_distances", "ann_topk", "ann_quant", "unigram_nll", "bigram_nll",
     "bm25", "quantiles", "pmi_top", "nll_buckets", "semdedup",
+    "dsir_select",
 }
+# dsir_select = dsir scoring + exact_quantiles + a one-row threshold
+# broadcast: the same scalar-BNLJ composition as nll_buckets, counted in
+# test_dsir_select_scalar_bnljs_only
 # semdedup's BNLJs are the k-row centroid-table broadcasts of its Lloyd
 # assignment rounds (the IVF-train layout); the expensive pair join is
 # pinned to the cluster-key equi-join in test_semdedup_pair_join_is_equi
@@ -240,6 +244,19 @@ def test_quantiles_single_scalar_bnlj(spark):
     tree = p.split("\n\n")[0]
     assert tree.count("BroadcastNestedLoopJoin") == 1, tree
     assert "CartesianProduct" not in p
+
+
+def test_dsir_select_scalar_bnljs_only(spark):
+    """dsir_select's nested-loop nodes are exactly its one-row scalar
+    broadcasts (histogram total + selection threshold); the bucket
+    scoring join stays a broadcast HASH join on the 256-row model."""
+    import __spark_entry__ as entry
+
+    p = plan_of(entry.queries()["dsir_select"](spark, SF))
+    tree = p.split("\n\n")[0]
+    assert tree.count("BroadcastNestedLoopJoin") <= 3, tree
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in tree
 
 
 def test_pagerank_round_plan(spark):
