@@ -1111,6 +1111,15 @@ def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats(ev)
 
 
+def q_rolling_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-hour activity rate + burst flag
+    (operators/sessions.rolling_rate): an integer-microsecond RANGE
+    window frame — one shuffle on user, linear two-pointer evaluation."""
+    from ssb_sgis_spark.operators.sessions import rolling_rate
+
+    return rolling_rate(events_df(spark, sf_dir))
+
+
 def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort-retention triangle over the events table: one
     DISTINCT (user, epoch-week) pass, first-week cohorts, integer
@@ -1722,6 +1731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": q_hits,
         "sessions": q_sessions,
         "retention": q_retention,
+        "rolling_rate": q_rolling_rate,
         "asof_crawl": q_asof_crawl,
         "funnel": q_funnel,
         "dsir": q_dsir,
@@ -1892,6 +1902,12 @@ def _hits_oracle() -> str:
         link_edges_sql("documents", n="(SELECT count(*) FROM documents)"),
         n_iter=HITS_ITERS,
     )
+
+
+def _rolling_rate_oracle() -> str:
+    from ssb_sgis_spark.operators.sessions import rolling_rate_sql
+
+    return rolling_rate_sql("events")
 
 
 def _dsir_select_oracle() -> str:
@@ -2163,6 +2179,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_tokens": _bpe_tokens_oracle(),
         "sessions": session_stats_sql("events"),
         "retention": cohort_retention_sql("events"),
+        "rolling_rate": _rolling_rate_oracle(),
         "asof_crawl": f"""
             WITH pages AS ({pages_sql()}),
             c AS (SELECT uid % 1000 AS site,

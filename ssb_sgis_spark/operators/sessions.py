@@ -36,6 +36,8 @@ __all__ = [
     "session_stats_sql",
     "cohort_retention",
     "cohort_retention_sql",
+    "rolling_rate",
+    "rolling_rate_sql",
 ]
 
 DEFAULT_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
@@ -197,4 +199,78 @@ def cohort_retention_sql(
            CAST(count(*) AS BIGINT) AS n_users
     FROM wk JOIN f USING (u)
     GROUP BY 1, 2
+    """
+
+
+# ------------------------------------------------------- trailing-rate burst
+HOUR_US = 3600 * 1_000_000
+
+
+def rolling_rate(
+    df: DataFrame,
+    window_us: int = HOUR_US,
+    burst_threshold: int = 5,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-event trailing-window activity rate — the burst/abuse
+    detector (crawler politeness, scraper storms): for every event, how
+    many of the SAME user's events landed in ``[ts - window_us, ts]``,
+    flagged when the count crosses ``burst_threshold``.
+
+    Exactness: a RANGE frame over integer epoch microseconds — frame
+    bounds and counts are exact in both engines, and RANGE (not ROWS)
+    makes timestamp ties frame-inclusive on both sides, so the result
+    is order-free.
+
+    Scale shape: ONE shuffle on the user key + a per-partition sort —
+    the same exchange sessionization uses; the running range frame is
+    evaluated with a sliding two-pointer over each sorted partition
+    (linear, no per-row rescan).
+    """
+    ts_us = F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        f" {ts_col})"
+    ).cast("long")
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy("ts_us")
+        .rangeBetween(-int(window_us), 0)
+    )
+    return (
+        df.select(F.col(id_col), F.col(user_col), ts_us.alias("ts_us"))
+        .withColumn("n_trailing", F.count("*").over(w).cast("long"))
+        .withColumn(
+            "burst", (F.col("n_trailing") >= int(burst_threshold)).cast("long")
+        )
+    )
+
+
+def rolling_rate_sql(
+    rel: str,
+    window_us: int = HOUR_US,
+    burst_threshold: int = 5,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB mirror: same integer-microsecond RANGE frame."""
+    return f"""
+    WITH e AS (
+        SELECT {id_col}, {user_col},
+               date_diff('microsecond', TIMESTAMP '1970-01-01 00:00:00',
+                         {ts_col}) AS ts_us
+        FROM {rel}
+    )
+    SELECT {id_col}, {user_col}, ts_us,
+           CAST(count(*) OVER (
+               PARTITION BY {user_col} ORDER BY ts_us
+               RANGE BETWEEN {int(window_us)} PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_trailing,
+           CAST(count(*) OVER (
+               PARTITION BY {user_col} ORDER BY ts_us
+               RANGE BETWEEN {int(window_us)} PRECEDING AND CURRENT ROW
+           ) >= {int(burst_threshold)} AS BIGINT) AS burst
+    FROM e
     """

@@ -41,3 +41,21 @@ def test_funnel_steps_are_nested(spark):
             if (u + m) % 3 != 0]
     out = {r.step: r.n_users for r in funnel_counts(_ev(spark, rows)).collect()}
     assert out[1] >= out[2] >= out[3]
+
+
+def test_rolling_rate_trailing_window(spark):
+    """Hand-checkable trailing-hour counts, boundary inclusive."""
+    from ssb_sgis_spark.operators.sessions import rolling_rate
+
+    rows = [
+        (1, 0, "view"),      # t=0        -> 1 in [t-1h, t]
+        (1, 30, "view"),     # t=30min    -> 2
+        (1, 60, "view"),     # t=60min    -> 3 (t-1h = 0 inclusive)
+        (1, 61, "view"),     # t=61min    -> 3 (t=0 fell out)
+        (1, 300, "view"),    # far later  -> 1
+        (2, 10, "view"),     # other user independent -> 1
+    ]
+    ev = _ev(spark, [(u, m, ty) for u, m, ty in rows])
+    out = rolling_rate(ev, burst_threshold=3)
+    got = {r.event_id: (r.n_trailing, r.burst) for r in out.collect()}
+    assert got == {0: (1, 0), 1: (2, 0), 2: (3, 1), 3: (3, 1), 4: (1, 0), 5: (1, 0)}
