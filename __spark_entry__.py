@@ -67,7 +67,7 @@ from ssb_sgis_spark.operators.raster_ops import (
     rasterize_polygons,
 )
 from ssb_sgis_spark.operators.skew import salted_agg
-from ssb_sgis_spark.operators.multimodal import bmp_stats_oracle_sql
+from ssb_sgis_spark.operators.multimodal import bmp_stats_oracle_sql, png_stats_oracle_sql
 from ssb_sgis_spark.operators.textops import extract_text, geocode_html
 from ssb_sgis_spark.operators.zonal import zonal_stats
 from ssb_sgis_spark.sources.raster import (
@@ -788,6 +788,19 @@ def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synth_bmp_from_ids(docs_df(spark, sf_dir).select("doc_id"))
     return bmp_stats(media)
+
+
+def q_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-image decode, oracle-checked end to end: one REAL
+    zlib-DEFLATE PNG payload per document (filter types cycling 0..4 by
+    row, pixels following the same closed-form law), decoded by the
+    engine's pure numpy+zlib codec inside mapInPandas.  A hash match
+    against the pixel-law oracle proves the DEFLATE round-trip and all
+    five PNG unfilter paths reconstruct every byte."""
+    from ssb_sgis_spark.operators.multimodal import png_stats, synth_png_from_ids
+
+    media = synth_png_from_ids(docs_df(spark, sf_dir).select("doc_id"))
+    return png_stats(media)
 
 
 def q_rep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1703,6 +1716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": q_doc_stats,
         "pii_redact": q_pii_redact,
         "media_stats": q_media_stats,
+        "png_stats": q_png_stats,
         "rep_stats": q_rep_stats,
         "url_stats": q_url_stats,
         "domain_topk": q_domain_topk,
@@ -2138,6 +2152,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pii_redact": _pii_redact_oracle(),
         "media_stats": bmp_stats_oracle_sql("(SELECT doc_id FROM documents)"),
+        "png_stats": png_stats_oracle_sql("(SELECT doc_id FROM documents)"),
         "rep_stats": f"""
             WITH {_TOP_BIGRAM_CTES}
             SELECT toks.doc_id AS doc_id,

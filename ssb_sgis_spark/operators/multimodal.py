@@ -132,13 +132,176 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
     )
 
 
+# ---------------------------------------------------------- PNG codec
+# A REAL compressed-image codec in pure numpy + stdlib zlib: PNG is
+# DEFLATE (stdlib) + per-row byte filters (numpy).  Decoder supports
+# 8-bit greyscale (color 0), RGB (2), palette (3, incl. tRNS alpha),
+# grey+alpha (4) and RGBA (6), all five filter types, multi-IDAT
+# streams.  Adam7 interlace and non-8-bit depths raise cleanly.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse the per-row PNG filters.  Row-sequential by spec; within a
+    row, Sub is a vectorized lane-cumsum and Up is one vector add — only
+    Average/Paeth walk pixels (bpp-wide vector ops per step)."""
+    buf = np.frombuffer(raw, dtype=np.uint8)
+    if len(buf) != h * (stride + 1):
+        raise ValueError("PNG: decompressed size mismatch")
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int64)
+    for y in range(h):
+        base = y * (stride + 1)
+        f = int(buf[base])
+        row = buf[base + 1 : base + 1 + stride].astype(np.int64)
+        if f == 0:
+            cur = row
+        elif f == 1:  # Sub: per-lane cumulative sum mod 256
+            cur = (np.cumsum(row.reshape(-1, bpp), axis=0) % 256).reshape(-1)
+        elif f == 2:  # Up
+            cur = (row + prev) % 256
+        elif f == 3:  # Average
+            cur = np.empty(stride, np.int64)
+            cur[:bpp] = (row[:bpp] + prev[:bpp] // 2) % 256
+            for x in range(bpp, stride, bpp):
+                cur[x : x + bpp] = (
+                    row[x : x + bpp] + (cur[x - bpp : x] + prev[x : x + bpp]) // 2
+                ) % 256
+        elif f == 4:  # Paeth
+            cur = np.empty(stride, np.int64)
+            a = np.zeros(bpp, np.int64)
+            c = np.zeros(bpp, np.int64)
+            for x in range(0, stride, bpp):
+                b = prev[x : x + bpp]
+                p = a + b - c
+                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+                cur[x : x + bpp] = (row[x : x + bpp] + pred) % 256
+                a = cur[x : x + bpp]
+                c = b
+        else:
+            raise ValueError(f"PNG: unknown filter type {f}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out
+
+
+def _decode_png(payload: bytes, *_) -> np.ndarray:
+    """8-bit PNG -> (1, h, w, channels) uint8.  Palette images expand to
+    RGB (or RGBA when a tRNS chunk is present)."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, plte, trns, idat = 8, None, None, None, []
+    while pos + 8 <= len(payload):
+        size, ctype = struct.unpack_from(">I4s", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = np.frombuffer(body, np.uint8)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size  # len + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0:
+        raise ValueError(f"only 8-bit non-interlaced PNG supported (depth={depth})")
+    if interlace != 0:
+        raise ValueError("Adam7 interlaced PNG not supported")
+    ch = _PNG_CHANNELS.get(color)
+    if ch is None:
+        raise ValueError(f"PNG: unknown color type {color}")
+    raw = zlib.decompress(b"".join(idat))
+    img = _png_unfilter(raw, h, w * ch, ch).reshape(h, w, ch)
+    if color == 3:
+        if plte is None:
+            raise ValueError("PNG: palette image missing PLTE")
+        rgb = plte[img[..., 0]]
+        if trns is not None:
+            alpha = np.full(256, 255, np.uint8)
+            alpha[: len(trns)] = trns
+            img = np.concatenate([rgb, alpha[img[..., 0]][..., None]], axis=-1)
+        else:
+            img = rgb
+    return np.ascontiguousarray(img)[None]
+
+
+def encode_png(img: np.ndarray, filters: str = "cycle") -> bytes:
+    """(h, w) or (h, w, c) uint8 (c in 1..4) -> PNG bytes.
+
+    ``filters='cycle'`` applies filter type y % 5 on row y so a single
+    payload exercises every unfilter path; ``'none'`` emits filter 0.
+    """
+    import struct
+    import zlib
+
+    if img.ndim == 2:
+        img = img[..., None]
+    h, w, c = img.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    bpp = c
+    px = img.reshape(h, w * c).astype(np.int64)
+    lines = []
+    prev = np.zeros(w * c, np.int64)
+    for y in range(h):
+        row = px[y]
+        f = (y % 5) if filters == "cycle" else 0
+        left = np.zeros_like(row)
+        left[bpp:] = row[:-bpp]
+        upleft = np.zeros_like(prev)
+        upleft[bpp:] = prev[:-bpp]
+        if f == 0:
+            enc = row
+        elif f == 1:
+            enc = row - left
+        elif f == 2:
+            enc = row - prev
+        elif f == 3:
+            enc = row - (left + prev) // 2
+        else:
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            enc = row - pred
+        lines.append(bytes([f]) + (enc % 256).astype(np.uint8).tobytes())
+        prev = row
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(lines), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 DECODERS = {
     "raw": _decode_raw,
     "bmp": _decode_bmp,   # real: 24-bit uncompressed
     "wav": _decode_wav,   # real: PCM 8/16-bit
+    "png": _decode_png,   # real: DEFLATE via stdlib zlib + numpy unfilter
     # compressed formats intentionally stubbed (no codec libs in env):
     "jpeg": None,
-    "png": None,
     "mp4": None,
 }
 
@@ -335,12 +498,16 @@ def bmp_stats_oracle_sql(ids_rel: str, id_col: str = "doc_id") -> str:
     """DuckDB SQL computing the identical stats straight from the pixel
     law (no decode): the match PROVES decode∘encode is the identity on
     the whole payload, not just on test fixtures."""
+    return _pixel_stats_oracle_sql(ids_rel, id_col, BMP_NPIX)
+
+
+def _pixel_stats_oracle_sql(ids_rel: str, id_col: str, npix: int) -> str:
     return f"""
         WITH px AS (
           SELECT {id_col},
                  i % 3 AS ch,
                  ({id_col} * {PIX_A} + i * {PIX_B}) % 256 AS v
-          FROM {ids_rel}, unnest(range({BMP_NPIX})) AS r(i)
+          FROM {ids_rel}, unnest(range({npix})) AS r(i)
         ),
         mom AS (
           SELECT {id_col},
@@ -351,10 +518,83 @@ def bmp_stats_oracle_sql(ids_rel: str, id_col: str = "doc_id") -> str:
           FROM px GROUP BY {id_col}
         )
         SELECT {id_col},
-               CAST(trunc(CAST(sr AS DOUBLE) / {BMP_NPIX // 3} * 1000) AS BIGINT) AS mean_r_x1000,
-               CAST(trunc(CAST(sg AS DOUBLE) / {BMP_NPIX // 3} * 1000) AS BIGINT) AS mean_g_x1000,
-               CAST(trunc(CAST(sb AS DOUBLE) / {BMP_NPIX // 3} * 1000) AS BIGINT) AS mean_b_x1000,
-               CAST(trunc(sqrt(CAST(sx2 AS DOUBLE) / {BMP_NPIX}
-                    - (CAST(sx AS DOUBLE) / {BMP_NPIX}) * (CAST(sx AS DOUBLE) / {BMP_NPIX})) * 1000) AS BIGINT) AS std_x1000
+               CAST(trunc(CAST(sr AS DOUBLE) / {npix // 3} * 1000) AS BIGINT) AS mean_r_x1000,
+               CAST(trunc(CAST(sg AS DOUBLE) / {npix // 3} * 1000) AS BIGINT) AS mean_g_x1000,
+               CAST(trunc(CAST(sb AS DOUBLE) / {npix // 3} * 1000) AS BIGINT) AS mean_b_x1000,
+               CAST(trunc(sqrt(CAST(sx2 AS DOUBLE) / {npix}
+                    - (CAST(sx AS DOUBLE) / {npix}) * (CAST(sx AS DOUBLE) / {npix})) * 1000) AS BIGINT) AS std_x1000
         FROM mom
     """
+
+
+# --------------------------------------------------- oracle-ready PNG stats
+# Same closed-form pixel law over a DIFFERENT geometry (odd width so the
+# Sub/Average/Paeth lanes are misaligned with the BMP case) and the
+# filter-cycling encoder, so the oracle-checked query walks every one of
+# the five PNG unfilter paths through real DEFLATE bytes.
+PNG_W, PNG_H, PNG_C = 19, 13, 3
+PNG_NPIX = PNG_W * PNG_H * PNG_C
+
+
+def synth_png_from_ids(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id) -> (id, payload): REAL zlib-compressed PNG bytes (filter
+    types cycling 0..4 by row) whose pixels follow the closed-form law."""
+    schema = T.StructType(
+        [df.schema[id_col], T.StructField("payload", T.BinaryType())]
+    )
+
+    def kernel(it):
+        idx = np.arange(PNG_NPIX, dtype=np.int64)
+        for pdf in it:
+            ids = pdf[id_col].to_numpy()
+            payloads = []
+            for mid in ids:
+                v = ((int(mid) * PIX_A + idx * PIX_B) % 256).astype(np.uint8)
+                payloads.append(
+                    encode_png(v.reshape(PNG_H, PNG_W, PNG_C), filters="cycle")
+                )
+            yield pd.DataFrame({id_col: ids, "payload": payloads})
+
+    return df.select(id_col).mapInPandas(kernel, schema=schema)
+
+
+def png_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Decode real PNG payloads and emit the same integer-moment stats as
+    ``bmp_stats`` (shared float discipline: one division, one multiply,
+    one subtract, one sqrt — each correctly rounded)."""
+    import math
+
+    schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("mean_r_x1000", T.LongType()),
+            T.StructField("mean_g_x1000", T.LongType()),
+            T.StructField("mean_b_x1000", T.LongType()),
+            T.StructField("std_x1000", T.LongType()),
+        ]
+    )
+    n = PNG_NPIX
+    nc = n // 3
+
+    def kernel(it):
+        for pdf in it:
+            rows = {k.name: [] for k in schema.fields}
+            for mid, payload in zip(pdf[id_col], pdf["payload"]):
+                a = _decode_png(bytes(payload))[0].reshape(-1, 3).astype(np.int64)
+                rows[id_col].append(mid)
+                for ch, key in enumerate(("mean_r_x1000", "mean_g_x1000", "mean_b_x1000")):
+                    rows[key].append(int(int(a[:, ch].sum()) / nc * 1000))
+                sx = int(a.sum())
+                sx2 = int((a * a).sum())
+                m = sx / n
+                std = math.sqrt(sx2 / n - m * m)
+                rows["std_x1000"].append(int(std * 1000))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(kernel, schema=schema)
+
+
+def png_stats_oracle_sql(ids_rel: str, id_col: str = "doc_id") -> str:
+    """Same pixel-law oracle as BMP's: a hash match proves the zlib
+    round-trip AND all five unfilter paths reconstruct every byte."""
+    return _pixel_stats_oracle_sql(ids_rel, id_col, PNG_NPIX)
