@@ -276,6 +276,52 @@ def q_grid_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return add_grid_id(pages_df(spark, sf_dir), gridsize=1000).select("uid", "SSBID")
 
 
+# reproject: shared affine pages(x, y) -> lon/lat (same SQL text runs in
+# both engines), then the Krüger / Web-Mercator kernels forward-project
+# — Spark via the Arrow pandas-UDF numpy path (the real operator), the
+# oracle via the independent exp/ln SQL mirror of the same series.
+# cm-integer rounding absorbs the <4e-9 m libm drift (test_conversion).
+_REPROJ_LON = "(4.0 + (x - 200000.0) / 160000.0 * 26.0)"
+_REPROJ_LAT = "(57.0 + (y - 6560000.0) / 160000.0 * 14.0)"
+
+
+def q_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-CRS reprojection (SURVEY §2.1/§2.13; reference
+    conversion.py:59-72 + general.py:28-77 accept any CRS): lon/lat to
+    ETRS89/UTM32 (EPSG:25832) and Web-Mercator (EPSG:3857) in one
+    map-only pass — two Arrow-batched numpy kernels, no shuffle."""
+    from ssb_sgis_spark.operators.conversion import transform_coords
+
+    ll = pages_df(spark, sf_dir).select(
+        "uid",
+        F.expr(_REPROJ_LON).alias("lon"),
+        F.expr(_REPROJ_LAT).alias("lat"),
+    )
+    utm = transform_coords(ll, 4326, 25832, "lon", "lat", "e32", "n32")
+    wm = transform_coords(utm, 4326, 3857, "lon", "lat", "wmx", "wmy")
+    cm = lambda c: F.expr(f"CAST(round({c} * 100, 0) AS BIGINT)").alias(f"{c}_cm")
+    return wm.select("uid", cm("e32"), cm("n32"), cm("wmx"), cm("wmy"))
+
+
+def _reproject_oracle() -> str:
+    from ssb_sgis_spark.kernels import proj
+
+    e32, n32 = proj.tm_forward_sql("lon", "lat", proj.utm_zone_lon0(32))
+    wmx, wmy = proj.webmercator_forward_sql("lon", "lat")
+    return f"""
+        WITH pages AS ({pages_sql()}),
+        ll AS (
+          SELECT uid, {_REPROJ_LON} AS lon, {_REPROJ_LAT} AS lat FROM pages
+        )
+        SELECT uid,
+               CAST(round(({e32}) * 100, 0) AS BIGINT) AS e32_cm,
+               CAST(round(({n32}) * 100, 0) AS BIGINT) AS n32_cm,
+               CAST(round(({wmx}) * 100, 0) AS BIGINT) AS wmx_cm,
+               CAST(round(({wmy}) * 100, 0) AS BIGINT) AS wmy_cm
+        FROM ll
+    """
+
+
 def q_cell_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quadtree Morton cell assignment (the engine's H3/S2-equivalent
     partition key) at res 13 — SURVEY §2.9 tiling layer."""
@@ -1685,6 +1731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_join": q_pip_join,
         "pip_count_by_muni": q_pip_count_by_muni,
         "grid_id": q_grid_id,
+        "reproject": q_reproject,
         "areal_ssb": q_areal_ssb,
         "cell_index": q_cell_index,
         "cell_pyramid": q_cell_pyramid,
@@ -1999,6 +2046,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_count_by_muni": _pip_oracle(
             "SELECT muni_id, count(*) AS n_pages FROM hits GROUP BY muni_id"
         ),
+        "reproject": _reproject_oracle(),
         "grid_id": f"""
             WITH pages AS ({pages})
             SELECT uid, {ssb_grid_id_sql('x', 'y', 1000)} AS SSBID FROM pages

@@ -1,25 +1,32 @@
-"""Transverse-Mercator projection for UTM zone 33 (the reference's
-native CRS: EPSG:25833, ETRS89 / UTM 33N — ``conversion.py``'s
-``get_utm33`` / ``get_lonlat``).
+"""Map projections: parameterized transverse Mercator (any UTM zone on
+GRS80) and spherical Web-Mercator.
 
-Pure-numpy Krüger series on the GRS80 ellipsoid (public formulas —
-Krüger 1912 as summarized in Karney, "Transverse Mercator with an
-accuracy of a few nanometers", J. Geodesy 2011; series truncated at
-n^4, which keeps every UTM-extent error below ~0.2 mm).  Vectorized:
-arrays in, arrays out — the Spark surface wraps these in an
-Arrow-batched pandas UDF, never per-row Python.
+The reference accepts any pyproj CRS on every frame
+(``geopandas_tools/general.py:28-77`` get_common_crs;
+``conversion.py:59-72`` get_utm33/get_lonlat delegate to pyproj).  This
+engine carries its own pure-numpy Krüger-series kernel instead (public
+formulas — Krüger 1912 as summarized in Karney, "Transverse Mercator
+with an accuracy of a few nanometers", J. Geodesy 2011; series truncated
+at n^4, which keeps every UTM-extent error below ~0.2 mm), parameterized
+by central meridian so one kernel serves UTM zones 32/33/34/35 (EPSG
+25832-25835 — all of Norway) and any other zone.  EPSG:3857
+(spherical Web-Mercator, the web-tile CRS) is closed-form.
+
+Vectorized: arrays in, arrays out — the Spark surface wraps these in
+Arrow-batched pandas UDFs, never per-row Python.  ``tm_forward_sql``
+emits a DuckDB mirror of the forward series (hyperbolics via exp/ln —
+the sandbox DuckDB has none) so reprojections are oracle-checkable.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-# GRS80 (EPSG:25833's ellipsoid)
+# GRS80 (the ETRS89 / EPSG:258xx ellipsoid)
 _A = 6378137.0
 _F = 1.0 / 298.257222101
 _K0 = 0.9996
 _E0 = 500_000.0
-_LON0 = 15.0  # zone 33 central meridian
 
 _N = _F / (2.0 - _F)
 _N2, _N3, _N4 = _N * _N, _N**3, _N**4
@@ -49,12 +56,20 @@ _DELTA = (
 )
 
 
-def lonlat_to_utm33(lon, lat):
-    """(lon°, lat°) -> (easting, northing) in EPSG:25833, vectorized."""
+def utm_zone_lon0(zone: int) -> float:
+    """Central meridian of a UTM zone (degrees east)."""
+    if not 1 <= int(zone) <= 60:
+        raise ValueError(f"UTM zone must be 1..60, got {zone}")
+    return 6.0 * int(zone) - 183.0
+
+
+def lonlat_to_tm(lon, lat, lon0: float):
+    """(lon°, lat°) -> transverse-Mercator (easting, northing) about the
+    central meridian ``lon0``, GRS80, k0=0.9996, 500 km false easting."""
     lon = np.asarray(lon, dtype=np.float64)
     lat = np.asarray(lat, dtype=np.float64)
     phi = np.radians(lat)
-    lam = np.radians(lon - _LON0)
+    lam = np.radians(lon - lon0)
 
     # conformal latitude
     s = np.sin(phi)
@@ -71,8 +86,9 @@ def lonlat_to_utm33(lon, lat):
     return _E0 + _K0 * _AR * y, _K0 * _AR * x
 
 
-def utm33_to_lonlat(e, n):
-    """(easting, northing) EPSG:25833 -> (lon°, lat°), vectorized."""
+def tm_to_lonlat(e, n, lon0: float):
+    """Transverse-Mercator (easting, northing) about ``lon0`` ->
+    (lon°, lat°), vectorized."""
     e = np.asarray(e, dtype=np.float64)
     n = np.asarray(n, dtype=np.float64)
     xi = n / (_K0 * _AR)
@@ -88,4 +104,104 @@ def utm33_to_lonlat(e, n):
     for j, d in enumerate(_DELTA, start=1):
         phi += d * np.sin(2 * j * chi)
     lam = np.arctan2(np.sinh(yp), np.cos(xp))
-    return _LON0 + np.degrees(lam), np.degrees(phi)
+    return lon0 + np.degrees(lam), np.degrees(phi)
+
+
+def lonlat_to_utm(lon, lat, zone: int):
+    """(lon°, lat°) -> (easting, northing) in ETRS89 / UTM ``zone`` N."""
+    return lonlat_to_tm(lon, lat, utm_zone_lon0(zone))
+
+
+def utm_to_lonlat(e, n, zone: int):
+    """(easting, northing) in ETRS89 / UTM ``zone`` N -> (lon°, lat°)."""
+    return tm_to_lonlat(e, n, utm_zone_lon0(zone))
+
+
+# zone-33 wrappers (the reference's native CRS, EPSG:25833) — kept as
+# named entry points because the whole engine defaults to them.
+_LON0 = utm_zone_lon0(33)
+
+
+def lonlat_to_utm33(lon, lat):
+    """(lon°, lat°) -> (easting, northing) in EPSG:25833, vectorized."""
+    return lonlat_to_tm(lon, lat, _LON0)
+
+
+def utm33_to_lonlat(e, n):
+    """(easting, northing) EPSG:25833 -> (lon°, lat°), vectorized."""
+    return tm_to_lonlat(e, n, _LON0)
+
+
+# ------------------------------------------------------- Web-Mercator
+# EPSG:3857: spherical Mercator on the WGS84 major axis (the standard
+# web-tile CRS).  Closed-form; |lat| must stay below ~85.051°.
+_R_MERC = 6378137.0
+
+
+def lonlat_to_webmercator(lon, lat):
+    """(lon°, lat°) -> EPSG:3857 (x, y) metres, vectorized."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    x = _R_MERC * np.radians(lon)
+    y = _R_MERC * np.log(np.tan(np.pi / 4.0 + np.radians(lat) / 2.0))
+    return x, y
+
+
+def webmercator_to_lonlat(x, y):
+    """EPSG:3857 (x, y) -> (lon°, lat°), vectorized."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    lon = np.degrees(x / _R_MERC)
+    lat = np.degrees(2.0 * np.arctan(np.exp(y / _R_MERC)) - np.pi / 2.0)
+    return lon, lat
+
+
+# ------------------------------------------------- DuckDB SQL mirrors
+# The sandbox DuckDB has no sinh/cosh/atanh/asinh; express them via
+# exp/ln.  The mirrors track the numpy kernels to a few ulp — callers
+# round to integer centimetres, far above the drift and far below any
+# wrong-meridian error (~100 km).
+
+
+def _sql_sinh(x: str) -> str:
+    return f"((exp({x}) - exp(-({x}))) / 2)"
+
+
+def _sql_cosh(x: str) -> str:
+    return f"((exp({x}) + exp(-({x}))) / 2)"
+
+
+def _sql_atanh(x: str) -> str:
+    return f"(0.5 * ln((1 + ({x})) / (1 - ({x}))))"
+
+
+def _sql_asinh(x: str) -> str:
+    return f"ln(({x}) + sqrt(({x})*({x}) + 1))"
+
+
+def tm_forward_sql(lon: str, lat: str, lon0: float) -> tuple[str, str]:
+    """(easting_sql, northing_sql) mirroring :func:`lonlat_to_tm` about
+    ``lon0`` — same series, same constants, hyperbolics via exp/ln."""
+    phi = f"radians({lat})"
+    lam = f"radians(({lon}) - {lon0!r})"
+    s = f"sin({phi})"
+    c = 2 * np.sqrt(_N) / (1 + _N)
+    t = _sql_sinh(f"{_sql_atanh(s)} - {c!r} * {_sql_atanh(f'{c!r} * {s}')}")
+    xi = f"atan2({t}, cos({lam}))"
+    eta = _sql_asinh(f"sin({lam}) / sqrt(({t})*({t}) + cos({lam})*cos({lam}))")
+    x_terms = [xi]
+    y_terms = [eta]
+    for j, a in enumerate(_ALPHA, start=1):
+        x_terms.append(f"{a!r} * sin(2*{j}*({xi})) * {_sql_cosh(f'2*{j}*({eta})')}")
+        y_terms.append(f"{a!r} * cos(2*{j}*({xi})) * {_sql_sinh(f'2*{j}*({eta})')}")
+    x = " + ".join(x_terms)
+    y = " + ".join(y_terms)
+    return f"({_E0!r} + {_K0 * _AR!r} * ({y}))", f"({_K0 * _AR!r} * ({x}))"
+
+
+def webmercator_forward_sql(lon: str, lat: str) -> tuple[str, str]:
+    """(x_sql, y_sql) mirroring :func:`lonlat_to_webmercator`."""
+    return (
+        f"({_R_MERC!r} * radians({lon}))",
+        f"({_R_MERC!r} * ln(tan({np.pi / 4.0!r} + radians({lat}) / 2)))",
+    )

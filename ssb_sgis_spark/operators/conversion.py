@@ -118,46 +118,138 @@ def to_geom_df(
 
 
 # ---------------------------------------------------------------------------
-# CRS transforms (reference ``conversion.py:59-72`` get_utm33 / get_lonlat).
+# CRS transforms (reference ``conversion.py:59-72`` get_utm33 / get_lonlat,
+# ``general.py:28-77`` get_common_crs).
 #
 # The reference delegates to pyproj; this engine carries its own
-# pure-numpy Krueger-series transverse-Mercator kernel for the
-# reference's native CRS (EPSG:25833, UTM zone 33N on GRS80) — see
-# :mod:`..kernels.proj`.  Driver-side scalars/arrays below mirror the
-# reference call shape; ``project_to_utm33`` / ``project_to_lonlat``
+# pure-numpy Krueger-series transverse-Mercator kernel parameterized by
+# central meridian — see :mod:`..kernels.proj` — so any UTM zone on
+# GRS80 is one registry entry.  Registered out of the box: EPSG:4326
+# (lon/lat), EPSG:25832-25835 (ETRS89 / UTM 32-35N: all of Norway), and
+# EPSG:3857 (Web-Mercator, the web-tile CRS).  Driver-side
+# scalars/arrays below mirror the reference call shape;
+# ``transform_coords`` / ``project_to_utm33`` / ``project_to_lonlat``
 # are the scale path (Arrow-batched pandas UDF over x/y columns).
 # ---------------------------------------------------------------------------
 
+# EPSG -> (from_lonlat, to_lonlat); each fn is vectorized arrays->arrays.
+
+
+def _identity2(a, b):
+    return np.asarray(a, np.float64), np.asarray(b, np.float64)
+
+
+CRS_REGISTRY: dict[int, tuple] = {
+    4326: (_identity2, _identity2),
+    3857: (proj.lonlat_to_webmercator, proj.webmercator_to_lonlat),
+}
+for _zone in (32, 33, 34, 35):
+    CRS_REGISTRY[25800 + _zone] = (
+        (lambda lon, lat, z=_zone: proj.lonlat_to_utm(lon, lat, z)),
+        (lambda e, n, z=_zone: proj.utm_to_lonlat(e, n, z)),
+    )
+
+
+def register_utm_crs(epsg: int, zone: int) -> None:
+    """Register another transverse-Mercator CRS (e.g. 32633 for
+    WGS84/UTM33 — GRS80 vs WGS84 ellipsoid difference is sub-mm)."""
+    CRS_REGISTRY[int(epsg)] = (
+        (lambda lon, lat, z=int(zone): proj.lonlat_to_utm(lon, lat, z)),
+        (lambda e, n, z=int(zone): proj.utm_to_lonlat(e, n, z)),
+    )
+
+
+def _crs_fns(crs: int) -> tuple:
+    try:
+        return CRS_REGISTRY[int(crs)]
+    except KeyError:
+        raise NotImplementedError(
+            f"EPSG:{crs} is not registered; supported: "
+            f"{sorted(CRS_REGISTRY)} (use register_utm_crs for other "
+            "transverse-Mercator zones)"
+        ) from None
+
+
+def get_common_crs(*crs_values, strict: bool = True):
+    """The single CRS shared by the inputs (reference ``general.py:28-77``):
+    Nones are ignored; conflicting values raise; all-None raises when
+    ``strict``.  Accepts ints or objects with a ``crs`` attribute."""
+    seen = set()
+    for v in crs_values:
+        v = getattr(v, "crs", v)
+        if v is None:
+            continue
+        seen.add(int(v))
+    if not seen:
+        if strict:
+            raise ValueError("no CRS found on any input")
+        return None
+    if len(seen) > 1:
+        raise ValueError(f"conflicting CRS on inputs: {sorted(seen)}")
+    return seen.pop()
+
+
+def _maybe_scalar(out_a, out_b, in_a):
+    if np.ndim(out_a) == 0 or (np.ndim(in_a) == 0 and np.asarray(out_a).size == 1):
+        return (
+            float(np.asarray(out_a).reshape(-1)[0]),
+            float(np.asarray(out_b).reshape(-1)[0]),
+        )
+    return out_a, out_b
+
 
 def get_utm33(lon, lat, crs: int = 25833):
-    """lon/lat degrees (EPSG:4326) -> EPSG:25833 easting/northing.
+    """lon/lat degrees (EPSG:4326) -> easting/northing in ``crs``
+    (default EPSG:25833, the reference's native CRS).
 
     Mirrors reference ``conversion.py:59`` (scalar in, scalar out;
-    arrays also accepted).  Only zone 33N is implemented — the only CRS
-    the reference ever passes.
+    arrays also accepted).  Any registered CRS works.
     """
-    if int(crs) != 25833:
-        raise NotImplementedError(f"only EPSG:25833 is supported, got {crs}")
-    e, n = proj.lonlat_to_utm33(lon, lat)
-    if np.ndim(e) == 0 or (np.ndim(lon) == 0 and e.size == 1):
-        return float(np.asarray(e).reshape(-1)[0]), float(np.asarray(n).reshape(-1)[0])
-    return e, n
+    fwd, _ = _crs_fns(crs)
+    e, n = fwd(lon, lat)
+    return _maybe_scalar(e, n, lon)
 
 
 def get_lonlat(x, y, crs: int = 25833):
-    """EPSG:25833 easting/northing -> lon/lat degrees (EPSG:4326).
+    """``crs`` easting/northing -> lon/lat degrees (EPSG:4326).
 
     Mirrors reference ``conversion.py:67``.
     """
-    if int(crs) != 25833:
-        raise NotImplementedError(f"only EPSG:25833 is supported, got {crs}")
-    lon, lat = proj.utm33_to_lonlat(x, y)
-    if np.ndim(lon) == 0 or (np.ndim(x) == 0 and lon.size == 1):
-        return (
-            float(np.asarray(lon).reshape(-1)[0]),
-            float(np.asarray(lat).reshape(-1)[0]),
-        )
-    return lon, lat
+    _, inv = _crs_fns(crs)
+    lon, lat = inv(x, y)
+    return _maybe_scalar(lon, lat, x)
+
+
+def transform_coords_np(x, y, from_crs: int, to_crs: int):
+    """Vectorized reprojection between any two registered CRS, composing
+    inverse(from) then forward(to) through lon/lat."""
+    if int(from_crs) == int(to_crs):
+        return np.asarray(x, np.float64), np.asarray(y, np.float64)
+    _, inv = _crs_fns(from_crs)
+    fwd, _ = _crs_fns(to_crs)
+    lon, lat = inv(x, y)
+    return fwd(lon, lat)
+
+
+def transform_coords(
+    df: DataFrame,
+    from_crs: int,
+    to_crs: int,
+    x_col: str = "x",
+    y_col: str = "y",
+    out_x: str | None = None,
+    out_y: str | None = None,
+) -> DataFrame:
+    """Scale path: reproject coordinate columns between any two
+    registered CRS with one Arrow-batched numpy kernel per chunk —
+    map-only, no shuffle, no per-row Python.  Defaults to overwriting
+    the input columns (reference ``to_crs`` semantics)."""
+    _crs_fns(from_crs), _crs_fns(to_crs)  # fail fast on the driver
+
+    def fn(x, y):
+        return transform_coords_np(x, y, from_crs, to_crs)
+
+    return _project_cols(df, x_col, y_col, out_x or x_col, out_y or y_col, fn)
 
 
 def _project_cols(df: DataFrame, x_col: str, y_col: str, out_x: str, out_y: str, fn):
@@ -166,8 +258,16 @@ def _project_cols(df: DataFrame, x_col: str, y_col: str, out_x: str, out_y: str,
         a, b = fn(x.to_numpy(np.float64), y.to_numpy(np.float64))
         return pd.DataFrame({"x": a, "y": b})
 
+    # materialize the struct ONCE from the ORIGINAL columns: chaining
+    # withColumn(out_x, s["x"]).withColumn(out_y, s["y"]) would both run
+    # the UDF twice and — when out_x == x_col (in-place reprojection) —
+    # feed the second call the already-transformed x
     s = tx(F.col(x_col), F.col(y_col))
-    return df.withColumn(out_x, s["x"]).withColumn(out_y, s["y"])
+    return (
+        df.withColumn("__tx", s)
+        .withColumns({out_x: F.col("__tx.x"), out_y: F.col("__tx.y")})
+        .drop("__tx")
+    )
 
 
 def project_to_utm33(

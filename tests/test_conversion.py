@@ -190,3 +190,126 @@ def test_coordinate_array_points_and_non_points(spark):
     assert list(arr[0]) == [1.0, 2.0]
     assert np.isnan(arr[1]).all()
     assert list(arr[2]) == [3.0, 4.0]
+
+
+# ---------------------------------------------------------------------------
+# Multi-CRS (round 4): parameterized Krüger kernel — UTM zones 32/34/35
+# (EPSG:25832/25834/25835), Web-Mercator (EPSG:3857), get_common_crs
+# (reference general.py:28-77), and the any-to-any transform_coords path.
+# ---------------------------------------------------------------------------
+
+import duckdb
+
+from ssb_sgis_spark.operators.conversion import (
+    get_common_crs,
+    register_utm_crs,
+    transform_coords,
+    transform_coords_np,
+)
+
+
+@pytest.mark.parametrize("zone,lon_lo,lon_hi", [(32, 3.0, 12.0), (34, 15.0, 24.0), (35, 21.0, 30.0)])
+def test_utm_zone_roundtrip_ulp_level(zone, lon_lo, lon_hi):
+    """Mirrors test_utm33_roundtrip_ulp_level for the other Norwegian
+    zones: forward+inverse must agree to ~0.1 mm over the zone extent."""
+    rng = np.random.default_rng(zone)
+    lon = rng.uniform(lon_lo, lon_hi, 1000)
+    lat = rng.uniform(55.0, 72.0, 1000)
+    e, n = proj.lonlat_to_utm(lon, lat, zone)
+    lon2, lat2 = proj.utm_to_lonlat(e, n, zone)
+    assert np.abs(lon2 - lon).max() < 1e-9
+    assert np.abs(lat2 - lat).max() < 1e-9
+
+
+def test_utm_zone_meridian_anchor():
+    """On each zone's own central meridian the easting is exactly the
+    false easting and the northing equals the zone-33 value (the meridian
+    arc depends only on latitude)."""
+    _, n33 = proj.lonlat_to_utm(15.0, 60.0, 33)
+    for zone in (32, 34, 35):
+        lon0 = proj.utm_zone_lon0(zone)
+        e, n = proj.lonlat_to_utm(lon0, 60.0, zone)
+        assert e == 500_000.0
+        assert abs(n - n33) < 1e-9
+    with pytest.raises(ValueError):
+        proj.utm_zone_lon0(0)
+
+
+def test_webmercator_anchors_and_roundtrip():
+    # lon 180 -> the canonical 20037508.342789244 m bound; equator -> y=0
+    x, y = proj.lonlat_to_webmercator(180.0, 0.0)
+    assert abs(x - 20037508.342789244) < 1e-6 and y == 0.0
+    rng = np.random.default_rng(3)
+    lon = rng.uniform(-179.0, 179.0, 1000)
+    lat = rng.uniform(-84.0, 84.0, 1000)
+    lon2, lat2 = proj.webmercator_to_lonlat(*proj.lonlat_to_webmercator(lon, lat))
+    assert np.abs(lon2 - lon).max() < 1e-9
+    assert np.abs(lat2 - lat).max() < 1e-9
+
+
+def test_get_common_crs_reference_semantics():
+    class _Obj:
+        def __init__(self, crs):
+            self.crs = crs
+
+    assert get_common_crs(25833, None, _Obj(25833)) == 25833
+    with pytest.raises(ValueError):
+        get_common_crs(25832, 25833)
+    with pytest.raises(ValueError):
+        get_common_crs(None, None)
+    assert get_common_crs(None, strict=False) is None
+
+
+def test_register_utm_crs_and_any_to_any():
+    # WGS84/UTM33 (EPSG:32633): GRS80 vs WGS84 is sub-mm, same kernel
+    register_utm_crs(32633, 33)
+    e, n = transform_coords_np(10.75, 59.91, 4326, 32633)
+    e33, n33 = proj.lonlat_to_utm33(10.75, 59.91)
+    assert float(e) == float(e33) and float(n) == float(n33)
+    # 25833 -> 25832 composes inverse(33) then forward(32)
+    e32, n32 = transform_coords_np(np.array([e33]), np.array([n33]), 25833, 25832)
+    lon, lat = proj.utm_to_lonlat(e32, n32, 32)
+    assert abs(float(lon) - 10.75) < 1e-9 and abs(float(lat) - 59.91) < 1e-9
+    with pytest.raises(NotImplementedError):
+        transform_coords_np(0.0, 0.0, 4326, 99999)
+
+
+def test_transform_coords_spark_matches_kernel(spark):
+    lon = [5.5, 10.75, 20.0, 30.9]
+    lat = [58.0, 59.91, 65.5, 70.9]
+    df = spark.createDataFrame(list(zip(lon, lat)), "x double, y double")
+    for to_crs in (25832, 25834, 3857):
+        rows = transform_coords(df, 4326, to_crs).orderBy("x").collect()
+        # orderBy("x") on the OUTPUT x: monotone with lon for all these CRS
+        ex, ey = transform_coords_np(np.array(lon), np.array(lat), 4326, to_crs)
+        assert np.array_equal(np.array([r.x for r in rows]), ex)
+        assert np.array_equal(np.array([r.y for r in rows]), ey)
+    # same-CRS is a typed no-op
+    same = transform_coords(df, 25833, 25833).orderBy("x").collect()
+    assert [r.x for r in same] == sorted(lon)
+
+
+def test_tm_forward_sql_mirror_tracks_kernel():
+    """The DuckDB mirror of the forward Krüger series (hyperbolics via
+    exp/ln) must track the numpy kernel to nanometres — that is what
+    makes the reproject oracle query hash-stable at cm rounding."""
+    rng = np.random.default_rng(11)
+    lon = rng.uniform(3.0, 31.0, 5000)
+    lat = rng.uniform(55.0, 72.0, 5000)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT unnest(?) AS lon, unnest(?) AS lat",
+        [lon.tolist(), lat.tolist()],
+    )
+    for zone in (32, 33, 35):
+        lon0 = proj.utm_zone_lon0(zone)
+        esql, nsql = proj.tm_forward_sql("lon", "lat", lon0)
+        got = con.execute(f"SELECT {esql} AS e, {nsql} AS n FROM t").fetchnumpy()
+        e, n = proj.lonlat_to_tm(lon, lat, lon0)
+        assert np.abs(got["e"] - e).max() < 1e-7
+        assert np.abs(got["n"] - n).max() < 1e-7
+    xs, ys = proj.webmercator_forward_sql("lon", "lat")
+    got = con.execute(f"SELECT {xs} AS x, {ys} AS y FROM t").fetchnumpy()
+    x, y = proj.lonlat_to_webmercator(lon, lat)
+    assert np.abs(got["x"] - x).max() < 1e-7
+    assert np.abs(got["y"] - y).max() < 1e-7
