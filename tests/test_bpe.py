@@ -110,3 +110,77 @@ def test_bpe_token_stats_match_python_encode(spark):
     }
     assert got == want
     assert got[2] == (0, 0)
+
+
+# ---------------------------------------------------------------------------
+# Batched merges (round 4): top-M symbol-disjoint picks per Spark round
+# ---------------------------------------------------------------------------
+
+_PARITY_TEXTS = [
+    "the quick brown fox jumps over the lazy dog",
+    "pack my box with five dozen liquor jugs",
+    "how vexingly quick daft zebras jump",
+    "the five boxing wizards jump quickly",
+    "sphinx of black quartz judge my vow",
+    "the jay pig fox zebra and my wolves quack",
+] * 5
+
+
+def test_bpe_batched_parity_with_sequential(spark):
+    """batch=6 must produce the identical merge table (ranks, pairs AND
+    counts) as the exact sequential loop on this corpus."""
+    df = spark.createDataFrame([(t,) for t in _PARITY_TEXTS], "text string")
+    seq = [
+        (r.merge_rank, r.left_sym, r.right_sym, r.pair_count)
+        for r in bpe_merges(df, 24).orderBy("merge_rank").collect()
+    ]
+    bat = [
+        (r.merge_rank, r.left_sym, r.right_sym, r.pair_count)
+        for r in bpe_merges(df, 24, batch=6).orderBy("merge_rank").collect()
+    ]
+    assert bat == seq
+    assert seq == _bpe_ref(_PARITY_TEXTS, 24)
+
+
+def test_bpe_batched_round_reduction(spark):
+    """The whole point: driver round-trips collapse by ~the average
+    batch fill.  On this corpus 24 merges must take <= 8 rounds."""
+    from ssb_sgis_spark.operators.bpe import _train
+
+    df = spark.createDataFrame([(t,) for t in _PARITY_TEXTS], "text string")
+    _, _, rounds_seq = _train(df, 12, "text", batch=1)
+    assert rounds_seq == 12
+    merges, _, rounds = _train(df, 24, "text", batch=8)
+    assert len(merges) == 24
+    assert rounds <= 8
+
+
+def test_bpe_greedy_strategy_more_rounds_collapsed(spark):
+    """strategy='greedy' (skip past conflicts) fills batches fuller than
+    'prefix'.  It is an order-heuristic (tie reorders can cascade into a
+    different — equally-frequent — merge inventory), so assert only its
+    contract: full merge count, big round collapse, the unambiguous
+    first argmax, and within-batch symbol-disjointness."""
+    from ssb_sgis_spark.operators.bpe import _train
+
+    df = spark.createDataFrame([(t,) for t in _PARITY_TEXTS], "text string")
+    seq, _, _ = _train(df, 8, "text", batch=1)
+    grd, _, rounds_g = _train(df, 24, "text", batch=8, strategy="greedy")
+    assert len(grd) == 24
+    assert rounds_g <= 6  # fuller batches than the prefix rule's 8
+    assert grd[0][1:] == seq[0][1:]  # rank-1 argmax is strategy-free
+    assert [r for r, *_ in grd] == list(range(1, 25))
+    assert all(c > 0 for *_, c in grd)
+    with pytest.raises(ValueError, match="strategy"):
+        _train(df, 2, "text", batch=2, strategy="bogus")
+
+
+def test_bpe_batched_overlap_skipped_not_merged_wrong(spark):
+    """A batch never contains two pairs sharing a symbol — 'aaaa' at
+    batch=4 must still fold greedily exactly like sequential."""
+    df = spark.createDataFrame([("aaaa aaaa b",)], "text string")
+    out = bpe_merges(df, 2, batch=4).orderBy("merge_rank").collect()
+    assert (out[0].left_sym, out[0].right_sym, out[0].pair_count) == ("a", "a", 6)
+    assert (out[1].left_sym, out[1].right_sym, out[1].pair_count) == (
+        "aa", "aa", 2,
+    )
