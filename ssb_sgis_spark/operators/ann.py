@@ -134,6 +134,7 @@ def cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_blocks: int = 4,
+    max_rows: int | None = 2_000_000,
 ) -> DataFrame:
     """EXACT embedding-cosine near-duplicate pairs: every (a, b) with
     ``a < b`` and ``cos(a, b) >= threshold``.
@@ -148,8 +149,26 @@ def cosine_pairs(
     all-pairs layout; raise ``n_blocks`` with corpus size so each block
     fits an executor's memory.  For 10^12-row corpora use
     :func:`cosine_pairs_lsh` (candidates only where hashes collide).
+
+    ``max_rows`` is the scale guard (same pattern as ``knn``'s
+    ``broadcast_threshold`` routing count): the exact variant is O(n^2)
+    dot products by construction, and above the default 2M rows that is
+    >= 2e12 multiply-adds per dim — a mis-call, not a plan.  The guard
+    refuses with the LSH alternative spelled out rather than silently
+    launching a quadratic job; pass ``max_rows=None`` for a deliberate
+    exact run at any size.
     """
     nb = int(n_blocks)
+    if max_rows is not None:
+        n = vectors.count()
+        if n > int(max_rows):
+            raise ValueError(
+                f"cosine_pairs is the EXACT all-pairs variant (O(n^2) dot "
+                f"products); input has {n:,} rows > max_rows={int(max_rows):,}. "
+                "Use cosine_pairs_lsh (banded candidates, same threshold "
+                "semantics) for large corpora, or pass max_rows=None to force "
+                "an exact run."
+            )
     id_type = vectors.schema[id_col].dataType.simpleString()
     v = vectors.select(
         F.col(id_col).alias("_vid"), _as_double(F.col(vec_col)).alias("_v")

@@ -193,8 +193,34 @@ def get_connected_components(
 
 
 # ------------------------------------------------------------ graph queries
+# Dijkstra-family queries ship the WHOLE edge list to the driver and
+# broadcast it (the reference does exactly this with igraph: the graph
+# object lives in one process and origins are parallelized).  That is
+# the right design for road networks — national-scale graphs are ~1e6-1e7
+# edges, a few hundred MB broadcast — but it is a DRIVER-MEMORY bound,
+# not a cluster bound, so it must fail loudly rather than OOM the driver.
+_ADJACENCY_MAX_EDGES = 10_000_000
+
+
 def _broadcast_adjacency(edges: DataFrame, weight_col: str):
-    rows = edges.select("source", "target", weight_col).collect()
+    # limit(max+1) bounds what the collect can ever ship to the driver
+    # (no extra count job, no lineage recompute); one excess row is the
+    # overflow signal
+    rows = (
+        edges.select("source", "target", weight_col)
+        .limit(_ADJACENCY_MAX_EDGES + 1)
+        .collect()
+    )
+    if len(rows) > _ADJACENCY_MAX_EDGES:
+        raise ValueError(
+            f"network graph exceeds {_ADJACENCY_MAX_EDGES:,} edges: the "
+            "broadcast-graph design collects every edge to the driver "
+            "(reference parity: igraph builds one in-process graph). For "
+            "larger graphs partition by connected component first "
+            "(get_connected_components) and run per-component, or use the "
+            "distributed primitives (connected_components / pagerank) that "
+            "never materialize the edge list."
+        )
     src = [r[0] for r in rows]
     dst = [r[1] for r in rows]
     w = [float(r[2]) for r in rows]

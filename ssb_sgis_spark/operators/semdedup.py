@@ -88,11 +88,22 @@ def semdedup(
     k_clusters: int = 8,
     n_iter: int = 2,
     tau: tuple[int, int] = (3, 10),
+    cluster_cap: int | None = 1_000_000,
 ) -> DataFrame:
     """Returns ``(vid, cid, keep)`` — every input row with its final
     cluster id and ``keep = False`` iff some SAME-CLUSTER row with a
     smaller id is within quantized-cosine ``tau[0]/tau[1]`` of it (the
-    min-id representative of each near-dup set survives)."""
+    min-id representative of each near-dup set survives).
+
+    ``cluster_cap`` is the skew policy (same rule as LSH
+    ``bucket_cap``): within-cluster pairs are O(size^2), so a degenerate
+    clustering — every embedding near one centroid — reverts to a global
+    quadratic inside that cluster.  Clusters wider than the cap are
+    EXCLUDED from pair generation (all their rows keep=True): at corpus
+    scale that trades recall inside pathological clusters for a bounded
+    task size, exactly the mega-bucket drop LSH applies.  Shard
+    ``k_clusters`` upward (SemDeDup uses ~100k clusters at web scale) so
+    real clusters never hit the cap; ``None`` disables the guard."""
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
     qq = quantize_int8(F.col(vec_col))
@@ -135,6 +146,17 @@ def semdedup(
     # a post-join projection + filter, never re-evaluated in the
     # condition tree
     m = assign.withColumn("_nrm2", F.expr(_nrm2_sql(dim)))
+    if cluster_cap is not None:
+        # k_clusters-row side, broadcast: only rows in clusters at or
+        # under the cap enter the O(size^2) pair join; oversized-cluster
+        # rows skip straight to the output with keep=True
+        ok = (
+            assign.groupBy("cid")
+            .agg(F.count("*").alias("_csz"))
+            .filter(F.col("_csz") <= int(cluster_cap))
+            .select("cid")
+        )
+        m = m.join(F.broadcast(ok), "cid")
     a, b = m.alias("a"), m.alias("b")
     pairs = a.join(
         b,
