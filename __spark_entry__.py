@@ -1727,11 +1727,64 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ROTATION (round 4): the external correctness gate samples the FIRST
+    # 50 entries only, so ordering is a coverage dial, not cosmetics.
+    # Head = (a) queries new or touched since round 3 (reproject,
+    # png_stats, batched-BPE, the guard-touched semdedup / cosine_pairs /
+    # network family, persisted-index ann_ivf), then (b) the round-3
+    # registry tail (old positions 51-89) that the driver cap never
+    # reached last round.  The round-3 driver-checked block follows —
+    # nothing is ever deleted, all entries stay runnable.
     return {
+        # --- (a) new/touched this round ---
+        "reproject": q_reproject,
+        "png_stats": q_png_stats,
+        "bpe_merges": q_bpe_merges,
+        "bpe_tokens": q_bpe_tokens,
+        "cosine_pairs": q_cosine_pairs,
+        "semdedup": q_semdedup,
+        "ann_ivf": q_ann_ivf,
+        "od_cost": q_od_cost,
+        "service_area": q_service_area,
+        "network_components": q_network_components,
+        "component_size": q_component_size,
+        # --- (b) round-3 tail the driver cap never reached ---
+        "dedup_incr": q_dedup_incr,
+        "distinct_sketch": q_distinct_sketch,
+        "freq_sketch": q_freq_sketch,
+        "pmi_top": q_pmi_top,
+        "corpus_mix": q_corpus_mix,
+        "unigram_nll": q_unigram_nll,
+        "bigram_nll": q_bigram_nll,
+        "nll_buckets": q_nll_buckets,
+        "pagerank": q_pagerank,
+        "hits": q_hits,
+        "sessions": q_sessions,
+        "retention": q_retention,
+        "rolling_rate": q_rolling_rate,
+        "asof_crawl": q_asof_crawl,
+        "funnel": q_funnel,
+        "dsir": q_dsir,
+        "dsir_select": q_dsir_select,
+        "hex_domains": q_hex_domains,
+        "crawl_delta": q_crawl_delta,
+        "ann_topk": q_ann_topk,
+        "ann_lsh": q_ann_lsh,
+        "dup_groups": q_dup_groups,
+        "stream_dedup": q_stream_dedup,
+        "stream_neardup": q_stream_neardup,
+        "stream_hex": q_stream_hex,
+        "zonal": q_zonal,
+        "pip_within_distance": q_pip_within_distance,
+        "knn_cellwise": q_knn_cellwise,
+        "pip_join_compact": q_pip_join_compact,
+        "salted_stats": q_salted_stats,
+        "rasterize_cells": q_rasterize_cells,
+        "gradient_cells": q_gradient_cells,
+        # --- round-3 driver-checked block (CORRECTNESS_r03.json) ---
         "pip_join": q_pip_join,
         "pip_count_by_muni": q_pip_count_by_muni,
         "grid_id": q_grid_id,
-        "reproject": q_reproject,
         "areal_ssb": q_areal_ssb,
         "cell_index": q_cell_index,
         "cell_pyramid": q_cell_pyramid,
@@ -1763,7 +1816,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": q_doc_stats,
         "pii_redact": q_pii_redact,
         "media_stats": q_media_stats,
-        "png_stats": q_png_stats,
         "rep_stats": q_rep_stats,
         "url_stats": q_url_stats,
         "domain_topk": q_domain_topk,
@@ -1778,47 +1830,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": q_bm25,
         "quantiles": q_quantiles,
         "ann_quant": q_ann_quant,
-        "dedup_incr": q_dedup_incr,
-        "distinct_sketch": q_distinct_sketch,
-        "freq_sketch": q_freq_sketch,
-        "pmi_top": q_pmi_top,
-        "corpus_mix": q_corpus_mix,
-        "unigram_nll": q_unigram_nll,
-        "bigram_nll": q_bigram_nll,
-        "nll_buckets": q_nll_buckets,
-        "bpe_merges": q_bpe_merges,
-        "bpe_tokens": q_bpe_tokens,
-        "pagerank": q_pagerank,
-        "hits": q_hits,
-        "sessions": q_sessions,
-        "retention": q_retention,
-        "rolling_rate": q_rolling_rate,
-        "asof_crawl": q_asof_crawl,
-        "funnel": q_funnel,
-        "dsir": q_dsir,
-        "dsir_select": q_dsir_select,
-        "hex_domains": q_hex_domains,
-        "crawl_delta": q_crawl_delta,
-        "ann_topk": q_ann_topk,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
-        "cosine_pairs": q_cosine_pairs,
-        "semdedup": q_semdedup,
-        "dup_groups": q_dup_groups,
-        "stream_dedup": q_stream_dedup,
-        "stream_neardup": q_stream_neardup,
-        "stream_hex": q_stream_hex,
-        "od_cost": q_od_cost,
-        "service_area": q_service_area,
-        "network_components": q_network_components,
-        "component_size": q_component_size,
-        "zonal": q_zonal,
-        "pip_within_distance": q_pip_within_distance,
-        "knn_cellwise": q_knn_cellwise,
-        "pip_join_compact": q_pip_join_compact,
-        "salted_stats": q_salted_stats,
-        "rasterize_cells": q_rasterize_cells,
-        "gradient_cells": q_gradient_cells,
     }
 
 
