@@ -164,3 +164,141 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "vid", F.col("rank").cast("int").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------- persisted
+# The production ANN lifecycle: the index is a LAKE ARTIFACT, not a
+# per-job recomputation.  ``build_ivf_index`` trains once and writes two
+# tables under one root —
+#
+#   <root>/centroids   (cid int, vec array<double>)           C rows
+#   <root>/postings    (vid, _cv array<double>, _cid int)     corpus rows,
+#                                                PARTITIONED BY _cid
+#
+# — so a probe is a PARTITION-PRUNED scan: the probed cid set becomes a
+# literal ``isin`` filter that reaches the reader as PartitionFilters,
+# and only ~n_probe/C of the corpus bytes are read from storage (the
+# same pruning story as lake_pip's cell partitions).  New embeddings
+# append through the FROZEN centroids (``append_ivf_index``) — the
+# standard IVF incremental pattern (FAISS ``add`` after ``train``), and
+# the same persisted-old-side shape as ``dedup_against``.  Re-training
+# is an explicit rebuild, never implicit.
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    root: str,
+    n_centroids: int = 64,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> np.ndarray:
+    """Train centroids on ``corpus``, write the centroid + posting-list
+    lake tables under ``root`` (overwrite), return the centroid matrix."""
+    from ..sources.io import write_lake_table
+
+    centroids = train_ivf_centroids(
+        corpus, n_centroids, n_iter, id_col, vec_col, seed
+    )
+    spark = corpus.sparkSession
+    cent_rows = [
+        (int(i), [float(x) for x in centroids[i]])
+        for i in range(centroids.shape[0])
+    ]
+    write_lake_table(
+        spark.createDataFrame(cent_rows, "cid int, vec array<double>"),
+        f"{root}/centroids",
+        mode="overwrite",
+    )
+    assign = _assign_udf(centroids)
+    posted = corpus.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("_cv")
+    ).withColumn("_cid", assign(F.col("_cv")))
+    write_lake_table(
+        posted, f"{root}/postings", mode="overwrite", partition_by=["_cid"]
+    )
+    return centroids
+
+
+def load_ivf_centroids(spark, root: str) -> np.ndarray:
+    """(C, dim) matrix from the persisted centroid table (C rows — the
+    only driver-side materialization in the probe path)."""
+    from ..sources.io import read_lake_table
+
+    rows = read_lake_table(spark, f"{root}/centroids").collect()
+    rows.sort(key=lambda r: r["cid"])
+    return np.vstack([np.asarray(r["vec"], dtype=np.float64) for r in rows])
+
+
+def append_ivf_index(
+    new_rows: DataFrame,
+    root: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Assign ``new_rows`` through the PERSISTED centroids (no retrain)
+    and append to the posting lists — incremental ingest; each batch is
+    one map-only job + an append commit."""
+    from ..sources.io import write_lake_table
+
+    centroids = load_ivf_centroids(new_rows.sparkSession, root)
+    assign = _assign_udf(centroids)
+    posted = new_rows.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("_cv")
+    ).withColumn("_cid", assign(F.col("_cv")))
+    write_lake_table(
+        posted, f"{root}/postings", mode="append", partition_by=["_cid"]
+    )
+
+
+def ivf_topk_indexed(
+    queries: DataFrame,
+    root: str,
+    k: int,
+    query_id: str = "qid",
+    vec_col: str = "embedding",
+    n_probe: int = 8,
+) -> DataFrame:
+    """(qid, vid, rank) scored FROM the persisted index.  The union of
+    probed centroid ids across the query batch (≤ n_queries × n_probe
+    ints — the query side is small by definition of retrieval) becomes a
+    literal partition filter on the posting-list scan, so storage reads
+    only the probed partitions.  Identical semantics to :func:`ivf_topk`
+    with the same centroids."""
+    from ..sources.io import read_lake_table
+
+    spark = queries.sparkSession
+    centroids = load_ivf_centroids(spark, root)
+    n_probe = min(n_probe, centroids.shape[0])
+    cn = _normalize(centroids).T.copy()
+
+    @F.pandas_udf("array<int>")
+    def probe(v: pd.Series) -> pd.Series:
+        m = _normalize(np.vstack(v.to_numpy()))
+        sims = m @ cn
+        order = np.argsort(-sims, kind="stable", axis=1)[:, :n_probe]
+        return pd.Series([row.astype(np.int32).tolist() for row in order])
+
+    q = (
+        queries.select(
+            F.col(query_id).alias("qid"), _as_double(F.col(vec_col)).alias("_qv")
+        )
+        .withColumn("_cid", F.explode(probe(F.col("_qv"))))
+        .persist()
+    )
+    probed = sorted({r["_cid"] for r in q.select("_cid").distinct().collect()})
+
+    posted = read_lake_table(spark, f"{root}/postings").filter(
+        F.col("_cid").isin(probed)  # -> PartitionFilters on the scan
+    )
+    _cos = cos_batch_udf()
+    scored = posted.join(F.broadcast(q), "_cid").select(
+        "qid", "vid", _cos(F.col("_qv"), F.col("_cv")).alias("_cos")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("_cos"), F.asc("vid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vid", F.col("rank").cast("int").alias("rank"))
+    )
