@@ -67,7 +67,11 @@ from ssb_sgis_spark.operators.raster_ops import (
     rasterize_polygons,
 )
 from ssb_sgis_spark.operators.skew import salted_agg
-from ssb_sgis_spark.operators.multimodal import bmp_stats_oracle_sql, png_stats_oracle_sql
+from ssb_sgis_spark.operators.multimodal import (
+    bmp_stats_oracle_sql,
+    jpeg_stats_oracle_sql,
+    png_stats_oracle_sql,
+)
 from ssb_sgis_spark.operators.textops import extract_text, geocode_html
 from ssb_sgis_spark.operators.zonal import zonal_stats
 from ssb_sgis_spark.sources.raster import (
@@ -847,6 +851,21 @@ def q_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synth_png_from_ids(docs_df(spark, sf_dir).select("doc_id"))
     return png_stats(media)
+
+
+def q_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline-JPEG decode, oracle-checked end to end: one REAL T.81
+    stream per document (Annex K Huffman tables, DRI restart markers,
+    unit quantization, block-constant pixels so the lossy DCT is exact
+    by construction), decoded by the engine's from-scratch pure-numpy
+    codec (kernels/jpeg.py) inside mapInPandas.  A hash match against
+    the block-law oracle proves every entropy-coded bit — marker parse,
+    Huffman decode, restart resync, zigzag, dequantize, IDCT — lands on
+    the right pixel."""
+    from ssb_sgis_spark.operators.multimodal import jpeg_stats, synth_jpeg_from_ids
+
+    media = synth_jpeg_from_ids(docs_df(spark, sf_dir).select("doc_id"))
+    return jpeg_stats(media)
 
 
 def q_rep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1741,6 +1760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- (a) new/touched this round ---
         "reproject": q_reproject,
         "png_stats": q_png_stats,
+        "jpeg_stats": q_jpeg_stats,
         "bpe_merges": q_bpe_merges,
         "bpe_tokens": q_bpe_tokens,
         "cosine_pairs": q_cosine_pairs,
@@ -2214,6 +2234,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": _pii_redact_oracle(),
         "media_stats": bmp_stats_oracle_sql("(SELECT doc_id FROM documents)"),
         "png_stats": png_stats_oracle_sql("(SELECT doc_id FROM documents)"),
+        "jpeg_stats": jpeg_stats_oracle_sql("(SELECT doc_id FROM documents)"),
         "rep_stats": f"""
             WITH {_TOP_BIGRAM_CTES}
             SELECT toks.doc_id AS doc_id,

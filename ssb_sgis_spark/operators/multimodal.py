@@ -4,11 +4,12 @@ Media are opaque ``binary`` payloads with typed metadata columns — the
 lakehouse convention for multimodal training data.  The Spark-side
 plumbing (schemas, batching, partitioning, UDF signatures, frame
 slicing, block-mean resize) is REAL and tested.  Codecs: BMP (24-bit
-uncompressed) and WAV (PCM 8/16-bit) are decoded FOR REAL in pure
-struct+numpy (they are compression-free containers); compressed
-formats (jpeg/png/mp4) stay stubbed with ``NotImplementedError`` —
-this container has no codec libraries — clearly marked in ``DECODERS``
-for the day a codec wheel is present.
+uncompressed), WAV (PCM 8/16-bit), PNG (DEFLATE via stdlib zlib +
+numpy unfilter) and baseline JPEG (T.81 Huffman + DCT, implemented
+from the spec in ``kernels/jpeg.py``) are all decoded FOR REAL in pure
+stdlib+numpy — this container has no codec libraries, so the codecs
+are from scratch.  Only inter-frame video (mp4) stays stubbed with
+``NotImplementedError``, clearly marked in ``DECODERS``.
 
 All kernels are ``mapInPandas`` over Arrow batches: payload bytes →
 numpy (zero-copy frombuffer) → vectorized feature math — the identical
@@ -295,13 +296,20 @@ def encode_png(img: np.ndarray, filters: str = "cycle") -> bytes:
     )
 
 
+def _decode_jpeg(payload: bytes, *_) -> np.ndarray:
+    from ssb_sgis_spark.kernels.jpeg import decode_jpeg
+
+    return decode_jpeg(payload)
+
+
 DECODERS = {
     "raw": _decode_raw,
     "bmp": _decode_bmp,   # real: 24-bit uncompressed
     "wav": _decode_wav,   # real: PCM 8/16-bit
     "png": _decode_png,   # real: DEFLATE via stdlib zlib + numpy unfilter
-    # compressed formats intentionally stubbed (no codec libs in env):
-    "jpeg": None,
+    "jpeg": _decode_jpeg,  # real: baseline T.81 (Huffman+DCT) in kernels/jpeg.py
+    # video remains stubbed (no codec libs in env; inter-frame codecs are
+    # out of pure-numpy reach):
     "mp4": None,
 }
 
@@ -598,3 +606,102 @@ def png_stats_oracle_sql(ids_rel: str, id_col: str = "doc_id") -> str:
     """Same pixel-law oracle as BMP's: a hash match proves the zlib
     round-trip AND all five unfilter paths reconstruct every byte."""
     return _pixel_stats_oracle_sql(ids_rel, id_col, PNG_NPIX)
+
+
+# -------------------------------------------------- oracle-ready JPEG stats
+# Baseline JPEG is lossy, so the oracle exploits the one exactness window
+# the math gives us: with UNIT quantization tables, an image constant
+# within each 8x8 block round-trips bit-exactly (the DCT of a constant
+# block is DC-only and integer: DC = 8*(v-128); AC quantizes to zero).
+# The Spark side still runs the ENTIRE real codec — marker parse, Huffman
+# decode with the Annex K tables, restart-marker resync (DRI=4), zigzag,
+# dequantize, IDCT — so a hash match proves every entropy-coded bit
+# decodes correctly.  Lossy-mode quality is covered by PSNR tests in
+# tests/test_jpeg.py.
+JPEG_BX, JPEG_BY = 5, 3          # 5x3 blocks of 8x8 -> 40x24 grayscale
+JPEG_NBLK = JPEG_BX * JPEG_BY
+JPEG_NPIX = JPEG_NBLK * 64
+JPEG_DRI = 4                     # restart every 4 MCUs -> 4 entropy intervals
+
+
+def synth_jpeg_from_ids(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id) -> (id, payload): REAL baseline-JPEG bytes (unit quant tables,
+    DRI restart markers) of a block-constant grayscale image whose block
+    values follow the closed-form law v_j = (id*PIX_A + j*PIX_B) % 256."""
+    from ssb_sgis_spark.kernels.jpeg import encode_jpeg
+
+    schema = T.StructType(
+        [df.schema[id_col], T.StructField("payload", T.BinaryType())]
+    )
+
+    def kernel(it):
+        j = np.arange(JPEG_NBLK, dtype=np.int64)
+        for pdf in it:
+            ids = pdf[id_col].to_numpy()
+            payloads = []
+            for mid in ids:
+                v = ((int(mid) * PIX_A + j * PIX_B) % 256).astype(np.uint8)
+                img = np.repeat(
+                    np.repeat(v.reshape(JPEG_BY, JPEG_BX), 8, axis=0), 8, axis=1
+                )
+                payloads.append(
+                    encode_jpeg(img, unit_quant=True, restart_interval=JPEG_DRI)
+                )
+            yield pd.DataFrame({id_col: ids, "payload": payloads})
+
+    return df.select(id_col).mapInPandas(kernel, schema=schema)
+
+
+def jpeg_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Decode real baseline-JPEG payloads through the full T.81 path and
+    emit integer moments (same float discipline as bmp/png stats)."""
+    import math
+
+    from ssb_sgis_spark.kernels.jpeg import decode_jpeg
+
+    schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("mean_x1000", T.LongType()),
+            T.StructField("std_x1000", T.LongType()),
+        ]
+    )
+    n = JPEG_NPIX
+
+    def kernel(it):
+        for pdf in it:
+            rows = {k.name: [] for k in schema.fields}
+            for mid, payload in zip(pdf[id_col], pdf["payload"]):
+                a = decode_jpeg(bytes(payload))[0, :, :, 0].astype(np.int64)
+                sx = int(a.sum())
+                sx2 = int((a * a).sum())
+                m = sx / n
+                rows[id_col].append(mid)
+                rows["mean_x1000"].append(int(m * 1000))
+                rows["std_x1000"].append(int(math.sqrt(sx2 / n - m * m) * 1000))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(kernel, schema=schema)
+
+
+def jpeg_stats_oracle_sql(ids_rel: str, id_col: str = "doc_id") -> str:
+    """Moments from the closed-form BLOCK law (each block contributes 64
+    identical pixels) — a hash match proves the Huffman/DCT round-trip."""
+    return f"""
+        WITH blk AS (
+          SELECT {id_col},
+                 ({id_col} * {PIX_A} + j * {PIX_B}) % 256 AS v
+          FROM {ids_rel}, unnest(range({JPEG_NBLK})) AS r(j)
+        ),
+        mom AS (
+          SELECT {id_col},
+                 64 * sum(v) AS sx,
+                 64 * sum(v * v) AS sx2
+          FROM blk GROUP BY {id_col}
+        )
+        SELECT {id_col},
+               CAST(trunc(CAST(sx AS DOUBLE) / {JPEG_NPIX} * 1000) AS BIGINT) AS mean_x1000,
+               CAST(trunc(sqrt(CAST(sx2 AS DOUBLE) / {JPEG_NPIX}
+                    - (CAST(sx AS DOUBLE) / {JPEG_NPIX}) * (CAST(sx AS DOUBLE) / {JPEG_NPIX})) * 1000) AS BIGINT) AS std_x1000
+        FROM mom
+    """
