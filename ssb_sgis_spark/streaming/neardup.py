@@ -120,10 +120,18 @@ def band_registry_stream(
     state_schema = StructType([StructField("keys", ArrayType(StringType()))])
 
     def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
         seen_keys = set(state.get[0]) if state.exists else set()
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
+        # A shard group arrives as MULTIPLE Arrow chunks once the batch is
+        # big enough, and cross-chunk order is arbitrary (upstream file /
+        # partition order) — sorting each chunk alone breaks the promised
+        # id-order determinism for same-batch near-dups (caught by the
+        # sf0.1 oracle sweep: the earlier doc flagged instead of the
+        # later).  Buffer the group, sort ONCE, then register.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
             pdf = pdf.sort_values(id_col, kind="mergesort")
             flags = []
             for bk in pdf["band_key"]:
