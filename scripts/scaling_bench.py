@@ -63,6 +63,7 @@ QUERIES = os.environ.get(
 DOC_QUERIES = {
     "unigram_nll", "para_dedup", "minhash_groups", "corpus_pipeline",
     "dedup_exact", "near_dup", "simhash", "quality_filter", "seq_pack",
+    "stream_dedup", "stream_neardup",
 }
 # queries that read the dup-injected corpus (docs_with_dups_df): its
 # +1,000,000 / +2,000,000 id offsets collide with scaled doc_ids once
@@ -70,7 +71,7 @@ DOC_QUERIES = {
 # benchmark a corpus where distinct documents share an id
 # (simhash/unigram_nll/quality_filter/seq_pack read the plain corpus)
 DUPS_QUERIES = {"para_dedup", "minhash_groups", "corpus_pipeline",
-                "dedup_exact", "near_dup"}
+                "dedup_exact", "near_dup", "stream_dedup", "stream_neardup"}
 DEFAULT_SCALE = int(os.environ.get("SPARK_GRAFT_SCALE", "2048"))
 SESSIONS = int(os.environ.get("SPARK_GRAFT_SESSIONS", "4"))
 LEVELS = tuple(
