@@ -1511,11 +1511,14 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs_with_dups_df(spark, sf_dir)
     work = tempfile.mkdtemp(prefix="stream_dedup_")
     src, sink, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
-    # two file batches -> at least two micro-batch admissions through state
-    d.filter(F.col("doc_id") < NEAR_OFFSET).coalesce(2).write.mode(
+    # two id-split writes -> state exercised across arrival groups; the
+    # admitted-distinct-hash result is order-free, so the source can be
+    # written 8-wide (a 2-task write would serialize the timed region at
+    # high core counts — this query is also the streaming scaling profile)
+    d.filter(F.col("doc_id") < NEAR_OFFSET).coalesce(8).write.mode(
         "overwrite"
     ).parquet(src)
-    d.filter(F.col("doc_id") >= NEAR_OFFSET).coalesce(2).write.mode(
+    d.filter(F.col("doc_id") >= NEAR_OFFSET).coalesce(8).write.mode(
         "append"
     ).parquet(src)
     stream = spark.readStream.schema(d.schema).parquet(src)
@@ -1551,14 +1554,18 @@ def q_stream_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     work = tempfile.mkdtemp(prefix="stream_hex_")
     src, ckpt = f"{work}/in", f"{work}/ckpt"
-    pages.filter(F.col("uid") % 2 == 0).coalesce(2).write.mode(
+    # 8-wide staging writes (counts are order-free; a 2-task write would
+    # serialize the timed region at high core counts — this query is also
+    # the streaming scaling profile); maxFilesPerTrigger=8 keeps the
+    # two-micro-batch shape (2 id-split writes x 8 files each)
+    pages.filter(F.col("uid") % 2 == 0).coalesce(8).write.mode(
         "overwrite"
     ).parquet(src)
-    pages.filter(F.col("uid") % 2 == 1).coalesce(2).write.mode("append").parquet(
+    pages.filter(F.col("uid") % 2 == 1).coalesce(8).write.mode("append").parquet(
         src
     )
     stream = read_pages_stream(
-        spark, src, pages.schema, max_files_per_trigger=2
+        spark, src, pages.schema, max_files_per_trigger=8
     )
     name = f"stream_hex_{uuid.uuid4().hex[:8]}"
     q = run_to_sink(hex_counts_windowed(stream, HEX_SIZE), ckpt, query_name=name)
