@@ -71,6 +71,7 @@ from ssb_sgis_spark.operators.multimodal import (
     bmp_stats_oracle_sql,
     jpeg_stats_oracle_sql,
     png_stats_oracle_sql,
+    video_stats_oracle_sql,
 )
 from ssb_sgis_spark.operators.textops import extract_text, geocode_html
 from ssb_sgis_spark.operators.zonal import zonal_stats
@@ -866,6 +867,20 @@ def q_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synth_jpeg_from_ids(docs_df(spark, sf_dir).select("doc_id"))
     return jpeg_stats(media)
+
+
+def q_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO decode, oracle-checked end to end: one REAL MJPEG-AVI clip
+    per document (RIFF container, 4 block-constant grayscale frames as
+    baseline-JPEG chunks, unit quant so the DCT path is exact by
+    construction), decoded by the engine's pure-numpy container walk +
+    T.81 codec inside mapInPandas.  A hash match against the block-law
+    oracle proves the full video path: RIFF chunk grammar, per-frame
+    Huffman/zigzag/IDCT, frame stacking."""
+    from ssb_sgis_spark.operators.multimodal import synth_avi_from_ids, video_stats
+
+    media = synth_avi_from_ids(docs_df(spark, sf_dir).select("doc_id"))
+    return video_stats(media)
 
 
 def q_rep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1768,6 +1783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reproject": q_reproject,
         "png_stats": q_png_stats,
         "jpeg_stats": q_jpeg_stats,
+        "video_stats": q_video_stats,
         "bpe_merges": q_bpe_merges,
         "bpe_tokens": q_bpe_tokens,
         "cosine_pairs": q_cosine_pairs,
@@ -2242,6 +2258,7 @@ def oracle_sql() -> dict[str, str]:
         "media_stats": bmp_stats_oracle_sql("(SELECT doc_id FROM documents)"),
         "png_stats": png_stats_oracle_sql("(SELECT doc_id FROM documents)"),
         "jpeg_stats": jpeg_stats_oracle_sql("(SELECT doc_id FROM documents)"),
+        "video_stats": video_stats_oracle_sql("(SELECT doc_id FROM documents)"),
         "rep_stats": f"""
             WITH {_TOP_BIGRAM_CTES}
             SELECT toks.doc_id AS doc_id,

@@ -5,10 +5,11 @@ lakehouse convention for multimodal training data.  The Spark-side
 plumbing (schemas, batching, partitioning, UDF signatures, frame
 slicing, block-mean resize) is REAL and tested.  Codecs: BMP (24-bit
 uncompressed), WAV (PCM 8/16-bit), PNG (DEFLATE via stdlib zlib +
-numpy unfilter) and baseline JPEG (T.81 Huffman + DCT, implemented
-from the spec in ``kernels/jpeg.py``) are all decoded FOR REAL in pure
-stdlib+numpy — this container has no codec libraries, so the codecs
-are from scratch.  Only inter-frame video (mp4) stays stubbed with
+numpy unfilter), baseline JPEG (T.81 Huffman + DCT, implemented from
+the spec in ``kernels/jpeg.py``) and MJPEG-AVI video (RIFF walk +
+per-frame JPEG) are all decoded FOR REAL in pure stdlib+numpy — this
+container has no codec libraries, so the codecs are from scratch.
+Only inter-frame video (mp4) stays stubbed with
 ``NotImplementedError``, clearly marked in ``DECODERS``.
 
 All kernels are ``mapInPandas`` over Arrow batches: payload bytes →
@@ -302,14 +303,98 @@ def _decode_jpeg(payload: bytes, *_) -> np.ndarray:
     return decode_jpeg(payload)
 
 
+# ------------------------------------------------ MJPEG-in-AVI (video)
+# AVI is a RIFF container (same chunk grammar as WAV); MJPEG stores one
+# baseline JPEG per frame, which kernels/jpeg.py decodes natively — so
+# VIDEO decode is real, in pure stdlib+numpy.  Only inter-frame codecs
+# (mp4/h264) stay stubbed: motion compensation is out of scope here.
+
+def _riff_chunks(buf: bytes, pos: int, end: int):
+    import struct
+
+    while pos + 8 <= end:
+        cid, size = struct.unpack_from("<4sI", buf, pos)
+        yield cid, pos + 8, size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+
+
+def _decode_avi(payload: bytes, *_) -> np.ndarray:
+    """MJPEG AVI -> (n_frames, h, w, 3) uint8 RGB.  Frames must share
+    dimensions (enforced); '00db'/'00dc' stream-0 video chunks only."""
+    import struct
+
+    from ssb_sgis_spark.kernels.jpeg import decode_jpeg
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    frames = []
+    for cid, body_pos, size in _riff_chunks(payload, 12, len(payload)):
+        if cid == b"LIST":
+            ltype = payload[body_pos : body_pos + 4]
+            if ltype == b"movi":
+                for fcid, fpos, fsize in _riff_chunks(
+                    payload, body_pos + 4, body_pos + size
+                ):
+                    if fcid in (b"00dc", b"00db"):
+                        frames.append(
+                            decode_jpeg(payload[fpos : fpos + fsize])[0]
+                        )
+    if not frames:
+        raise ValueError("AVI: no MJPEG video frames found")
+    if len({f.shape for f in frames}) != 1:
+        raise ValueError("AVI: frames differ in dimensions")
+    out = np.stack(frames)
+    if out.shape[-1] == 1:  # grayscale MJPEG: present as 1-channel video
+        return out
+    return out
+
+
+def encode_avi_mjpeg(frames: np.ndarray, fps: int = 25, **jpeg_kw) -> bytes:
+    """(n, h, w) or (n, h, w, 3) uint8 -> MJPEG AVI bytes (one baseline
+    JPEG per frame; ``jpeg_kw`` forwards to ``encode_jpeg`` — e.g.
+    ``unit_quant=True`` for the block-constant-exact mode)."""
+    import struct
+
+    from ssb_sgis_spark.kernels.jpeg import encode_jpeg
+
+    n = frames.shape[0]
+    h, w = frames.shape[1], frames.shape[2]
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps, 0, 0, 0x10, n, 0, 1, 0, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIIi4H", 0, 0, 0, 0, 1, fps, 0, n, 0, 0xFFFF, -1, 0, 0, 0, 0)
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_body = b"".join(
+        chunk(b"00dc", encode_jpeg(frames[i], **jpeg_kw)) for i in range(n)
+    )
+    riff_body = b"AVI " + hdrl + lst(b"movi", movi_body)
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
 DECODERS = {
     "raw": _decode_raw,
     "bmp": _decode_bmp,   # real: 24-bit uncompressed
     "wav": _decode_wav,   # real: PCM 8/16-bit
     "png": _decode_png,   # real: DEFLATE via stdlib zlib + numpy unfilter
     "jpeg": _decode_jpeg,  # real: baseline T.81 (Huffman+DCT) in kernels/jpeg.py
-    # video remains stubbed (no codec libs in env; inter-frame codecs are
-    # out of pure-numpy reach):
+    "avi": _decode_avi,   # real: MJPEG video (RIFF container, JPEG frames)
+    # inter-frame video codecs remain stubbed (motion compensation is out
+    # of pure-numpy scope; no codec libs in env):
     "mp4": None,
 }
 
@@ -703,5 +788,97 @@ def jpeg_stats_oracle_sql(ids_rel: str, id_col: str = "doc_id") -> str:
                CAST(trunc(CAST(sx AS DOUBLE) / {JPEG_NPIX} * 1000) AS BIGINT) AS mean_x1000,
                CAST(trunc(sqrt(CAST(sx2 AS DOUBLE) / {JPEG_NPIX}
                     - (CAST(sx AS DOUBLE) / {JPEG_NPIX}) * (CAST(sx AS DOUBLE) / {JPEG_NPIX})) * 1000) AS BIGINT) AS std_x1000
+        FROM mom
+    """
+
+
+# ------------------------------------------------- oracle-ready AVI stats
+# Same exactness window as jpeg_stats (unit quant + block-constant
+# frames), one level up: the payload is a full MJPEG AVI — RIFF walk,
+# per-frame T.81 decode, frame stacking — so a hash match proves the
+# whole VIDEO path.  Block (f, j) of a doc's 4-frame clip follows the
+# global law v = (id*PIX_A + (f*NBLK + j)*PIX_B) % 256.
+AVI_FRAMES = 4
+AVI_NVALS = AVI_FRAMES * JPEG_NBLK          # law domain: frame-major blocks
+AVI_NPIX = AVI_FRAMES * JPEG_NPIX
+
+
+def synth_avi_from_ids(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id) -> (id, payload): REAL MJPEG-AVI bytes, 4 grayscale
+    block-constant frames per clip (unit quant tables)."""
+    schema = T.StructType(
+        [df.schema[id_col], T.StructField("payload", T.BinaryType())]
+    )
+
+    def kernel(it):
+        g = np.arange(AVI_NVALS, dtype=np.int64)
+        for pdf in it:
+            ids = pdf[id_col].to_numpy()
+            payloads = []
+            for mid in ids:
+                v = ((int(mid) * PIX_A + g * PIX_B) % 256).astype(np.uint8)
+                frames = np.repeat(
+                    np.repeat(
+                        v.reshape(AVI_FRAMES, JPEG_BY, JPEG_BX), 8, axis=1
+                    ),
+                    8,
+                    axis=2,
+                )
+                payloads.append(encode_avi_mjpeg(frames, unit_quant=True))
+            yield pd.DataFrame({id_col: ids, "payload": payloads})
+
+    return df.select(id_col).mapInPandas(kernel, schema=schema)
+
+
+def video_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Decode MJPEG AVI clips through the full RIFF+T.81 path; emit
+    per-clip integer moments plus the decoded frame count."""
+    import math
+
+    schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("mean_x1000", T.LongType()),
+            T.StructField("std_x1000", T.LongType()),
+        ]
+    )
+    n = AVI_NPIX
+
+    def kernel(it):
+        for pdf in it:
+            rows = {k.name: [] for k in schema.fields}
+            for mid, payload in zip(pdf[id_col], pdf["payload"]):
+                a = _decode_avi(bytes(payload))[..., 0].astype(np.int64)
+                sx = int(a.sum())
+                sx2 = int((a * a).sum())
+                m = sx / n
+                rows[id_col].append(mid)
+                rows["n_frames"].append(int(a.shape[0]))
+                rows["mean_x1000"].append(int(m * 1000))
+                rows["std_x1000"].append(int(math.sqrt(sx2 / n - m * m) * 1000))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(kernel, schema=schema)
+
+
+def video_stats_oracle_sql(ids_rel: str, id_col: str = "doc_id") -> str:
+    return f"""
+        WITH blk AS (
+          SELECT {id_col},
+                 ({id_col} * {PIX_A} + g * {PIX_B}) % 256 AS v
+          FROM {ids_rel}, unnest(range({AVI_NVALS})) AS r(g)
+        ),
+        mom AS (
+          SELECT {id_col},
+                 64 * sum(v) AS sx,
+                 64 * sum(v * v) AS sx2
+          FROM blk GROUP BY {id_col}
+        )
+        SELECT {id_col},
+               CAST({AVI_FRAMES} AS BIGINT) AS n_frames,
+               CAST(trunc(CAST(sx AS DOUBLE) / {AVI_NPIX} * 1000) AS BIGINT) AS mean_x1000,
+               CAST(trunc(sqrt(CAST(sx2 AS DOUBLE) / {AVI_NPIX}
+                    - (CAST(sx AS DOUBLE) / {AVI_NPIX}) * (CAST(sx AS DOUBLE) / {AVI_NPIX})) * 1000) AS BIGINT) AS std_x1000
         FROM mom
     """
