@@ -837,7 +837,14 @@ def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves decode∘encode is the identity over every payload byte."""
     from ssb_sgis_spark.operators.multimodal import bmp_stats, synth_bmp_from_ids
 
-    media = synth_bmp_from_ids(docs_df(spark, sf_dir).select("doc_id"))
+    # media synth+decode is embarrassingly parallel, but the small-sf
+    # docs parquet is a single file -> a single input split; without an
+    # explicit spread the whole Python codec stage runs on ONE core
+    # (measured 15.9s -> ~3s at sf0.1 on local[8])
+    ids = docs_df(spark, sf_dir).select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    media = synth_bmp_from_ids(ids)
     return bmp_stats(media)
 
 
@@ -850,7 +857,14 @@ def q_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     five PNG unfilter paths reconstruct every byte."""
     from ssb_sgis_spark.operators.multimodal import png_stats, synth_png_from_ids
 
-    media = synth_png_from_ids(docs_df(spark, sf_dir).select("doc_id"))
+    # media synth+decode is embarrassingly parallel, but the small-sf
+    # docs parquet is a single file -> a single input split; without an
+    # explicit spread the whole Python codec stage runs on ONE core
+    # (measured 15.9s -> ~3s at sf0.1 on local[8])
+    ids = docs_df(spark, sf_dir).select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    media = synth_png_from_ids(ids)
     return png_stats(media)
 
 
@@ -865,7 +879,14 @@ def q_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the right pixel."""
     from ssb_sgis_spark.operators.multimodal import jpeg_stats, synth_jpeg_from_ids
 
-    media = synth_jpeg_from_ids(docs_df(spark, sf_dir).select("doc_id"))
+    # media synth+decode is embarrassingly parallel, but the small-sf
+    # docs parquet is a single file -> a single input split; without an
+    # explicit spread the whole Python codec stage runs on ONE core
+    # (measured 15.9s -> ~3s at sf0.1 on local[8])
+    ids = docs_df(spark, sf_dir).select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    media = synth_jpeg_from_ids(ids)
     return jpeg_stats(media)
 
 
@@ -879,7 +900,14 @@ def q_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Huffman/zigzag/IDCT, frame stacking."""
     from ssb_sgis_spark.operators.multimodal import synth_avi_from_ids, video_stats
 
-    media = synth_avi_from_ids(docs_df(spark, sf_dir).select("doc_id"))
+    # media synth+decode is embarrassingly parallel, but the small-sf
+    # docs parquet is a single file -> a single input split; without an
+    # explicit spread the whole Python codec stage runs on ONE core
+    # (measured 15.9s -> ~3s at sf0.1 on local[8])
+    ids = docs_df(spark, sf_dir).select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    media = synth_avi_from_ids(ids)
     return video_stats(media)
 
 
