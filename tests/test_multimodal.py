@@ -43,11 +43,13 @@ def test_unknown_codec_raises(spark):
 
     from ssb_sgis_spark.operators.multimodal import decode_batch
 
+    # jpeg became a REAL codec (kernels/jpeg.py); mp4 is the remaining
+    # honestly-stubbed format (inter-frame codecs)
     pdf = pd.DataFrame(
         {
             "media_id": [0],
-            "fmt": ["jpeg"],
-            "payload": [b"\xff\xd8"],
+            "fmt": ["mp4"],
+            "payload": [b"\x00\x00\x00\x18ftypmp42"],
             "width": [1],
             "height": [1],
             "channels": [3],
