@@ -457,7 +457,17 @@ def decode_jpeg(payload: bytes, *_) -> np.ndarray:
     Supports SOF0 (baseline sequential), 1 or 3 components, sampling
     factors 1-2 (4:4:4 / 4:2:2 / 4:2:0), DRI restart intervals, multiple
     DQT/DHT segments.  Progressive (SOF2) and arithmetic coding raise.
+    Any malformed stream raises ValueError (never a raw struct/index
+    error — a 100 TB web corpus WILL contain truncated payloads and the
+    decode kernel's error contract must be catchable per row).
     """
+    try:
+        return _decode_jpeg_impl(payload)
+    except (struct.error, IndexError, KeyError, ZeroDivisionError) as e:
+        raise ValueError(f"JPEG: malformed stream ({type(e).__name__}: {e})") from e
+
+
+def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2

@@ -320,13 +320,21 @@ def _riff_chunks(buf: bytes, pos: int, end: int):
 
 def _decode_avi(payload: bytes, *_) -> np.ndarray:
     """MJPEG AVI -> (n_frames, h, w, 3) uint8 RGB.  Frames must share
-    dimensions (enforced); '00db'/'00dc' stream-0 video chunks only."""
+    dimensions (enforced); '00db'/'00dc' stream-0 video chunks only.
+    Malformed containers raise ValueError (catchable per row)."""
     import struct
 
     from ssb_sgis_spark.kernels.jpeg import decode_jpeg
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not an AVI payload")
+    try:
+        return _decode_avi_impl(payload, decode_jpeg)
+    except (struct.error, IndexError, KeyError) as e:
+        raise ValueError(f"AVI: malformed container ({type(e).__name__})") from e
+
+
+def _decode_avi_impl(payload: bytes, decode_jpeg) -> np.ndarray:
     frames = []
     for cid, body_pos, size in _riff_chunks(payload, 12, len(payload)):
         if cid == b"LIST":

@@ -72,3 +72,23 @@ def test_frame_sampling_math_on_video_array():
     frames = _block_frames(11, n=6)
     dec = _decode_avi(encode_avi_mjpeg(frames, unit_quant=True))
     assert np.array_equal(dec[::2][..., 0], frames[::2])
+
+
+def test_malformed_containers_raise_valueerror_only():
+    frames = _block_frames(29, n=2)
+    good = encode_avi_mjpeg(frames, unit_quant=True)
+    for cut in (16, 40, len(good) // 2):
+        try:
+            _decode_avi(good[:cut])
+        except ValueError:
+            pass
+    # bit-flip fuzz inside the movi payload
+    for seed in range(10):
+        r = np.random.RandomState(seed)
+        buf = bytearray(good)
+        for pos in r.randint(60, len(buf), 8):
+            buf[pos] ^= 0xFF
+        try:
+            _decode_avi(bytes(buf))
+        except ValueError:
+            pass

@@ -118,3 +118,23 @@ def test_decoders_registry_has_real_jpeg():
     img = np.full((8, 8), 200, np.uint8)
     out = DECODERS["jpeg"](encode_jpeg(img, unit_quant=True))
     assert np.array_equal(out[0, :, :, 0], img)
+
+
+def test_malformed_streams_raise_valueerror_only():
+    """A 100 TB web corpus WILL contain truncated/corrupt payloads; the
+    decode kernel's error contract is ValueError, catchable per row."""
+    rng = np.random.RandomState(23)
+    img = np.repeat(np.repeat(rng.randint(0, 256, (2, 3)), 8, 0), 8, 1).astype(
+        np.uint8
+    )
+    good = encode_jpeg(img, unit_quant=True)
+    for cut in (3, 10, len(good) // 2, len(good) - 3):
+        with pytest.raises(ValueError):
+            decode_jpeg(good[:cut])
+    for seed in range(20):
+        r = np.random.RandomState(seed)
+        fuzz = b"\xff\xd8" + bytes(r.randint(0, 256, 64, dtype=np.int64).tolist())
+        try:
+            decode_jpeg(fuzz)
+        except ValueError:
+            pass  # the only allowed failure mode
