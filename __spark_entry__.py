@@ -71,6 +71,7 @@ from ssb_sgis_spark.operators.multimodal import (
     bmp_stats_oracle_sql,
     jpeg_stats_oracle_sql,
     png_stats_oracle_sql,
+    audio_stats_oracle_sql,
     video_stats_oracle_sql,
 )
 from ssb_sgis_spark.operators.textops import extract_text, geocode_html
@@ -909,6 +910,21 @@ def q_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = synth_avi_from_ids(ids)
     return video_stats(media)
+
+
+def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO decode, oracle-checked end to end: one REAL PCM-16 WAV per
+    document (samples follow a closed-form integer law), decoded by the
+    engine's RIFF/WAV parser inside mapInPandas; integer RMS + exact
+    zero-crossing counts.  A hash match against the sample-law oracle
+    proves every decoded sample byte."""
+    from ssb_sgis_spark.operators.multimodal import audio_stats, synth_wav_from_ids
+
+    ids = docs_df(spark, sf_dir).select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    media = synth_wav_from_ids(ids)
+    return audio_stats(media)
 
 
 def q_rep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1812,6 +1828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "png_stats": q_png_stats,
         "jpeg_stats": q_jpeg_stats,
         "video_stats": q_video_stats,
+        "audio_stats": q_audio_stats,
         "bpe_merges": q_bpe_merges,
         "bpe_tokens": q_bpe_tokens,
         "cosine_pairs": q_cosine_pairs,
@@ -2287,6 +2304,7 @@ def oracle_sql() -> dict[str, str]:
         "png_stats": png_stats_oracle_sql("(SELECT doc_id FROM documents)"),
         "jpeg_stats": jpeg_stats_oracle_sql("(SELECT doc_id FROM documents)"),
         "video_stats": video_stats_oracle_sql("(SELECT doc_id FROM documents)"),
+        "audio_stats": audio_stats_oracle_sql("(SELECT doc_id FROM documents)"),
         "rep_stats": f"""
             WITH {_TOP_BIGRAM_CTES}
             SELECT toks.doc_id AS doc_id,

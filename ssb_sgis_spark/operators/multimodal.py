@@ -890,3 +890,119 @@ def video_stats_oracle_sql(ids_rel: str, id_col: str = "doc_id") -> str:
                     - (CAST(sx AS DOUBLE) / {AVI_NPIX}) * (CAST(sx AS DOUBLE) / {AVI_NPIX})) * 1000) AS BIGINT) AS std_x1000
         FROM mom
     """
+
+
+# -------------------------------------------------- oracle-ready WAV stats
+# The audio modality's cross-engine proof (same family as the image
+# codecs): one REAL PCM-16 WAV per document whose samples follow the
+# closed-form law x_i = ((id*PIX_A + i*PIX_B) % 65536) - 32768, decoded
+# by the engine's own RIFF/WAV parser; integer moments + zero-crossing
+# counts are SQL-expressible, so a hash match proves every sample byte.
+WAV_N = 4096          # samples per clip (mono, 16 kHz)
+
+
+def synth_wav_from_ids(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id) -> (id, payload): REAL PCM-16 mono WAV bytes under the law."""
+    schema = T.StructType(
+        [df.schema[id_col], T.StructField("payload", T.BinaryType())]
+    )
+
+    def kernel(it):
+        i = np.arange(WAV_N, dtype=np.int64)
+        for pdf in it:
+            ids = pdf[id_col].to_numpy()
+            payloads = []
+            for mid in ids:
+                x = (((int(mid) * PIX_A + i * PIX_B) % 65536) - 32768).astype(
+                    np.int16
+                )
+                payloads.append(encode_wav(x, rate=16000))
+            yield pd.DataFrame({id_col: ids, "payload": payloads})
+
+    return df.select(id_col).mapInPandas(kernel, schema=schema)
+
+
+def audio_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Decode real WAV payloads and emit (n_samples, rms_x1000,
+    zero_crossings) — the audio quality-filter signals, integer-exact."""
+    import math
+
+    schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("rms_x1000", T.LongType()),
+            T.StructField("zero_crossings", T.LongType()),
+        ]
+    )
+
+    def kernel(it):
+        for pdf in it:
+            rows = {k.name: [] for k in schema.fields}
+            for mid, payload in zip(pdf[id_col], pdf["payload"]):
+                a = _decode_wav(bytes(payload))[0, 0, :, 0].astype(np.int64)
+                n = len(a)
+                sx2 = int((a * a).sum())
+                neg = a < 0
+                zc = int((neg[1:] != neg[:-1]).sum())
+                rows[id_col].append(mid)
+                rows["n_samples"].append(n)
+                rows["rms_x1000"].append(int(math.sqrt(sx2 / n) * 1000))
+                rows["zero_crossings"].append(zc)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(kernel, schema=schema)
+
+
+def audio_stats_oracle_sql(ids_rel: str, id_col: str = "doc_id") -> str:
+    return f"""
+        WITH smp AS (
+          SELECT {id_col}, i,
+                 ({id_col} * {PIX_A} + i * {PIX_B}) % 65536 - 32768 AS x
+          FROM {ids_rel}, unnest(range({WAV_N})) AS r(i)
+        ),
+        lagged AS (
+          SELECT {id_col}, x,
+                 lag(x) OVER (PARTITION BY {id_col} ORDER BY i) AS px
+          FROM smp
+        )
+        SELECT {id_col},
+               CAST({WAV_N} AS BIGINT) AS n_samples,
+               CAST(trunc(sqrt(sum(x * x) / CAST({WAV_N} AS DOUBLE)) * 1000) AS BIGINT)
+                   AS rms_x1000,
+               sum(CASE WHEN px IS NOT NULL AND ((x < 0) != (px < 0))
+                        THEN 1 ELSE 0 END) AS zero_crossings
+        FROM lagged GROUP BY {id_col}
+    """
+
+
+def audio_spectral(df: DataFrame, id_col: str = "doc_id", n_fft: int = 512) -> DataFrame:
+    """Spectral features over WAV payloads (mapInPandas, numpy rFFT):
+    dominant frequency bin of the first frame and integer spectral
+    centroid (x1000).  No SQL oracle — the DFT is not SQL-expressible;
+    covered by closed-form pytest (pure tones, Parseval)."""
+    schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("dominant_bin", T.LongType()),
+            T.StructField("centroid_x1000", T.LongType()),
+        ]
+    )
+
+    def kernel(it):
+        for pdf in it:
+            rows = {k.name: [] for k in schema.fields}
+            for mid, payload in zip(pdf[id_col], pdf["payload"]):
+                a = _decode_wav(bytes(payload))[0, 0, :, 0].astype(np.float64)
+                frame = a[:n_fft]
+                mag = np.abs(np.fft.rfft(frame))
+                mag[0] = 0.0  # ignore DC for the dominant bin
+                k = int(np.argmax(mag))
+                tot = float(mag.sum())
+                cen = float((np.arange(len(mag)) * mag).sum() / tot) if tot else 0.0
+                rows[id_col].append(mid)
+                rows["dominant_bin"].append(k)
+                rows["centroid_x1000"].append(int(cen * 1000))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(kernel, schema=schema)
