@@ -3,13 +3,18 @@
 Reference: ``traveling_salesman_problem``
 (``networkanalysis/traveling_salesman.py:11-160``) — a driver-side
 tiny-n operator there too (it builds a full networkx graph and runs
-christofides).  No networkx exists in this environment, so the
-approximation is nearest-neighbor construction + full 2-opt improvement
-— deterministic (fixed start, first-improvement sweep) and the same
-quality class as christofides for the small point sets this is meant
-for.  ``return_to_start=False`` drops the longest edge of the best
-cycle (the standard open-tour reduction; the reference inserts a
-zero-cost dummy node instead).
+christofides).  No networkx exists in this environment, so the same
+ALGORITHM STRUCTURE is implemented from scratch in numpy:
+Prim MST → perfect matching on the odd-degree vertices → Euler
+circuit (Hierholzer) → shortcutting, then a full 2-opt polish.  The
+matching is greedy min-weight rather than blossom-optimal (an optimal
+matching is what buys Christofides its 1.5 bound; the greedy variant
+is the standard engineering substitute and is then 2-opt-polished),
+deterministic throughout (fixed start, lexicographic tie-breaks,
+first-improvement sweep).  ``method="nn"`` keeps the previous
+nearest-neighbor construction.  ``return_to_start=False`` drops the
+longest edge of the best cycle (the standard open-tour reduction; the
+reference inserts a zero-cost dummy node instead).
 """
 
 from __future__ import annotations
@@ -57,11 +62,89 @@ def _two_opt(order: np.ndarray, d: np.ndarray, max_rounds: int = 50) -> np.ndarr
     return order
 
 
+def _prim_mst(d: np.ndarray) -> list[tuple[int, int]]:
+    """Prim's MST over a dense distance matrix; deterministic (argmin
+    takes the lowest index on ties)."""
+    n = len(d)
+    in_tree = np.zeros(n, dtype=bool)
+    in_tree[0] = True
+    best = d[0].copy()
+    parent = np.zeros(n, dtype=np.int64)
+    edges = []
+    for _ in range(n - 1):
+        cand = np.where(in_tree, np.inf, best)
+        v = int(np.argmin(cand))
+        edges.append((int(parent[v]), v))
+        in_tree[v] = True
+        upd = d[v] < best
+        best[upd] = d[v][upd]
+        parent[upd] = v
+    return edges
+
+
+def _greedy_matching(odd: list[int], d: np.ndarray) -> list[tuple[int, int]]:
+    """Greedy min-weight perfect matching over the odd-degree vertices
+    (|odd| is even by the handshake lemma)."""
+    pairs = sorted(
+        (d[a, b], a, b) for i, a in enumerate(odd) for b in odd[i + 1 :]
+    )
+    used: set[int] = set()
+    match = []
+    for _, a, b in pairs:
+        if a not in used and b not in used:
+            match.append((a, b))
+            used.update((a, b))
+    return match
+
+
+def _euler_shortcut(n: int, multi_edges: list[tuple[int, int]]) -> np.ndarray:
+    """Hierholzer Euler circuit over the MST+matching multigraph (every
+    degree is even by construction), shortcut to a Hamiltonian order."""
+    adj: list[list[int]] = [[] for _ in range(n)]
+    for a, b in multi_edges:
+        adj[a].append(b)
+        adj[b].append(a)
+    for lst in adj:
+        lst.sort(reverse=True)  # pop() walks lowest neighbor first
+    stack, circuit = [0], []
+    removed: dict[tuple[int, int], int] = {}
+    while stack:
+        v = stack[-1]
+        while adj[v] and removed.get((v, adj[v][-1]), 0) > 0:
+            removed[(v, adj[v][-1])] -= 1
+            adj[v].pop()
+        if adj[v]:
+            u = adj[v].pop()
+            removed[(u, v)] = removed.get((u, v), 0) + 1
+            stack.append(u)
+        else:
+            circuit.append(stack.pop())
+    seen = np.zeros(n, dtype=bool)
+    order = []
+    for v in circuit:
+        if not seen[v]:
+            seen[v] = True
+            order.append(v)
+    return np.asarray(order)
+
+
+def _christofides_tour(d: np.ndarray) -> np.ndarray:
+    mst = _prim_mst(d)
+    deg = np.zeros(len(d), dtype=np.int64)
+    for a, b in mst:
+        deg[a] += 1
+        deg[b] += 1
+    odd = [int(v) for v in np.where(deg % 2 == 1)[0]]
+    match = _greedy_matching(odd, d)
+    return _euler_shortcut(len(d), mst + match)
+
+
 def traveling_salesman_problem(
     points: DataFrame,
     return_to_start: bool = True,
     x_col: str = "x",
     y_col: str = "y",
+    method: str = "christofides",
 ) -> DataFrame:
     """Visiting order over the (small, collected) point set; returns
     (seq, x, y) — seq 0..n (closing point repeated when
@@ -78,7 +161,13 @@ def traveling_salesman_problem(
     dx = pts[:, 0][:, None] - pts[:, 0][None, :]
     dy = pts[:, 1][:, None] - pts[:, 1][None, :]
     d = np.sqrt(dx * dx + dy * dy)
-    order = _two_opt(_nearest_neighbor_tour(d), d)
+    if method == "christofides":
+        construct = _christofides_tour(d)
+    elif method == "nn":
+        construct = _nearest_neighbor_tour(d)
+    else:
+        raise ValueError(f"unknown TSP method {method!r}")
+    order = _two_opt(construct, d)
     seq = list(order)
     if return_to_start:
         seq = seq + [seq[0]]

@@ -303,3 +303,60 @@ def test_traveling_salesman(spark):
         for a, b in zip(open_tour, open_tour[1:])
     )
     assert open_len < length
+
+
+def test_christofides_structure_kernels():
+    """MST + odd-matching + Euler-shortcut invariants (the reference's
+    christofides pipeline, from scratch in numpy)."""
+    import numpy as np
+
+    from ssb_sgis_spark.operators.tsp import (
+        _christofides_tour,
+        _greedy_matching,
+        _prim_mst,
+        _tour_length,
+        _two_opt,
+    )
+
+    rng = np.random.RandomState(41)
+    pts = rng.rand(40, 2) * 100
+    d = np.sqrt(((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1))
+
+    mst = _prim_mst(d)
+    assert len(mst) == len(pts) - 1  # spanning tree
+    deg = np.zeros(len(pts), int)
+    for a, b in mst:
+        deg[a] += 1
+        deg[b] += 1
+    odd = [int(v) for v in np.where(deg % 2 == 1)[0]]
+    assert len(odd) % 2 == 0  # handshake lemma
+    match = _greedy_matching(odd, d)
+    assert sorted(v for pair in match for v in pair) == sorted(odd)  # perfect
+
+    tour = _christofides_tour(d)
+    assert sorted(tour) == list(range(len(pts)))  # hamiltonian
+    # 2-opt polish never worsens
+    assert _tour_length(_two_opt(tour.copy(), d), d) <= _tour_length(tour, d) + 1e-9
+
+
+def test_tsp_method_param(spark):
+    from ssb_sgis_spark.operators.tsp import traveling_salesman_problem
+
+    pts = [(0.0, 0.0), (3.0, 1.0), (1.0, 4.0), (5.0, 2.0), (2.0, 2.0), (4.0, 5.0)]
+    df = spark.createDataFrame(pts, "x double, y double")
+
+    def tour_len(rows):
+        return sum(
+            ((a["x"] - b["x"]) ** 2 + (a["y"] - b["y"]) ** 2) ** 0.5
+            for a, b in zip(rows, rows[1:])
+        )
+
+    t_chr = traveling_salesman_problem(df, method="christofides").collect()
+    t_nn = traveling_salesman_problem(df, method="nn").collect()
+    assert len(t_chr) == len(t_nn) == 7
+    # both 2-opt-polished tours land within 30% of each other on tiny n
+    assert abs(tour_len(t_chr) - tour_len(t_nn)) <= 0.3 * tour_len(t_nn)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown TSP method"):
+        traveling_salesman_problem(df, method="bogus")
