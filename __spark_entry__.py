@@ -927,6 +927,35 @@ def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_stats(media)
 
 
+def q_ann_lsh_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN with exact integer arithmetic end to end (int8 quantized
+    codes, literal ±1 hyperplanes, integer sign-bit buckets + 1-bit
+    multiprobe, integer-dot scores) — the LSH shape of ann_lsh made
+    fully oracle-checkable: DuckDB mirrors every bucket bit and score.
+    The float-plane variant (ann_lsh) stays as the recall-tested
+    production path."""
+    from ssb_sgis_spark.operators.ann import lsh_quantized_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % ANN_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return lsh_quantized_topk(queries, emb, ANN_K, corpus_id="vec_id")
+
+
+def _ann_lsh_quant_oracle() -> str:
+    from ssb_sgis_spark.operators.ann import lsh_quantized_topk_sql
+
+    return lsh_quantized_topk_sql(
+        f"(SELECT vec_id AS qid, embedding FROM embeddings "
+        f"WHERE vec_id % {ANN_QUERY_MOD} = 0)",
+        "(SELECT vec_id AS vid, embedding FROM embeddings)",
+        ANN_K,
+        query_id="qid",
+        corpus_id="vid",
+    )
+
+
 def q_rep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals, computed PER ROW (sorted-array
     fold for the top-bigram count — no explode, no shuffle: at 10^12
@@ -1829,6 +1858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_stats": q_jpeg_stats,
         "video_stats": q_video_stats,
         "audio_stats": q_audio_stats,
+        "ann_lsh_quant": q_ann_lsh_quant,
         "bpe_merges": q_bpe_merges,
         "bpe_tokens": q_bpe_tokens,
         "cosine_pairs": q_cosine_pairs,
@@ -2305,6 +2335,7 @@ def oracle_sql() -> dict[str, str]:
         "jpeg_stats": jpeg_stats_oracle_sql("(SELECT doc_id FROM documents)"),
         "video_stats": video_stats_oracle_sql("(SELECT doc_id FROM documents)"),
         "audio_stats": audio_stats_oracle_sql("(SELECT doc_id FROM documents)"),
+        "ann_lsh_quant": _ann_lsh_quant_oracle(),
         "rep_stats": f"""
             WITH {_TOP_BIGRAM_CTES}
             SELECT toks.doc_id AS doc_id,

@@ -469,3 +469,151 @@ def quantized_topk_sql(
     )
     SELECT qid, rank, vid, iscore FROM ranked WHERE rank <= {int(k)}
     """
+
+
+# -------------------------------------- integer-exact LSH (oracle-able)
+def lsh_signs(n_planes: int, dim: int, seed: int = 7) -> np.ndarray:
+    """Deterministic ±1 hyperplane matrix, embedded as LITERALS in both
+    the Spark expression and the SQL mirror (the JL literal-matrix
+    trick) so bucket bits are bit-exact cross-engine."""
+    rng = np.random.RandomState(seed)
+    return rng.choice(np.array([-1, 1], dtype=np.int64), size=(n_planes, dim))
+
+
+def _int_dot(vec: Column, lits: list[int]) -> Column:
+    arr = F.array(*[F.lit(int(v)).cast("long") for v in lits])
+    return F.aggregate(
+        F.zip_with(vec, arr, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def lsh_bucket_col(qvec: Column, signs: np.ndarray) -> Column:
+    """Sign-bit bucket of an int8-QUANTIZED vector against ±1 planes —
+    pure integer arithmetic, so the bucket id is exact, not
+    ulp-dependent like the float randn planes of cosine_pairs_lsh."""
+    out = F.lit(0).cast("long")
+    for i, p in enumerate(signs):
+        out = out + F.when(_int_dot(qvec, list(p)) >= 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+    return out
+
+
+def lsh_quantized_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id: str = "qid",
+    corpus_id: str = "vid",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    dim: int = 64,
+    seed: int = 7,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """LSH ANN with an EXACT arithmetic story end to end: int8-quantized
+    vectors (quantize_int8's proven recipe), ±1 literal hyperplanes,
+    integer sign-bit buckets, integer-dot scoring, id tie-breaks —
+    every step SQL-mirrorable, so unlike float LSH this variant is
+    fully oracle-checked.  Scale shape: candidates only where buckets
+    collide (query side explodes 1+multiprobe*n_planes probe ids and is
+    broadcast); the corpus never self-joins."""
+    signs = lsh_signs(n_planes, dim, seed)
+    c = corpus.select(
+        F.col(corpus_id).alias("vid"), quantize_int8(F.col(vec_col)).alias("_cq")
+    ).withColumn("_bucket", lsh_bucket_col(F.col("_cq"), signs))
+    q = queries.select(
+        F.col(query_id).alias("qid"), quantize_int8(F.col(vec_col)).alias("_qq")
+    ).withColumn("_b0", lsh_bucket_col(F.col("_qq"), signs))
+    masks = [0] + ([1 << i for i in range(n_planes)] if multiprobe >= 1 else [])
+    probes = F.array(*[F.col("_b0").bitwiseXOR(F.lit(m)) for m in masks])
+    q = q.withColumn("_bucket", F.explode(probes))
+    scored = (
+        c.join(F.broadcast(q), "_bucket")
+        .select(
+            "qid",
+            "vid",
+            F.aggregate(
+                F.zip_with(F.col("_qq"), F.col("_cq"), lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("iscore"),
+        )
+        .dropDuplicates(["qid", "vid"])  # multiprobe can rehit a bucket
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("iscore"), F.asc("vid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", F.col("rank").cast("long").alias("rank"), "vid", "iscore")
+    )
+
+
+def lsh_quantized_topk_sql(
+    queries_rel: str,
+    corpus_rel: str,
+    k: int,
+    query_id: str = "qid",
+    corpus_id: str = "vid",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    dim: int = 64,
+    seed: int = 7,
+    multiprobe: int = 1,
+) -> str:
+    """DuckDB mirror: identical quantization, identical literal planes,
+    identical integer bucket/score arithmetic."""
+    signs = lsh_signs(n_planes, dim, seed)
+
+    def _q(alias: str) -> str:
+        nrm = (
+            f"sqrt(list_dot_product(CAST({alias}.{vec_col} AS DOUBLE[]), "
+            f"CAST({alias}.{vec_col} AS DOUBLE[])))"
+        )
+        return (
+            f"list_transform(CAST({alias}.{vec_col} AS DOUBLE[]), "
+            f"x -> CASE WHEN {nrm} = 0.0 THEN CAST(0 AS BIGINT) "
+            f"ELSE CAST(round(127.0 * (x / {nrm})) AS BIGINT) END)"
+        )
+
+    def bucket(code: str) -> str:
+        terms = []
+        for i, p in enumerate(signs):
+            lits = "[" + ", ".join(str(int(v)) for v in p) + "]"
+            terms.append(
+                f"CASE WHEN list_dot_product({code}, {lits}) >= 0 "
+                f"THEN {1 << i} ELSE 0 END"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    masks = [0] + ([1 << i for i in range(n_planes)] if multiprobe >= 1 else [])
+    mask_list = "[" + ", ".join(str(m) for m in masks) + "]"
+    return f"""
+    WITH cq AS (
+      SELECT c.{corpus_id} AS vid, {_q('c')} AS code FROM {corpus_rel} c
+    ),
+    cb AS (SELECT vid, code, {bucket('code')} AS bucket FROM cq),
+    qq AS (
+      SELECT q.{query_id} AS qid, {_q('q')} AS code FROM {queries_rel} q
+    ),
+    qb AS (SELECT qid, code, {bucket('code')} AS b0 FROM qq),
+    qp AS (
+      SELECT qid, code, xor(b0, m) AS bucket
+      FROM qb, unnest({mask_list}) AS r(m)
+    ),
+    cand AS (
+      SELECT DISTINCT qp.qid, cb.vid,
+             CAST(list_dot_product(qp.code, cb.code) AS BIGINT) AS iscore
+      FROM cb JOIN qp USING (bucket)
+    ),
+    ranked AS (
+      SELECT qid, vid, iscore,
+             CAST(row_number() OVER (
+                 PARTITION BY qid ORDER BY iscore DESC, vid ASC
+             ) AS BIGINT) AS rank
+      FROM cand
+    )
+    SELECT qid, rank, vid, iscore FROM ranked WHERE rank <= {int(k)}
+    """

@@ -230,3 +230,35 @@ def test_quantized_topk_recall_vs_exact_cosine(spark):
         for r in quantized_topk(queries, emb, 1, corpus_id="vec_id").collect()
     }
     assert all(q == v for q, v in top1.items())
+
+
+def test_lsh_quantized_topk_recall_and_exactness_properties(spark):
+    """The integer-exact LSH variant: buckets are integer sign bits of
+    quantized codes (no ulp dependence), multiprobe widens recall, and
+    the self-match always survives (a query collides with itself in its
+    own bucket and the integer self-dot is maximal)."""
+    from ssb_sgis_spark.operators.ann import lsh_quantized_topk, quantized_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    full = {
+        (r.qid, r.vid)
+        for r in quantized_topk(queries, emb, 5, corpus_id="vec_id").collect()
+    }
+    lsh = lsh_quantized_topk(queries, emb, 5, corpus_id="vec_id", n_planes=4).collect()
+    lsh_set = {(r.qid, r.vid) for r in lsh}
+    recall = len(full & lsh_set) / len(full)
+    assert recall >= 0.5, recall  # 6-bit buckets + 1-bit multiprobe
+    # rank-1 is always the query itself (self-bucket collision + max dot)
+    top1 = {r.qid: r.vid for r in lsh if r.rank == 1}
+    assert all(q == v for q, v in top1.items())
+    # multiprobe strictly widens (or equals) the zero-probe candidate set
+    narrow = {
+        (r.qid, r.vid)
+        for r in lsh_quantized_topk(
+            queries, emb, 5, corpus_id="vec_id", n_planes=4, multiprobe=0
+        ).collect()
+    }
+    assert len(lsh_set) >= len(narrow)
