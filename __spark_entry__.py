@@ -956,6 +956,36 @@ def _ann_lsh_quant_oracle() -> str:
     )
 
 
+def q_snapshot_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lake time travel, oracle-checked: commit the documents table as
+    snapshot 1 of a from-scratch snapshot table (sources/snapshots.py —
+    manifest-is-the-commit on plain parquet), append the dup-injected
+    extra rows as snapshot 2, then OVERWRITE with garbage as snapshot 3;
+    reading back AT SNAPSHOT 1 must reproduce the original table
+    byte-for-byte (md5 per doc), proving historical snapshots are
+    immutable under later appends AND overwrites."""
+    import tempfile
+
+    from ssb_sgis_spark.sources.snapshots import (
+        read_snapshot_table,
+        write_snapshot_table,
+    )
+
+    t = tempfile.mkdtemp(prefix="snap_tbl_") + "/docs"
+    docs = docs_df(spark, sf_dir).select("doc_id", "text")
+    write_snapshot_table(docs, t)
+    extra = docs_with_dups_df(spark, sf_dir).select("doc_id", "text").filter(
+        F.col("doc_id") >= NEAR_OFFSET
+    )
+    write_snapshot_table(extra, t)
+    write_snapshot_table(
+        docs.limit(3).withColumn("text", F.lit("overwritten")), t, mode="overwrite"
+    )
+    return read_snapshot_table(spark, t, snapshot_id=1).select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("h")
+    )
+
+
 def q_rep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals, computed PER ROW (sorted-array
     fold for the top-bigram count — no explode, no shuffle: at 10^12
@@ -1859,6 +1889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_stats": q_video_stats,
         "audio_stats": q_audio_stats,
         "ann_lsh_quant": q_ann_lsh_quant,
+        "snapshot_travel": q_snapshot_travel,
         "bpe_merges": q_bpe_merges,
         "bpe_tokens": q_bpe_tokens,
         "cosine_pairs": q_cosine_pairs,
@@ -2336,6 +2367,7 @@ def oracle_sql() -> dict[str, str]:
         "video_stats": video_stats_oracle_sql("(SELECT doc_id FROM documents)"),
         "audio_stats": audio_stats_oracle_sql("(SELECT doc_id FROM documents)"),
         "ann_lsh_quant": _ann_lsh_quant_oracle(),
+        "snapshot_travel": "SELECT doc_id, md5(text) AS h FROM documents",
         "rep_stats": f"""
             WITH {_TOP_BIGRAM_CTES}
             SELECT toks.doc_id AS doc_id,

@@ -104,10 +104,26 @@ def read_lake_table(
         if _is_table_ident(ident_or_path):
             return spark.table(ident_or_path) if snapshot_id is None and as_of_timestamp_ms is None else reader.load(ident_or_path)
         return reader.load(ident_or_path)
+    # plain-parquet world: a snapshot table (sources/snapshots.py) carries
+    # its own manifest lineage and supports time travel without Iceberg
+    import os as _os
+
+    if not _is_table_ident(ident_or_path) and _os.path.isdir(
+        _os.path.join(ident_or_path, "_snapshots")
+    ):
+        from ssb_sgis_spark.sources.snapshots import read_snapshot_table
+
+        return read_snapshot_table(
+            spark,
+            ident_or_path,
+            snapshot_id=snapshot_id,
+            as_of_timestamp_ms=as_of_timestamp_ms,
+        )
     if snapshot_id is not None or as_of_timestamp_ms is not None:
         raise ValueError(
-            "time travel requires the Iceberg runtime; this session reads "
-            "plain parquet (no snapshot lineage to travel over)"
+            "time travel requires the Iceberg runtime or a snapshot table "
+            "(sources/snapshots.py); this path is plain parquet with no "
+            "snapshot lineage to travel over"
         )
     if _is_table_ident(ident_or_path):
         return spark.table(ident_or_path)

@@ -1,0 +1,170 @@
+"""Snapshot lake tables: time travel on plain parquet, from scratch.
+
+``io.read_lake_table`` honestly refuses time travel without the Iceberg
+runtime (no jars in this sandbox).  This module closes that gap with
+Iceberg's CORE mechanism re-implemented on the filesystem primitives
+Spark already has:
+
+* every commit writes its data files into a fresh directory
+  ``<table>/data/s<N>/`` (no file is ever mutated or deleted — the
+  append-only lake invariant that makes time travel possible at all);
+* a commit becomes visible by writing ``<table>/_snapshots/v<N>.json``
+  listing the data directories visible at that snapshot (parent dirs +
+  the new one for append; just the new one for overwrite).  The
+  manifest write is the ATOMIC commit point (tmp file + ``os.replace``)
+  — readers either see the whole snapshot or none of it, and a crashed
+  writer leaves only an invisible orphan data directory;
+* reading at ``snapshot_id=N`` (or ``as_of_timestamp_ms``) is a plain
+  ``spark.read.parquet(*dirs)`` over the manifest's directory list —
+  fully executor-parallel, no driver data movement.
+
+Reference parity: the reference reads/writes GCS parquet via dapla
+(``io/dapla_functions.py:15-119``) with no snapshot story; the north
+rule's "Iceberg lake ... resumable from checkpoint with per-partition
+lineage" is what this provides in-sandbox.  Single-writer protocol
+(commits are serialized by the caller) — the standard assumption for
+one ingest job owning a table; concurrent-writer conflict detection is
+an Iceberg-catalog feature out of scope here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_SNAPDIR = "_snapshots"
+
+
+def _manifest_dir(path: str) -> str:
+    return os.path.join(path, _SNAPDIR)
+
+
+def snapshots(path: str) -> list[dict]:
+    """All committed snapshots, oldest first."""
+    d = _manifest_dir(path)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in sorted(os.listdir(d)):
+        if name.startswith("v") and name.endswith(".json"):
+            with open(os.path.join(d, name)) as f:
+                out.append(json.load(f))
+    return sorted(out, key=lambda m: m["snapshot_id"])
+
+
+def _resolve(
+    path: str,
+    snapshot_id: int | None = None,
+    as_of_timestamp_ms: int | None = None,
+) -> dict:
+    snaps = snapshots(path)
+    if not snaps:
+        raise ValueError(f"{path}: not a snapshot table (no {_SNAPDIR}/)")
+    if snapshot_id is not None:
+        for m in snaps:
+            if m["snapshot_id"] == snapshot_id:
+                return m
+        raise ValueError(f"{path}: no snapshot {snapshot_id}")
+    if as_of_timestamp_ms is not None:
+        live = [m for m in snaps if m["timestamp_ms"] <= as_of_timestamp_ms]
+        if not live:
+            raise ValueError(
+                f"{path}: no snapshot at or before {as_of_timestamp_ms}"
+            )
+        return live[-1]
+    return snaps[-1]
+
+
+def write_snapshot_table(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+) -> int:
+    """Commit ``df`` as a new snapshot; returns the new snapshot id.
+
+    ``mode="append"`` makes the new files visible ALONGSIDE the current
+    snapshot's; ``mode="overwrite"`` starts a fresh visible set (old
+    files stay on disk — earlier snapshots remain readable)."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    prev = snapshots(path)
+    if prev:
+        head = prev[-1]
+        schema_cols = {f["name"] for f in head["schema"]["fields"]}
+        new_cols = {f.name for f in df.schema.fields}
+        if mode == "append" and schema_cols != new_cols:
+            raise ValueError(
+                f"append schema mismatch: table has {sorted(schema_cols)}, "
+                f"dataframe has {sorted(new_cols)}"
+            )
+        sid = head["snapshot_id"] + 1
+        parent = head["snapshot_id"]
+    else:
+        sid, parent = 1, None
+    data_dir = os.path.join(path, "data", f"s{sid}-{uuid.uuid4().hex[:8]}")
+    writer = df.write.mode("errorifexists")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(data_dir)
+    dirs = [data_dir] if (mode == "overwrite" or not prev) else (
+        prev[-1]["data_dirs"] + [data_dir]
+    )
+    manifest = {
+        "snapshot_id": sid,
+        "parent_id": parent,
+        "timestamp_ms": int(time.time() * 1000),
+        "operation": mode,
+        "data_dirs": dirs,
+        "schema": json.loads(df.schema.json()),
+    }
+    mdir = _manifest_dir(path)
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, f".v{sid}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(mdir, f"v{sid:08d}.json"))  # commit point
+    return sid
+
+
+def read_snapshot_table(
+    spark: SparkSession,
+    path: str,
+    *,
+    snapshot_id: int | None = None,
+    as_of_timestamp_ms: int | None = None,
+) -> DataFrame:
+    """Read the table at a snapshot (default: latest).  The scan is the
+    manifest's directory list — later commits never touch these files,
+    so the result at snapshot N is immutable forever."""
+    m = _resolve(path, snapshot_id, as_of_timestamp_ms)
+    return spark.read.option("basePath", os.path.join(path, "data")).parquet(
+        *m["data_dirs"]
+    )
+
+
+def expire_snapshots(path: str, keep_last: int = 1) -> list[int]:
+    """Iceberg-style maintenance: drop manifests older than the last
+    ``keep_last`` and delete data directories no surviving snapshot
+    references.  Returns the expired snapshot ids."""
+    import shutil
+
+    snaps = snapshots(path)
+    if len(snaps) <= keep_last:
+        return []
+    keep, drop = snaps[-keep_last:], snaps[:-keep_last]
+    live = {d for m in keep for d in m["data_dirs"]}
+    expired = []
+    for m in drop:
+        os.remove(os.path.join(_manifest_dir(path), f"v{m['snapshot_id']:08d}.json"))
+        expired.append(m["snapshot_id"])
+    for m in drop:
+        for d in m["data_dirs"]:
+            if d not in live and os.path.isdir(d):
+                shutil.rmtree(d)
+    return expired
