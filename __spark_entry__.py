@@ -73,6 +73,7 @@ from ssb_sgis_spark.operators.multimodal import (
     png_stats_oracle_sql,
     audio_stats_oracle_sql,
     video_stats_oracle_sql,
+    mp4_stats_oracle_sql,
 )
 from ssb_sgis_spark.operators.textops import extract_text, geocode_html
 from ssb_sgis_spark.operators.zonal import zonal_stats
@@ -910,6 +911,24 @@ def q_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = synth_avi_from_ids(ids)
     return video_stats(media)
+
+
+def q_mp4_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4 decode, oracle-checked end to end: one REAL Motion-JPEG mp4
+    per document (ISO-BMFF: ftyp/moov box tree, stsd/stts/stsc/stsz/stco
+    sample table, 4 block-constant baseline-JPEG samples in mdat, unit
+    quant so the DCT path is exact by construction), decoded by the
+    engine's pure-numpy container walk (kernels/mp4.py) + T.81 codec
+    inside mapInPandas.  duration_ms comes from the container's timing
+    boxes, so a hash match proves the box grammar, the full sample-table
+    resolver, per-sample Huffman/zigzag/IDCT and frame stacking."""
+    from ssb_sgis_spark.operators.multimodal import mp4_stats, synth_mp4_from_ids
+
+    ids = docs_df(spark, sf_dir).select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    media = synth_mp4_from_ids(ids)
+    return mp4_stats(media)
 
 
 def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1888,6 +1907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "png_stats": q_png_stats,
         "jpeg_stats": q_jpeg_stats,
         "video_stats": q_video_stats,
+        "mp4_stats": q_mp4_stats,
         "audio_stats": q_audio_stats,
         "ann_lsh_quant": q_ann_lsh_quant,
         "snapshot_travel": q_snapshot_travel,
@@ -2366,6 +2386,7 @@ def oracle_sql() -> dict[str, str]:
         "png_stats": png_stats_oracle_sql("(SELECT doc_id FROM documents)"),
         "jpeg_stats": jpeg_stats_oracle_sql("(SELECT doc_id FROM documents)"),
         "video_stats": video_stats_oracle_sql("(SELECT doc_id FROM documents)"),
+        "mp4_stats": mp4_stats_oracle_sql("(SELECT doc_id FROM documents)"),
         "audio_stats": audio_stats_oracle_sql("(SELECT doc_id FROM documents)"),
         "ann_lsh_quant": _ann_lsh_quant_oracle(),
         "snapshot_travel": "SELECT doc_id, md5(text) AS h FROM documents",

@@ -55,7 +55,7 @@ def test_decoders_registry_has_real_avi():
     frames = _block_frames(9, n=3)
     out = DECODERS["avi"](encode_avi_mjpeg(frames, unit_quant=True))
     assert out.shape[0] == 3 and np.array_equal(out[..., 0], frames)
-    assert DECODERS["mp4"] is None  # inter-frame codecs stay stubbed
+    assert DECODERS["mp4"] is not None  # ISO-BMFF is real too (test_mp4.py)
 
 
 def test_refusals():

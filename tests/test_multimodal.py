@@ -43,13 +43,14 @@ def test_unknown_codec_raises(spark):
 
     from ssb_sgis_spark.operators.multimodal import decode_batch
 
-    # jpeg became a REAL codec (kernels/jpeg.py); mp4 is the remaining
-    # honestly-stubbed format (inter-frame codecs)
+    # every shipped format is now a REAL codec (mp4 included, via
+    # kernels/mp4.py) — only a format with no registered decoder at all
+    # still hits the stub path
     pdf = pd.DataFrame(
         {
             "media_id": [0],
-            "fmt": ["mp4"],
-            "payload": [b"\x00\x00\x00\x18ftypmp42"],
+            "fmt": ["webm"],
+            "payload": [b"\x1a\x45\xdf\xa3"],
             "width": [1],
             "height": [1],
             "channels": [3],
