@@ -389,6 +389,28 @@ def q_hex_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hex_smooth(pages_df(spark, sf_dir), HEX_SIZE)
 
 
+def q_lisa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anselin LISA cluster map (Local Indicators of Spatial
+    Association) over hex-binned page counts: HH hotspots / LL coldspots
+    / HL-LH spatial outliers, integer-exact with z scaled by N.  Scale
+    shape: pages collapse to the per-hex histogram in one map-side
+    combined groupBy; everything after is |occupied hexes|-sized
+    (operators/spatialstats.py)."""
+    from ssb_sgis_spark.operators.spatialstats import lisa_quadrants
+
+    return lisa_quadrants(pages_df(spark, sf_dir), HEX_SIZE)
+
+
+def q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Moran's I spatial-autocorrelation scalar in micro-units —
+    decimal(38,0) cross/square sums (per-term products exceed int64),
+    ONE canonical floor division, bit-exact vs the DuckDB HUGEINT
+    mirror (operators/spatialstats.py)."""
+    from ssb_sgis_spark.operators.spatialstats import morans_i
+
+    return morans_i(pages_df(spark, sf_dir), HEX_SIZE)
+
+
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """get_k_nearest_neighbors(pages[uid%20=0], customer points, k=8) —
     SURVEY §2.3 (neighbors.py:228-382)."""
@@ -1908,6 +1930,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_stats": q_jpeg_stats,
         "video_stats": q_video_stats,
         "mp4_stats": q_mp4_stats,
+        "lisa_hotspots": q_lisa,
+        "morans_i": q_morans_i,
         "audio_stats": q_audio_stats,
         "ann_lsh_quant": q_ann_lsh_quant,
         "snapshot_travel": q_snapshot_travel,
@@ -2186,6 +2210,23 @@ def _dsir_oracle() -> str:
     return dsir_weights_sql("documents", "lang = 'en'")
 
 
+
+def _lisa_oracle() -> str:
+    from ssb_sgis_spark.hexcells import hex_qr_sql
+    from ssb_sgis_spark.operators.spatialstats import lisa_oracle_sql
+
+    hq, hr = hex_qr_sql("x", "y", HEX_SIZE)
+    return lisa_oracle_sql(pages_sql(), hq, hr)
+
+
+def _morans_oracle() -> str:
+    from ssb_sgis_spark.hexcells import hex_qr_sql
+    from ssb_sgis_spark.operators.spatialstats import morans_i_oracle_sql
+
+    hq, hr = hex_qr_sql("x", "y", HEX_SIZE)
+    return morans_i_oracle_sql(pages_sql(), hq, hr)
+
+
 def oracle_sql() -> dict[str, str]:
     from ssb_sgis_spark.operators.packing import pack_sequences_sql
     from ssb_sgis_spark.operators.dedup import (
@@ -2276,6 +2317,8 @@ def oracle_sql() -> dict[str, str]:
             FROM dens d CROSS JOIN offs o
             GROUP BY 1, 2
         """,
+        "lisa_hotspots": _lisa_oracle(),
+        "morans_i": _morans_oracle(),
         "knn": f"""
             WITH pages AS ({pages}),
             pts AS ({points}),
