@@ -1027,6 +1027,35 @@ def q_snapshot_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lake_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lake OPTIMIZE (compaction + Morton-cell clustering), content-
+    identity-checked: commit the pages as TWO unsorted append snapshots
+    (each file spans nearly the whole cell range — the worst pruning
+    layout), then rewrite with optimize_snapshot_table(cluster_by=cell)
+    into range-disjoint sorted files as a 'replace' snapshot.  The query
+    reads the OPTIMIZED snapshot; a hash match against the page-law
+    oracle proves the rewrite is row-for-row lossless.  File-count
+    compaction + disjoint-range pruning evidence live in
+    tests/test_snapshots.py (parquet footer stats via
+    file_column_ranges)."""
+    import tempfile
+
+    from ssb_sgis_spark.sources.snapshots import (
+        optimize_snapshot_table,
+        read_snapshot_table,
+        write_snapshot_table,
+    )
+
+    t = tempfile.mkdtemp(prefix="lake_opt_") + "/pages"
+    pg = pages_df(spark, sf_dir).select(
+        "uid", cell_of_xy_col(F.col("x"), F.col("y"), CELL_RES).alias("cell")
+    )
+    write_snapshot_table(pg.filter(F.col("uid") % 2 == 0), t)
+    write_snapshot_table(pg.filter(F.col("uid") % 2 == 1), t)
+    sid = optimize_snapshot_table(spark, t, cluster_by=["cell"], target_files=8)
+    return read_snapshot_table(spark, t, snapshot_id=sid).select("uid", "cell")
+
+
 def q_rep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals, computed PER ROW (sorted-array
     fold for the top-bigram count — no explode, no shuffle: at 10^12
@@ -1932,6 +1961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mp4_stats": q_mp4_stats,
         "lisa_hotspots": q_lisa,
         "morans_i": q_morans_i,
+        "lake_optimize": q_lake_optimize,
         "audio_stats": q_audio_stats,
         "ann_lsh_quant": q_ann_lsh_quant,
         "snapshot_travel": q_snapshot_travel,
@@ -2316,6 +2346,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(d.n) AS BIGINT) AS n_disk
             FROM dens d CROSS JOIN offs o
             GROUP BY 1, 2
+        """,
+        "lake_optimize": f"""
+            WITH pages AS ({pages})
+            SELECT uid, {morton_sql('x', 'y', CELL_RES)} AS cell FROM pages
         """,
         "lisa_hotspots": _lisa_oracle(),
         "morans_i": _morans_oracle(),

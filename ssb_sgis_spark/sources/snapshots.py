@@ -90,9 +90,12 @@ def write_snapshot_table(
 
     ``mode="append"`` makes the new files visible ALONGSIDE the current
     snapshot's; ``mode="overwrite"`` starts a fresh visible set (old
-    files stay on disk — earlier snapshots remain readable)."""
-    if mode not in ("append", "overwrite"):
-        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    files stay on disk — earlier snapshots remain readable);
+    ``mode="replace"`` is overwrite semantics with a distinct lineage
+    label — used by :func:`optimize_snapshot_table` for data-preserving
+    rewrites (Iceberg's ``replace`` operation)."""
+    if mode not in ("append", "overwrite", "replace"):
+        raise ValueError(f"mode must be append|overwrite|replace, got {mode!r}")
     prev = snapshots(path)
     if prev:
         head = prev[-1]
@@ -112,7 +115,7 @@ def write_snapshot_table(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(data_dir)
-    dirs = [data_dir] if (mode == "overwrite" or not prev) else (
+    dirs = [data_dir] if (mode in ("overwrite", "replace") or not prev) else (
         prev[-1]["data_dirs"] + [data_dir]
     )
     manifest = {
@@ -168,3 +171,88 @@ def expire_snapshots(path: str, keep_last: int = 1) -> list[int]:
             if d not in live and os.path.isdir(d):
                 shutil.rmtree(d)
     return expired
+
+
+def optimize_snapshot_table(
+    spark: SparkSession,
+    path: str,
+    *,
+    cluster_by: list[str] | None = None,
+    target_files: int = 8,
+) -> int:
+    """Iceberg ``OPTIMIZE`` analogue: rewrite the CURRENT snapshot's data
+    as a compacted, optionally cluster-sorted file set, committed as a
+    new ``replace`` snapshot.  Contents are row-for-row identical; every
+    earlier snapshot stays readable (nothing is deleted — run
+    :func:`expire_snapshots` separately for space reclamation).
+
+    * **Compaction**: many small files (the natural residue of
+      incremental appends) become ``target_files`` balanced ones — the
+      small-files problem is THE operational failure mode of streaming
+      ingest at lake scale.
+    * **Clustering** (``cluster_by`` — e.g. the Morton cell column):
+      ``repartitionByRange`` + ``sortWithinPartitions`` gives pairwise
+      DISJOINT key ranges across files and monotone row groups inside
+      them, so parquet min/max stats prune file- and row-group-level IO
+      for key-range scans (the Z-order/sort-order story; verified via
+      :func:`file_column_ranges` in tests).  The range exchange samples
+      boundaries distributedly — no global single-partition sort.
+    """
+    df = read_snapshot_table(spark, path)
+    if cluster_by:
+        out = df.repartitionByRange(target_files, *cluster_by).sortWithinPartitions(
+            *cluster_by
+        )
+    else:
+        out = df.repartition(target_files)
+    return write_snapshot_table(out, path, mode="replace")
+
+
+def file_column_ranges(
+    path: str,
+    column: str,
+    *,
+    snapshot_id: int | None = None,
+) -> list[dict]:
+    """Per-data-file min/max parquet statistics for ``column`` at a
+    snapshot — the pruning evidence OPTIMIZE exists to improve: a scan
+    with a predicate on ``column`` can skip every file whose [min, max]
+    misses the range.  Driver-side metadata walk (footer stats only, no
+    data IO) — the same information an Iceberg manifest carries."""
+    import pyarrow.parquet as pq
+
+    m = _resolve(path, snapshot_id)
+    out = []
+    for d in m["data_dirs"]:
+        for root, _, files in os.walk(d):
+            for fn in sorted(files):
+                if not fn.endswith(".parquet"):
+                    continue
+                fp = os.path.join(root, fn)
+                meta = pq.ParquetFile(fp).metadata
+                idx = next(
+                    (
+                        j
+                        for j in range(meta.num_columns)
+                        if meta.row_group(0).column(j).path_in_schema == column
+                    ),
+                    None,
+                ) if meta.num_row_groups else None
+                if idx is None:
+                    continue
+                mins, maxs = [], []
+                for rg in range(meta.num_row_groups):
+                    st = meta.row_group(rg).column(idx).statistics
+                    if st is not None and st.has_min_max:
+                        mins.append(st.min)
+                        maxs.append(st.max)
+                if mins:
+                    out.append(
+                        {
+                            "file": fp,
+                            "min": min(mins),
+                            "max": max(maxs),
+                            "rows": meta.num_rows,
+                        }
+                    )
+    return out

@@ -107,3 +107,88 @@ def test_read_lake_table_routes_time_travel_to_snapshot_tables(spark, tmp_path):
     _mk(spark, 0, 5).write.parquet(p)
     with pytest.raises(ValueError, match="snapshot"):
         read_lake_table(spark, p, snapshot_id=1)
+
+
+# --------------------------------------------------- OPTIMIZE (rewrite)
+
+def _scattered(spark, n=2000, files=16):
+    """A table whose key is uncorrelated with file layout — every file
+    spans nearly the whole key range (the worst pruning layout)."""
+    df = spark.range(n).withColumn(
+        "key", (F.col("id") * 2654435761) % 100000
+    ).withColumn("v", F.col("id") * 3)
+    return df.repartition(files)
+
+
+def test_optimize_compacts_and_preserves_content(spark, tmp_path):
+    from ssb_sgis_spark.sources.snapshots import (
+        file_column_ranges,
+        optimize_snapshot_table,
+    )
+
+    t = str(tmp_path / "tbl")
+    write_snapshot_table(_scattered(spark, 1000, 8), t)
+    write_snapshot_table(_scattered(spark, 1000, 8).withColumn(
+        "v", F.col("v") + 1_000_000), t)
+    before = sorted(
+        (r["id"], r["key"], r["v"])
+        for r in read_snapshot_table(spark, t).collect()
+    )
+    n_before = len(file_column_ranges(t, "key"))
+    sid = optimize_snapshot_table(spark, t, target_files=4)
+    after = sorted(
+        (r["id"], r["key"], r["v"])
+        for r in read_snapshot_table(spark, t, snapshot_id=sid).collect()
+    )
+    assert after == before                      # row-for-row lossless
+    n_after = len(file_column_ranges(t, "key"))
+    assert n_after <= 4 < n_before              # compaction happened
+    assert snapshots(t)[-1]["operation"] == "replace"
+    # earlier snapshots stay readable after the rewrite
+    assert read_snapshot_table(spark, t, snapshot_id=1).count() == 1000
+
+
+def test_optimize_clustering_gives_disjoint_file_ranges(spark, tmp_path):
+    from ssb_sgis_spark.sources.snapshots import (
+        file_column_ranges,
+        optimize_snapshot_table,
+    )
+
+    t = str(tmp_path / "tbl")
+    write_snapshot_table(_scattered(spark, 4000, 8), t)
+
+    def overlap_pairs(ranges):
+        return sum(
+            1
+            for i in range(len(ranges))
+            for j in range(i + 1, len(ranges))
+            if ranges[i]["min"] <= ranges[j]["max"]
+            and ranges[j]["min"] <= ranges[i]["max"]
+        )
+
+    before = file_column_ranges(t, "key")
+    assert overlap_pairs(before) > 0            # scattered layout overlaps
+
+    optimize_snapshot_table(spark, t, cluster_by=["key"], target_files=4)
+    after = file_column_ranges(t, "key")
+    assert 1 < len(after) <= 4
+    assert overlap_pairs(after) == 0            # range-disjoint files
+    # pruning evidence: a narrow key-range scan can skip most files
+    lo, hi = 0, 10000
+    touched = [r for r in after if r["min"] <= hi and lo <= r["max"]]
+    assert len(touched) < len(after)
+    # and the data is still all there
+    assert read_snapshot_table(spark, t).count() == 4000
+
+
+def test_optimize_then_expire_reclaims_old_layout(spark, tmp_path):
+    from ssb_sgis_spark.sources.snapshots import optimize_snapshot_table
+
+    t = str(tmp_path / "tbl")
+    write_snapshot_table(_scattered(spark, 500, 8), t)
+    sid = optimize_snapshot_table(spark, t, cluster_by=["key"], target_files=2)
+    expired = expire_snapshots(t, keep_last=1)
+    assert expired == [1]
+    assert read_snapshot_table(spark, t, snapshot_id=sid).count() == 500
+    with pytest.raises(ValueError, match="no snapshot 1"):
+        read_snapshot_table(spark, t, snapshot_id=1)
