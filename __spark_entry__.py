@@ -411,6 +411,46 @@ def q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
     return morans_i(pages_df(spark, sf_dir), HEX_SIZE)
 
 
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The input_hint container end to end: pages → real multi-member
+    ``.warc.gz`` segment files (sources/warc.py — ISO 28500, one gzip
+    member per record, deterministic bytes) → distributed ``binaryFile``
+    scan + member-split parse → Arrow-batched html→text extraction.
+    Output (url, extracted_text, ts_delta) must equal the direct
+    derivation from the pages law — proving the WARC encode/decode cycle
+    is lossless and the per-url text byte-identical through the actual
+    Common-Crawl container, not just through parquet.  Scale shape: one
+    segment-id shuffle on write, one task per segment on read, map-only
+    parse, zero driver bytes."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ssb_sgis_spark.operators.textops import extract_text
+    from ssb_sgis_spark.sources.pages import WARC_EPOCH
+    from ssb_sgis_spark.sources.warc import read_warc, write_warc
+
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "sgis_warc_" + hashlib.sha256(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    pages = pages_df(spark, sf_dir, with_payload=True).select(
+        "url", "warc_ts", "html"
+    )
+    write_warc(pages, d, n_files=16).collect()  # the manifest is the action
+    back = read_warc(spark, d).select("url", "warc_ts", "html")
+    return extract_text(back, keep=["url", "warc_ts"]).select(
+        "url",
+        "extracted_text",
+        # tz-independent: epoch-relative seconds == uid by the pages law
+        (
+            F.unix_timestamp("warc_ts") - F.unix_timestamp(F.lit(WARC_EPOCH))
+        ).alias("ts_delta"),
+    )
+
+
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """get_k_nearest_neighbors(pages[uid%20=0], customer points, k=8) —
     SURVEY §2.3 (neighbors.py:228-382)."""
@@ -1954,6 +1994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # follows — nothing is ever deleted, all entries stay runnable.
     return {
         # --- (a) new/touched this round ---
+        "warc_roundtrip": q_warc_roundtrip,
         "reproject": q_reproject,
         "png_stats": q_png_stats,
         "jpeg_stats": q_jpeg_stats,
@@ -2301,6 +2342,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT muni_id, count(*) AS n_pages FROM hits GROUP BY muni_id"
         ),
         "reproject": _reproject_oracle(),
+        "warc_roundtrip": f"""
+            WITH pages AS ({pages})
+            SELECT url,
+                   'page ' || CAST(uid AS VARCHAR) || ' located at E' ||
+                   printf('%.3f', x) || ' N' || printf('%.3f', y) AS extracted_text,
+                   uid AS ts_delta
+            FROM pages
+        """,
         "grid_id": f"""
             WITH pages AS ({pages})
             SELECT uid, {ssb_grid_id_sql('x', 'y', 1000)} AS SSBID FROM pages

@@ -96,8 +96,12 @@ def test_scan_prunes_columns(spark):
 _CROSS_BY_DESIGN = {
     "all_distances", "ann_topk", "ann_quant", "unigram_nll", "bigram_nll",
     "bm25", "quantiles", "pmi_top", "nll_buckets", "semdedup",
-    "dsir_select",
+    "dsir_select", "lisa_hotspots",
 }
+# lisa_hotspots' BNLJs are the one-row (N, S) deviation-scalar broadcast
+# of spatialstats._densz, printed once per branch of the density⋈lag
+# left join; counted in test_lisa_scalar_bnljs_only and the real join is
+# asserted broadcast-hash there
 # dsir_select = dsir scoring + exact_quantiles + a one-row threshold
 # broadcast: the same scalar-BNLJ composition as nll_buckets, counted in
 # test_dsir_select_scalar_bnljs_only
@@ -215,6 +219,21 @@ def test_nll_buckets_scalar_bnljs_only(spark):
     assert tree.count("BroadcastNestedLoopJoin") == 4, tree
     assert "CartesianProduct" not in p
     assert "ShuffledHashJoin" in p
+
+
+def test_lisa_scalar_bnljs_only(spark):
+    """lisa_hotspots' nested-loop nodes are exactly the one-row (N, S)
+    scalar broadcast of _densz — printed once under each branch of the
+    density⋈lag join (the exchanges dedupe via ReusedExchange; the join
+    node prints per branch).  The density⋈lag join itself is a
+    broadcast-hash equi-join on (hex_q, hex_r)."""
+    import __spark_entry__ as entry
+
+    p = plan_of(entry.queries()["lisa_hotspots"](spark, SF))
+    tree = p.split("\n\n")[0]
+    assert tree.count("BroadcastNestedLoopJoin") == 2, tree
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in tree
 
 
 def test_semdedup_pair_join_is_equi(spark):
