@@ -451,6 +451,46 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor extraction (operators/links.py): pages get a closed-form
+    anchor block appended, then ``extract_links`` recovers every
+    ``href`` with position via whole-stage-codegen regexp_extract_all —
+    no Python worker, html never shuffles.  The oracle derives the SAME
+    hrefs from the anchor law directly (independent algorithm: no regex
+    on the DuckDB side), so a parse that drops, reorders, or mangles
+    any anchor mismatches."""
+    from ssb_sgis_spark.operators.links import anchored_pages, extract_links
+
+    pages = pages_df(spark, sf_dir, with_payload=True).select("uid", "html")
+    return extract_links(anchored_pages(pages), keep=["uid"])
+
+
+HOST_RANK_ITERS = 3
+
+
+def q_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level centrality end to end (the CC-rank shape): html →
+    anchor parse (JVM regex) → host-graph contraction (ONE map-side
+    combined groupBy; the shuffle carries |hosts|² weighted rows, never
+    the raw links) → weighted integer PageRank over the contracted
+    graph (operators/links.py + linkgraph.pagerank_weighted).  Exact
+    micro-unit arithmetic ≡ unrolled DuckDB CTEs."""
+    from ssb_sgis_spark.operators.links import (
+        anchored_pages,
+        extract_links,
+        host_edges,
+    )
+    from ssb_sgis_spark.operators.linkgraph import pagerank_weighted
+
+    pages = pages_df(spark, sf_dir, with_payload=True).select("uid", "url", "html")
+    links = extract_links(anchored_pages(pages), keep=["url"])
+    edges = host_edges(links)
+    hosts = edges.select(F.col("src").alias("host")).union(
+        edges.select("dst")
+    ).distinct()
+    return pagerank_weighted(hosts, edges, n_iter=HOST_RANK_ITERS)
+
+
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """get_k_nearest_neighbors(pages[uid%20=0], customer points, k=8) —
     SURVEY §2.3 (neighbors.py:228-382)."""
@@ -1995,6 +2035,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- (a) new/touched this round ---
         "warc_roundtrip": q_warc_roundtrip,
+        "link_extract": q_link_extract,
+        "host_rank": q_host_rank,
         "reproject": q_reproject,
         "png_stats": q_png_stats,
         "jpeg_stats": q_jpeg_stats,
@@ -2298,6 +2340,37 @@ def _morans_oracle() -> str:
     return morans_i_oracle_sql(pages_sql(), hq, hr)
 
 
+def _link_extract_oracle() -> str:
+    """Independent derivation: hrefs straight from the anchor law — no
+    regex on the oracle side, so the Spark parse is checked against a
+    different algorithm."""
+    from ssb_sgis_spark.operators.linkgraph import _A, _B
+
+    return f"""
+        WITH pages AS ({pages_sql()})
+        SELECT uid, k - 1 AS pos,
+               'https://site' || CAST((uid * {_A} + k * {_B}) % 1000 AS VARCHAR)
+               || '.no/l/' || CAST(k AS VARCHAR) AS href
+        FROM pages, unnest(range(1, uid % 4 + 2)) r(k)
+    """
+
+
+def _host_rank_oracle() -> str:
+    from ssb_sgis_spark.operators.linkgraph import _A, _B, pagerank_weighted_sql
+
+    raw = (
+        "SELECT 'site' || CAST(uid % 1000 AS VARCHAR) || '.no' AS src, "
+        f"'site' || CAST((uid * {_A} + k * {_B}) % 1000 AS VARCHAR) || '.no' AS dst "
+        f"FROM ({pages_sql()}) p, unnest(range(1, uid % 4 + 2)) r(k)"
+    )
+    edges = f"SELECT src, dst, count(*) AS w FROM ({raw}) GROUP BY 1, 2"
+    verts = (
+        f"SELECT DISTINCT src AS v FROM ({raw}) "
+        f"UNION SELECT DISTINCT dst FROM ({raw})"
+    )
+    return pagerank_weighted_sql(verts, edges, id_col="host", n_iter=HOST_RANK_ITERS)
+
+
 def oracle_sql() -> dict[str, str]:
     from ssb_sgis_spark.operators.packing import pack_sequences_sql
     from ssb_sgis_spark.operators.dedup import (
@@ -2350,6 +2423,8 @@ def oracle_sql() -> dict[str, str]:
                    uid AS ts_delta
             FROM pages
         """,
+        "link_extract": _link_extract_oracle(),
+        "host_rank": _host_rank_oracle(),
         "grid_id": f"""
             WITH pages AS ({pages})
             SELECT uid, {ssb_grid_id_sql('x', 'y', 1000)} AS SSBID FROM pages

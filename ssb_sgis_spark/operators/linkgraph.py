@@ -42,6 +42,8 @@ __all__ = [
     "pagerank",
     "pagerank_round",
     "pagerank_sql",
+    "pagerank_weighted",
+    "pagerank_weighted_sql",
     "hits",
     "hits_sql",
 ]
@@ -128,6 +130,79 @@ def pagerank_round(edges_d: DataFrame, verts: DataFrame, ranks: DataFrame) -> Da
                 " AS BIGINT)"
             ).alias("r"),
         )
+    )
+
+
+def pagerank_weighted(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "host",
+    weight_col: str = "w",
+    n_iter: int = 3,
+) -> DataFrame:
+    """Weighted integer PageRank over a CONTRACTED graph (e.g. the host
+    graph from ``operators/links.host_edges``): edges carry a link
+    multiplicity ``w``; each round node u sends ``w · (r div W_u)``
+    along each edge, ``W_u`` its total outgoing weight.  Same micro-unit
+    arithmetic and shuffle shape as :func:`pagerank` — exactness,
+    teleport, and the unrolled-CTE mirror all carry over; the state and
+    edge list are |hosts|-sized, which is the point of contracting
+    before ranking."""
+    wdeg = edges.groupBy("src").agg(F.sum(weight_col).alias("outw"))
+    edges_d = edges.join(wdeg, "src").localCheckpoint(eager=True)
+    verts = nodes.select(F.col(id_col).alias("v")).localCheckpoint(eager=True)
+    ranks = verts.select("v", F.lit(R0_MICRO).cast("long").alias("r"))
+    for _ in range(n_iter):
+        contrib = (
+            edges_d.join(ranks, edges_d["src"] == ranks["v"])
+            .select("dst", F.expr(f"{weight_col} * (r div outw)").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_c"))
+        )
+        ranks = (
+            verts.join(contrib, verts["v"] == contrib["dst"], "left")
+            .select(
+                "v",
+                F.expr(
+                    f"CAST({TELEPORT_MICRO} + (85 * coalesce(in_c, 0)) div 100"
+                    " AS BIGINT)"
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(F.col("v").alias(id_col), F.col("r").alias("rank_micro"))
+
+
+def pagerank_weighted_sql(
+    verts_sql: str,
+    edges_sql: str,
+    id_col: str = "host",
+    n_iter: int = 3,
+) -> str:
+    """DuckDB mirror of :func:`pagerank_weighted` (edges_sql must yield
+    (src, dst, w); verts_sql one ``v`` column)."""
+    ctes = [
+        f"verts AS ({verts_sql})",
+        f"e AS ({edges_sql})",
+        "wdeg AS (SELECT src, sum(w) AS outw FROM e GROUP BY src)",
+        "ed AS (SELECT e.src, e.dst, e.w, wdeg.outw FROM e JOIN wdeg USING (src))",
+        f"r0 AS (SELECT v, CAST({R0_MICRO} AS BIGINT) AS r FROM verts)",
+    ]
+    prev = "r0"
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"c{i} AS (SELECT ed.dst, CAST(sum(ed.w * (ed_r.r // ed.outw)) AS BIGINT) AS in_c "
+            f"FROM ed JOIN {prev} ed_r ON ed.src = ed_r.v GROUP BY ed.dst)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT verts.v, CAST({TELEPORT_MICRO} + "
+            f"(85 * coalesce(c{i}.in_c, 0)) // 100 AS BIGINT) AS r "
+            f"FROM verts LEFT JOIN c{i} ON verts.v = c{i}.dst)"
+        )
+        prev = f"r{i}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT v AS {id_col}, r AS rank_micro FROM {prev}"
     )
 
 

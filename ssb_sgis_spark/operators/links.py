@@ -1,0 +1,149 @@
+"""Anchor-link extraction and host-graph contraction — the crawl-graph
+front half the id-law citation graph (operators/linkgraph.py) skips.
+
+``linkgraph`` ranks a graph it is GIVEN; this module builds that graph
+from page bytes the way a crawl pipeline does: parse ``<a href>``
+anchors out of html, resolve each href to a host, contract page→page
+links into a weighted host→host graph, and rank hosts with the weighted
+integer PageRank (``linkgraph.pagerank_weighted``) — the domain-level
+centrality score (CC-rank style) used for crawl prioritization and
+quality weighting.
+
+Plan shapes (the part that has to survive 10^12 pages):
+
+* :func:`extract_links` is pure JVM: ``regexp_extract_all`` +
+  ``posexplode`` inside whole-stage codegen — zero Python workers, html
+  bytes never shuffle, output rows are (key, pos, href) strings only.
+* :func:`host_edges` contracts immediately: one groupBy on
+  (src_host, dst_host) with map-side combine, so the shuffle carries at
+  most |hosts|² weighted rows, not the 10^12 raw links.
+* Ranking then iterates over the CONTRACTED graph — state is one row
+  per host (10^6-10^8 in a real crawl), the cheap side of every join.
+
+The synthetic corpus' pages carry no anchors (their html law predates
+this module and is pinned by the text-extraction oracles), so
+:func:`anchored_pages` appends a closed-form anchor block — same
+deterministic stance as ``linkgraph.link_edges``, mirrored term for
+term in :func:`anchored_pages_sql` so DuckDB parses byte-identical html.
+
+Reference parity: no counterpart — the reference is a geospatial
+toolkit; this is north-star webtext surface (BASELINE input_hint pages
++ the "Common-Crawl-style" corpus shape), derived from public crawl
+-pipeline practice only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ssb_sgis_spark.functions.url import host_col, host_sql
+from ssb_sgis_spark.operators.linkgraph import _A, _B
+
+__all__ = [
+    "anchored_pages",
+    "anchored_pages_sql",
+    "extract_links",
+    "extract_links_sql",
+    "host_edges",
+    "host_edges_sql",
+]
+
+_HREF_RE = r'href="([^"]+)"'
+N_SITES = 1000  # the pages url law: host = site{uid % 1000}.no
+
+
+def anchored_pages(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """Append the closed-form anchor block to each page's html: page
+    ``uid`` links to ``site{(uid·A + k·B) % 1000}.no`` for
+    ``k = 1 .. 1 + uid % 4`` (the ``link_edges`` law lifted onto hosts).
+    Pure column arithmetic — map-only, no action."""
+    uid = F.col("uid")
+    anchors = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), (uid % 4 + 1).cast("int")),
+            lambda k: F.concat(
+                F.lit('<a href="https://site'),
+                ((uid * _A + k.cast("bigint") * _B) % N_SITES).cast("string"),
+                F.lit(".no/l/"),
+                k.cast("string"),
+                F.lit('">l'),
+                k.cast("string"),
+                F.lit("</a>"),
+            ),
+        ),
+        "",
+    )
+    return df.withColumn(
+        html_col,
+        F.encode(F.concat(F.col(html_col).cast("string"), anchors), "UTF-8"),
+    )
+
+
+def anchored_pages_sql(pages_rel: str, html_expr: str) -> str:
+    """DuckDB mirror of :func:`anchored_pages`: SELECT-list expression
+    producing the same anchored html string from ``uid`` and the page
+    html expression ``html_expr``."""
+    a = (
+        "'<a href=\"https://site' || "
+        f"CAST((uid * {_A} + k * {_B}) % {N_SITES} AS VARCHAR) || "
+        "'.no/l/' || CAST(k AS VARCHAR) || '\">l' || CAST(k AS VARCHAR) || '</a>'"
+    )
+    return (
+        f"SELECT uid, url, ({html_expr}) || array_to_string("
+        f"list_transform(range(1, uid % 4 + 2), k -> {a}), '') AS html "
+        f"FROM {pages_rel}"
+    )
+
+
+def extract_links(
+    df: DataFrame,
+    html_col: str = "html",
+    keep: list[str] | None = None,
+) -> DataFrame:
+    """All ``href="..."`` anchor targets per row: ``(keep..., pos,
+    href)``, pos 0-based in document order.  Whole-stage-codegen JVM
+    regex — no Python worker, and the html column itself is pruned away
+    before any exchange."""
+    keep = keep if keep is not None else ["uid"]
+    return df.select(
+        *keep,
+        F.posexplode(
+            F.regexp_extract_all(
+                F.col(html_col).cast("string"), F.lit(_HREF_RE), F.lit(1)
+            )
+        ).alias("pos", "href"),
+    )
+
+
+def extract_links_sql(rel: str, html_expr: str = "html", keep: str = "uid") -> str:
+    """DuckDB mirror: same regex, 0-based pos in document order."""
+    return f"""
+    SELECT {keep}, k - 1 AS pos, arr[k] AS href FROM (
+      SELECT {keep}, regexp_extract_all({html_expr}, '{_HREF_RE}', 1) AS arr
+      FROM {rel}
+    ) t, unnest(range(1, len(arr) + 1)) r(k)
+    """
+
+
+def host_edges(links: DataFrame, src_url_col: str = "url") -> DataFrame:
+    """Contract page→page links to the weighted host graph:
+    ``(src, dst, w)`` with w = number of links.  One map-side-combined
+    groupBy — the only shuffle between raw anchors and the rank loop."""
+    return (
+        links.select(
+            host_col(F.col(src_url_col)).alias("src"),
+            host_col(F.col("href")).alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+    )
+
+
+def host_edges_sql(links_rel: str, src_url: str = "url") -> str:
+    return f"""
+    SELECT {host_sql(src_url)} AS src, {host_sql('href')} AS dst,
+           count(*) AS w
+    FROM {links_rel}
+    GROUP BY 1, 2
+    """

@@ -129,7 +129,13 @@ _CROSS_BY_DESIGN = {
 # scope for a batch-plan sweep.
 _EAGER_QUERIES = {
     "tiled_pip", "stream_dedup", "stream_hex", "pagerank", "bpe_merges",
+    "host_rank", "warc_roundtrip",
 }
+# host_rank iterates pagerank_weighted with eager per-round checkpoints
+# (pagerank's pattern); its pre-loop shapes (JVM regex extract, map-side
+# combined host contraction) are asserted in test_host_rank_contraction
+# warc_roundtrip writes + reads real .warc.gz segments at construction;
+# the returned plan is a binaryFile scan + mapInPandas parse, joinless
 # bpe_merges collects a one-row argmax per round and returns a
 # driver-built merge table (pagerank's eager-round pattern); its inner
 # pair-count plan is a plain exploded groupBy
@@ -234,6 +240,26 @@ def test_lisa_scalar_bnljs_only(spark):
     assert tree.count("BroadcastNestedLoopJoin") == 2, tree
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in tree
+
+
+def test_host_rank_contraction(spark):
+    """host_rank's pre-loop pipeline: anchor extraction is pure JVM (no
+    Python eval node — the regex runs in codegen) and the host-graph
+    contraction is ONE hash aggregate pair (partial + final ⇒ map-side
+    combine) with a single exchange on the contracted keys."""
+    from ssb_sgis_spark.operators.links import (
+        anchored_pages,
+        extract_links,
+        host_edges,
+    )
+    from __spark_entry__ import pages_df
+
+    pages = pages_df(spark, SF, with_payload=True).select("uid", "url", "html")
+    p = plan_of(host_edges(extract_links(anchored_pages(pages), keep=["url"])))
+    tree = p.split("\n\n")[0]
+    assert "EvalPython" not in p  # no Arrow/row Python workers anywhere
+    assert tree.count("Exchange") == 1, tree  # only the contracted keys shuffle
+    assert tree.count("HashAggregate") == 2, tree  # partial + final
 
 
 def test_semdedup_pair_join_is_equi(spark):
