@@ -491,6 +491,26 @@ def q_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_weighted(hosts, edges, n_iter=HOST_RANK_ITERS)
 
 
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl politeness end to end (operators/robots.py): per-host
+    robots.txt synthesized from a closed-form law → RFC 9309 parse
+    (Arrow-batched — |hosts|-sized, not |pages|-sized) → access decision
+    as a broadcast join + codegen prefix/regex match + one max_by
+    (longest rule wins, allow wins ties).  The oracle derives every
+    decision from the law directly — it never parses — so the parser
+    and the precedence logic are checked against an independent
+    derivation."""
+    from ssb_sgis_spark.operators.robots import (
+        apply_robots,
+        parse_robots,
+        robots_txt_df,
+    )
+
+    pages = pages_df(spark, sf_dir).select("uid", "url")
+    rules = parse_robots(robots_txt_df(spark))
+    return apply_robots(pages, rules).select("uid", "allowed")
+
+
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """get_k_nearest_neighbors(pages[uid%20=0], customer points, k=8) —
     SURVEY §2.3 (neighbors.py:228-382)."""
@@ -2037,6 +2057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": q_warc_roundtrip,
         "link_extract": q_link_extract,
         "host_rank": q_host_rank,
+        "robots_filter": q_robots_filter,
         "reproject": q_reproject,
         "png_stats": q_png_stats,
         "jpeg_stats": q_jpeg_stats,
@@ -2425,6 +2446,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "link_extract": _link_extract_oracle(),
         "host_rank": _host_rank_oracle(),
+        # decisions straight from the robots LAW (site%3==0 disallows
+        # /p/ but re-allows /p/7; nothing else matches a /p/ path) — the
+        # oracle never runs a robots parser
+        "robots_filter": f"""
+            WITH pages AS ({pages})
+            SELECT uid,
+                   CASE WHEN (uid % 1000) % 3 = 0
+                        THEN CAST(uid AS VARCHAR) LIKE '7%'
+                        ELSE TRUE END AS allowed
+            FROM pages
+        """,
         "grid_id": f"""
             WITH pages AS ({pages})
             SELECT uid, {ssb_grid_id_sql('x', 'y', 1000)} AS SSBID FROM pages

@@ -255,11 +255,15 @@ def test_host_rank_contraction(spark):
     from __spark_entry__ import pages_df
 
     pages = pages_df(spark, SF, with_payload=True).select("uid", "url", "html")
+    base = plan_of(anchored_pages(pages)).split("\n\n")[0]  # source incl. its own derivation
     p = plan_of(host_edges(extract_links(anchored_pages(pages), keep=["url"])))
     tree = p.split("\n\n")[0]
     assert "EvalPython" not in p  # no Arrow/row Python workers anywhere
-    assert tree.count("Exchange") == 1, tree  # only the contracted keys shuffle
-    assert tree.count("HashAggregate") == 2, tree  # partial + final
+    # exactly ONE exchange beyond whatever the pages source derivation
+    # already contains — the contracted (src,dst) keys
+    assert tree.count("Exchange") == base.count("Exchange") + 1, tree
+    # the contraction itself is partial + final (map-side combine)
+    assert tree.count("HashAggregate") == base.count("HashAggregate") + 2, tree
 
 
 def test_semdedup_pair_join_is_equi(spark):
