@@ -1937,6 +1937,34 @@ def q_knn_cellwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("uid", "neighbor_id", "distance", "knn_rank")
 
 
+def q_knn_haversine_cellwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path of haversine kNN (operators/knn_geo.py):
+    wrap-aware lon/lat cells + the spherical per-point proof bound
+    G(p,r) = min(R·rΔ, R·asin(cos φ·sin rΔ)) + ring escalation + brute
+    residue (broadcast_threshold=0 forces the path — this used to be a
+    NotImplementedError refusal).  Same oracle as `knn_haversine`:
+    whole-metre rounding absorbs the libm drift, ranks from unrounded
+    distances."""
+    lon, lat = _lonlat_cols("x", "y")
+    left = (
+        pages_df(spark, sf_dir)
+        .filter(F.col("uid") % KNN_LEFT_MOD == 0)
+        .select("uid", lon.alias("x"), lat.alias("y"))
+    )
+    plon, plat = _lonlat_cols("px", "py")
+    right = points_df(spark, sf_dir).select(
+        "vid", plon.alias("px"), plat.alias("py")
+    )
+    return get_k_nearest_neighbors(
+        left, right, k=KNN_K, metric="haversine", broadcast_threshold=0
+    ).select(
+        "uid",
+        "neighbor_id",
+        F.round(F.col("distance"), 0).cast("bigint").alias("dist_m"),
+        "knn_rank",
+    )
+
+
 def q_pip_join_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SCALE path of the PIP join: compact morton-range cover +
     searchsorted Arrow refine (compact_threshold=0 forces it).  Same
@@ -2058,6 +2086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_extract": q_link_extract,
         "host_rank": q_host_rank,
         "robots_filter": q_robots_filter,
+        "knn_haversine_cellwise": q_knn_haversine_cellwise,
         "reproject": q_reproject,
         "png_stats": q_png_stats,
         "jpeg_stats": q_jpeg_stats,
@@ -2996,5 +3025,6 @@ def oracle_sql() -> dict[str, str]:
         """,
     }
     out["knn_cellwise"] = out["knn"]
+    out["knn_haversine_cellwise"] = out["knn_haversine"]
     out["pip_join_compact"] = out["pip_join"]
     return out

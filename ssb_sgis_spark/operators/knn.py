@@ -151,16 +151,23 @@ def get_k_nearest_neighbors(
         raise ValueError(f"unknown metric {metric!r}")
     n_right_est = right.count()
     if metric == "haversine" and n_right_est > broadcast_threshold:
-        # the cellwise ring guarantee is a PLANAR bound; great-circle
-        # cells would need latitude-dependent sizing.  The scale answer
-        # for huge lon/lat clouds is project-then-planar (kernels.proj
-        # get_utm33), which is exact for regional data — refuse rather
-        # than silently return approximate neighbors.
-        raise NotImplementedError(
-            "haversine kNN with a non-broadcastable right side: project to "
-            "a planar CRS first (operators.conversion.get_utm33) and use "
-            "metric='euclidean', whose cellwise scale path is exact"
+        # lon/lat cellwise path with the spherical per-point proof bound
+        # (operators/knn_geo.py) — exact on the R=6371008.8 sphere,
+        # dateline-wrapping halos, polar rows degrade to the brute pass
+        from ssb_sgis_spark.operators.knn_geo import knn_cellwise_haversine
+
+        if strict and k > n_right_est:
+            raise ValueError(f"k={k} > n_right={n_right_est} with strict=True")
+        out = knn_cellwise_haversine(
+            left, right, min(k, n_right_est),
+            cell_deg=_auto_geo_cell_deg(right, n_right_est, k, right_x, right_y),
+            left_id=left_id, left_x=left_x, left_y=left_y,
+            right_id=right_id, right_x=right_x, right_y=right_y,
+            n_right=n_right_est,
         )
+        if max_distance is not None:
+            out = out.filter(F.col("distance") <= max_distance)
+        return out
     if n_right_est > broadcast_threshold:
         if strict and k > n_right_est:
             raise ValueError(f"k={k} > n_right={n_right_est} with strict=True")
@@ -290,6 +297,28 @@ def _auto_knn_res(right, n_right: int, k: int, right_x: str, right_y: str) -> in
     across = max(np.sqrt(n_right / target), 1.0)
     res = int(np.ceil(np.log2(DOMAIN_SIZE * across / span)))
     return int(np.clip(res, 4, MAX_RES))
+
+
+def _auto_geo_cell_deg(right, n_right: int, k: int, right_x: str, right_y: str) -> float:
+    """Degree cell size for the lon/lat cellwise path: same ~8k (min 64)
+    points-per-cell target as :func:`_auto_knn_res`, quantized to a
+    divisor of 360 (the wrap grid needs an integral cell count)."""
+    row = right.agg(
+        F.min(right_x), F.max(right_x), F.min(right_y), F.max(right_y)
+    ).first()
+    # float() guards against DECIMAL columns (Spark SQL float literals
+    # are decimals, so `4.0 + id/2.0` yields one)
+    span = max(float(row[1]) - float(row[0]), float(row[3]) - float(row[2]), 1e-9)
+    target = max(64, 8 * k)
+    across = max(np.sqrt(n_right / target), 1.0)
+    want = span / across
+    # largest divisor-of-360 cell <= want (bounded stock list keeps the
+    # cell count sane: >= 0.025 deg ~ 2.8 km)
+    for c in (90.0, 45.0, 30.0, 15.0, 10.0, 5.0, 3.0, 2.0, 1.0, 0.5, 0.25,
+              0.1, 0.05, 0.025):
+        if c <= want:
+            return c
+    return 0.025
 
 
 # ------------------------------------------------------------- scale path

@@ -210,15 +210,21 @@ def test_knn_haversine_matches_brute_greatcircle(spark):
     assert abs(one_deg - 111_195) < 50
 
 
-def test_knn_haversine_refuses_nonbroadcast_right(spark):
-    """The planar ring guarantee doesn't transfer to great-circle cells:
-    the scale path must refuse, pointing at project-then-planar."""
+def test_knn_haversine_nonbroadcast_routes_to_geo_cellwise(spark):
+    """The former refusal: a non-broadcastable right side with
+    metric='haversine' now routes through knn_geo.knn_cellwise_haversine
+    (exact spherical proof bound) and matches the broadcast kernel.
+    Deep coverage lives in tests/test_knn_geo.py."""
     from ssb_sgis_spark.operators.knn import knn_haversine
 
     df = spark.range(10).selectExpr("id AS uid", "4.0 + id AS x", "58.0 AS y")
-    rt = spark.range(10).selectExpr("id AS vid", "4.0 + id AS px", "58.0 AS py")
-    with pytest.raises(NotImplementedError, match="planar"):
-        knn_haversine(df, rt, k=2, broadcast_threshold=1)
+    rt = spark.range(10).selectExpr("id AS vid", "4.0 + id / 2.0 AS px", "58.5 AS py")
+    via_cell = knn_haversine(df, rt, k=2, broadcast_threshold=1).collect()
+    via_bcast = knn_haversine(df, rt, k=2).collect()
+    key = lambda rows: {
+        (r.uid, r.knn_rank): (r.neighbor_id, round(r.distance, 6)) for r in rows
+    }
+    assert key(via_cell) == key(via_bcast)
 
 
 def test_knn_cellwise_exact_for_out_of_domain_points(spark):
