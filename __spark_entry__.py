@@ -439,7 +439,8 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = pages_df(spark, sf_dir, with_payload=True).select(
         "url", "warc_ts", "html"
     )
-    write_warc(pages, d, n_files=16).collect()  # the manifest is the action
+    # 64 segments = full write parallelism at 32 cores (2 waves)
+    write_warc(pages, d, n_files=64).collect()  # the manifest is the action
     back = read_warc(spark, d).select("url", "warc_ts", "html")
     return extract_text(back, keep=["url", "warc_ts"]).select(
         "url",
@@ -484,7 +485,10 @@ def q_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pages = pages_df(spark, sf_dir, with_payload=True).select("uid", "url", "html")
     links = extract_links(anchored_pages(pages), keep=["url"])
-    edges = host_edges(links)
+    # checkpoint the contracted graph ONCE: both the degree fold and the
+    # vertex distinct derive from it, and without this each would re-run
+    # the full extraction scan
+    edges = host_edges(links).localCheckpoint()
     hosts = edges.select(F.col("src").alias("host")).union(
         edges.select("dst")
     ).distinct()

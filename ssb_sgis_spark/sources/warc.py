@@ -100,9 +100,14 @@ def _warcinfo_record(segment: str, software: str) -> bytes:
     return _CRLF.join(headers) + _CRLF + _CRLF + body + _CRLF + _CRLF
 
 
-def _gz_member(record: bytes) -> bytes:
-    # mtime=0 keeps the member bytes a pure function of the record
-    return gzip.compress(record, compresslevel=6, mtime=0)
+def _gz_member(record: bytes, level: int = 1) -> bytes:
+    # mtime=0 keeps the member bytes a pure function of the record; the
+    # FIXED level keeps them deterministic.  Default level 1: WARC
+    # members are one small html document each, where level 6 costs ~4x
+    # the CPU of level 1 for a few percent of size — at crawl scale the
+    # writer is compression-bound, so speed wins (Common Crawl itself
+    # ships fast-deflate gzip members)
+    return gzip.compress(record, compresslevel=level, mtime=0)
 
 
 def write_warc(
@@ -113,13 +118,16 @@ def write_warc(
     ts_col: str = "warc_ts",
     html_col: str = "html",
     software: str = "ssb-sgis-spark",
+    level: int = 1,
 ) -> DataFrame:
     """Write pages as multi-member ``.warc.gz`` segment files.
 
     Lazy like every sink here: the returned manifest DataFrame triggers
     the write when acted on.  Plan shape: one hash shuffle on the
     segment id, then map-only per-segment encode — no driver collect of
-    page bytes ever.
+    page bytes ever.  ``n_files`` is also the write parallelism (one
+    task per segment): size it to cores at bench scale and to the
+    ~1 GiB-per-segment target at crawl scale.
     """
     os.makedirs(path, exist_ok=True)
 
@@ -130,10 +138,10 @@ def write_warc(
         seg = "part-%05d.warc.gz" % fid
         pdf = pdf.sort_values(url_col, kind="mergesort")
         buf = io.BytesIO()
-        buf.write(_gz_member(_warcinfo_record(seg, software)))
+        buf.write(_gz_member(_warcinfo_record(seg, software), level))
         for url, ts, html in zip(pdf[url_col], pdf[ts_col], pdf[html_col]):
             ts = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
-            buf.write(_gz_member(_response_record(str(url), ts, bytes(html))))
+            buf.write(_gz_member(_response_record(str(url), ts, bytes(html)), level))
         data = buf.getvalue()
         final = os.path.join(path, seg)
         tmp = final + ".inprogress-%s" % uuid.uuid4().hex
@@ -151,20 +159,31 @@ def write_warc(
 
 
 def _split_members(buf: bytes, name: str):
-    """Yield each gzip member's decompressed bytes from a multi-member file."""
+    """Yield each gzip member's decompressed bytes from a multi-member
+    file.  Chunk-fed so the input is scanned ONCE: handing the whole
+    remaining buffer to each member's decompressobj makes ``unused_data``
+    copy the tail per member — O(n²) memcpy on a many-member segment."""
     if not buf.startswith(b"\x1f\x8b"):
         raise ValueError(f"{name}: not a gzip stream (bad magic)")
-    while buf:
+    mv = memoryview(buf)
+    n = len(buf)
+    pos = 0
+    chunk = 1 << 18
+    while pos < n:
         d = zlib.decompressobj(31)
-        try:
-            out = d.decompress(buf)
-        except zlib.error as e:  # corrupt deflate data
-            raise ValueError(f"{name}: corrupt gzip member: {e}") from None
+        parts = []
+        while not d.eof and pos < n:
+            piece = mv[pos : pos + chunk]
+            try:
+                parts.append(d.decompress(piece))
+            except zlib.error as e:  # corrupt deflate data
+                raise ValueError(f"{name}: corrupt gzip member: {e}") from None
+            pos += len(piece)
         if not d.eof:
             raise ValueError(f"{name}: truncated gzip member")
-        out += d.flush()
-        yield out
-        buf = d.unused_data
+        pos -= len(d.unused_data)  # rewind unconsumed bytes (< one chunk)
+        parts.append(d.flush())
+        yield b"".join(parts)
 
 
 def _parse_headers(block: bytes, name: str) -> dict:
@@ -204,11 +223,23 @@ def parse_warc_member(member: bytes, name: str = "<warc>"):
     status = int(status_line[1]) if len(status_line) > 1 else -1
     return {
         "url": hdr.get("warc-target-uri", ""),
-        "warc_ts": datetime.strptime(hdr["warc-date"], _DATE_FMT),
+        "warc_ts": _parse_date(hdr["warc-date"]),
         "record_id": hdr.get("warc-record-id", ""),
         "http_status": status,
         "html": body,
     }
+
+
+def _parse_date(s: str) -> datetime:
+    """Fixed-format WARC-Date parse (strptime costs ~10x on this exact
+    ``%Y-%m-%dT%H:%M:%SZ`` shape, and the reader runs it per record)."""
+    try:
+        return datetime(
+            int(s[0:4]), int(s[5:7]), int(s[8:10]),
+            int(s[11:13]), int(s[14:16]), int(s[17:19]),
+        )
+    except (ValueError, IndexError):
+        return datetime.strptime(s, _DATE_FMT)  # uncommon shapes
 
 
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
@@ -227,13 +258,28 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
         for pdf in it:
             for fname, content in zip(pdf["path"], pdf["content"]):
                 name = os.path.basename(fname)
-                rows = []
+                # column accumulators: pd.DataFrame(list-of-dicts) costs
+                # more than the parse itself at ~10^4 records/segment
+                urls, tss, rids, stats, bodies = [], [], [], [], []
                 for member in _split_members(bytes(content), name):
                     rec = parse_warc_member(member, name)
-                    if rec is not None:
-                        rec["segment"] = name
-                        rows.append(rec)
-                if rows:
-                    yield pd.DataFrame(rows)
+                    if rec is None:
+                        continue
+                    urls.append(rec["url"])
+                    tss.append(rec["warc_ts"])
+                    rids.append(rec["record_id"])
+                    stats.append(rec["http_status"])
+                    bodies.append(rec["html"])
+                if urls:
+                    yield pd.DataFrame(
+                        {
+                            "url": urls,
+                            "warc_ts": tss,
+                            "record_id": rids,
+                            "http_status": stats,
+                            "html": bodies,
+                            "segment": name,
+                        }
+                    )
 
     return files.select("path", "content").mapInPandas(kernel, schema=RECORD_SCHEMA)
