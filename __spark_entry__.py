@@ -2077,10 +2077,13 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION (round 4): the external correctness gate samples the FIRST
     # 50 entries only, so ordering is a coverage dial, not cosmetics.
-    # Head = (a) queries new or touched since round 3 (reproject,
-    # png_stats, jpeg/video/audio codec oracles, integer-exact LSH,
-    # snapshot time travel, batched-BPE, the guard-touched semdedup /
-    # cosine_pairs / network family, persisted-index ann_ivf), then (b)
+    # Head = (a) queries new or touched this round — the webtext crawl
+    # layer (warc_roundtrip, link_extract, host_rank, robots_filter),
+    # the haversine scale path (knn_haversine_cellwise), the codec and
+    # autocorrelation oracles (png/jpeg/video/mp4/audio_stats,
+    # lisa_hotspots, morans_i), lake_optimize/snapshot_travel,
+    # integer-exact LSH, batched-BPE, the guard-touched semdedup /
+    # cosine_pairs / network family, persisted-index ann_ivf — then (b)
     # the round-3 registry tail (old positions 51-89) that the driver
     # cap never reached last round.  The round-3 driver-checked block
     # follows — nothing is ever deleted, all entries stay runnable.
