@@ -515,6 +515,27 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_robots(pages, rules).select("uid", "allowed")
 
 
+def q_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl discovery (operators/sitemap.py): per-host sitemap XML is
+    synthesized from the pages (one sort_array groupBy, deterministic
+    bytes), then parse_sitemap recovers every entry with its OPTIONAL
+    lastmod/priority fields — block-split (?s) regex + per-block field
+    extract, all codegen JVM, |hosts|-sized.  Oracle derives the fields
+    from the law directly (the oracle never sees XML)."""
+    from ssb_sgis_spark.operators.sitemap import (
+        parse_sitemap,
+        sitemap_xml_of_pages,
+    )
+
+    pages = pages_df(spark, sf_dir, with_payload=True).select(
+        "uid", "url", "warc_ts"
+    )
+    entries = parse_sitemap(sitemap_xml_of_pages(pages))
+    return entries.select(
+        F.col("loc").alias("url"), "lastmod", "priority"
+    )
+
+
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """get_k_nearest_neighbors(pages[uid%20=0], customer points, k=8) —
     SURVEY §2.3 (neighbors.py:228-382)."""
@@ -2093,6 +2114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_extract": q_link_extract,
         "host_rank": q_host_rank,
         "robots_filter": q_robots_filter,
+        "sitemap_extract": q_sitemap_extract,
         "knn_haversine_cellwise": q_knn_haversine_cellwise,
         "reproject": q_reproject,
         "png_stats": q_png_stats,
@@ -2491,6 +2513,19 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN (uid % 1000) % 3 = 0
                         THEN CAST(uid AS VARCHAR) LIKE '7%'
                         ELSE TRUE END AS allowed
+            FROM pages
+        """,
+        # fields straight from the sitemap synthesis law — no XML on the
+        # oracle side (lastmod omitted when uid%5=0, priority only when
+        # uid%3=0; warc_ts = epoch + uid seconds, naive in both engines)
+        "sitemap_extract": f"""
+            WITH pages AS ({pages})
+            SELECT url,
+                   CASE WHEN uid % 5 <> 0 THEN strftime(
+                     TIMESTAMP '2024-01-01 00:00:00' + to_seconds(uid),
+                     '%Y-%m-%d') END AS lastmod,
+                   CASE WHEN uid % 3 = 0
+                        THEN '0.' || CAST(uid % 10 AS VARCHAR) END AS priority
             FROM pages
         """,
         "grid_id": f"""
