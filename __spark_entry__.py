@@ -452,6 +452,84 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _warc_tmp_dir(prefix: str, sf_dir: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(),
+        prefix + hashlib.sha256(sf_dir.encode()).hexdigest()[:12],
+    )
+
+
+def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-Crawl CDX(J) index build over real WARC segments
+    (sources/cdx.py): one binaryFile task per segment walks gzip members
+    WITH byte spans, parses headers only, emits (surt, url, status,
+    digest, filename, offset, length).  Map-only — the index is ~3
+    orders of magnitude smaller than the corpus, which is what makes
+    ranged access at 100 TB possible.  The oracle derives surt + digest
+    straight from the pages law (SURT of the url law; md5 of the html
+    template) — it never sees a WARC byte, so a hash match proves the
+    whole container+index pipeline end to end.  ts_delta pins warc_ts
+    (== uid by the law), tz-independently."""
+    import shutil
+
+    from ssb_sgis_spark.sources.cdx import build_cdx
+    from ssb_sgis_spark.sources.pages import WARC_EPOCH
+    from ssb_sgis_spark.sources.warc import write_warc
+
+    d = _warc_tmp_dir("sgis_cdx_", sf_dir)
+    shutil.rmtree(d, ignore_errors=True)
+    pages = pages_df(spark, sf_dir, with_payload=True).select(
+        "url", "warc_ts", "html"
+    )
+    write_warc(pages, d, n_files=64).collect()
+    return build_cdx(spark, d).select(
+        "surt",
+        "url",
+        "http_status",
+        "digest",
+        (
+            F.unix_timestamp("warc_ts") - F.unix_timestamp(F.lit(WARC_EPOCH))
+        ).alias("ts_delta"),
+    )
+
+
+def q_cdx_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDX ranged-read path: pick 10% of index rows (url law:
+    uid%10==0 ⇔ url ends in '0'), shuffle only those ~100-byte index
+    rows to their segments, seek(offset)/read(length) per record, and
+    decode just those members (sources/cdx.py fetch_cdx).  Extracted
+    text must equal the pages-law derivation — proving offsets/lengths
+    are exact and the fetched member is the whole record.  At crawl
+    scale this touches ~1 KB per wanted record instead of rescanning
+    the archive."""
+    import shutil
+
+    from ssb_sgis_spark.operators.textops import extract_text
+    from ssb_sgis_spark.sources.cdx import build_cdx, fetch_cdx
+    from ssb_sgis_spark.sources.pages import WARC_EPOCH
+    from ssb_sgis_spark.sources.warc import write_warc
+
+    d = _warc_tmp_dir("sgis_cdxf_", sf_dir)
+    shutil.rmtree(d, ignore_errors=True)
+    pages = pages_df(spark, sf_dir, with_payload=True).select(
+        "url", "warc_ts", "html"
+    )
+    write_warc(pages, d, n_files=64).collect()
+    picked = build_cdx(spark, d).filter(F.col("url").endswith("0"))
+    got = fetch_cdx(picked, d).select("url", "warc_ts", "html")
+    return extract_text(got, keep=["url", "warc_ts"]).select(
+        "url",
+        "extracted_text",
+        (
+            F.unix_timestamp("warc_ts") - F.unix_timestamp(F.lit(WARC_EPOCH))
+        ).alias("ts_delta"),
+    )
+
+
 def q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor extraction (operators/links.py): pages get a closed-form
     anchor block appended, then ``extract_links`` recovers every
@@ -2110,6 +2188,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # follows — nothing is ever deleted, all entries stay runnable.
     return {
         # --- (a) new/touched this round ---
+        "cdx_index": q_cdx_index,
+        "cdx_fetch": q_cdx_fetch,
         "warc_roundtrip": q_warc_roundtrip,
         "link_extract": q_link_extract,
         "host_rank": q_host_rank,
@@ -2501,6 +2581,32 @@ def oracle_sql() -> dict[str, str]:
                    printf('%.3f', x) || ' N' || printf('%.3f', y) AS extracted_text,
                    uid AS ts_delta
             FROM pages
+        """,
+        # surt + digest from the LAW (url law reversed by hand; md5 over
+        # the html template string) — no WARC/CDX code on the oracle side
+        "cdx_index": f"""
+            WITH pages AS ({pages})
+            SELECT 'no,site' || CAST(uid % 1000 AS VARCHAR) || ')/p/' ||
+                   CAST(uid AS VARCHAR) AS surt,
+                   url,
+                   200 AS http_status,
+                   md5('<html><head><title>p' || CAST(uid AS VARCHAR) ||
+                       '</title></head><body><p class="geo" data-x="' ||
+                       printf('%.3f', x) || '" data-y="' || printf('%.3f', y) ||
+                       '">page ' || CAST(uid AS VARCHAR) || ' located at E' ||
+                       printf('%.3f', x) || ' N' || printf('%.3f', y) ||
+                       '</p></body></html>') AS digest,
+                   uid AS ts_delta
+            FROM pages
+        """,
+        "cdx_fetch": f"""
+            WITH pages AS ({pages})
+            SELECT url,
+                   'page ' || CAST(uid AS VARCHAR) || ' located at E' ||
+                   printf('%.3f', x) || ' N' || printf('%.3f', y) AS extracted_text,
+                   uid AS ts_delta
+            FROM pages
+            WHERE uid % 10 = 0
         """,
         "link_extract": _link_extract_oracle(),
         "host_rank": _host_rank_oracle(),

@@ -88,3 +88,28 @@ def canonical_url_col(url: Column) -> Column:
 
 def canonical_url_sql(u: str = "url") -> str:
     return f"lower({host_sql(u)}) || regexp_replace({path_sql(u)}, '/+$', '')"
+
+
+# path INCLUDING the query string (SURT keys keep ?query, drop #fragment)
+_PATHQ_RE = "^[a-z][a-z0-9+.-]*://[^/?#]+([^#]*)"
+
+
+def surt_col(url: Column) -> Column:
+    """SURT-form sort key (Sort-friendly URI Reordering Transform), the
+    ordering Common Crawl's CDX indexes use: lowercase the host, drop a
+    leading ``www.``, reverse the dot-labels comma-joined, then ``)`` +
+    path+query.  ``https://www.a.site7.no/p/42?q=1`` →
+    ``no,site7,a)/p/42?q=1``.  Reversing the host puts every subdomain
+    of a domain in one contiguous key range — prefix scans and range
+    pruning replace full-index scans."""
+    h = F.regexp_replace(F.lower(host_col(url)), "^www\\.", "")
+    rev = F.array_join(F.reverse(F.split(h, "\\.")), ",")
+    return F.concat(rev, F.lit(")"), F.regexp_extract(url, _PATHQ_RE, 1))
+
+
+def surt_sql(u: str = "url") -> str:
+    h = f"regexp_replace(lower({host_sql(u)}), '^www\\.', '')"
+    return (
+        f"array_to_string(list_reverse(string_split({h}, '.')), ',')"
+        f" || ')' || regexp_extract({u}, '{_PATHQ_RE}', 1)"
+    )

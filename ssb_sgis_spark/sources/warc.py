@@ -158,11 +158,14 @@ def write_warc(
     return keyed.groupBy("_seg").applyInPandas(writer, schema=MANIFEST_SCHEMA)
 
 
-def _split_members(buf: bytes, name: str):
-    """Yield each gzip member's decompressed bytes from a multi-member
-    file.  Chunk-fed so the input is scanned ONCE: handing the whole
-    remaining buffer to each member's decompressobj makes ``unused_data``
-    copy the tail per member — O(n²) memcpy on a many-member segment."""
+def _split_member_spans(buf: bytes, name: str):
+    """Yield ``(offset, compressed_length, decompressed_bytes)`` for each
+    gzip member of a multi-member file.  Chunk-fed so the input is
+    scanned ONCE: handing the whole remaining buffer to each member's
+    decompressobj makes ``unused_data`` copy the tail per member —
+    O(n²) memcpy on a many-member segment.  The spans are what a CDX
+    index records: ``f.seek(offset); gzip.decompress(f.read(length))``
+    recovers exactly one record without touching the rest of the file."""
     if not buf.startswith(b"\x1f\x8b"):
         raise ValueError(f"{name}: not a gzip stream (bad magic)")
     mv = memoryview(buf)
@@ -170,6 +173,7 @@ def _split_members(buf: bytes, name: str):
     pos = 0
     chunk = 1 << 18
     while pos < n:
+        start = pos
         d = zlib.decompressobj(31)
         parts = []
         while not d.eof and pos < n:
@@ -183,7 +187,13 @@ def _split_members(buf: bytes, name: str):
             raise ValueError(f"{name}: truncated gzip member")
         pos -= len(d.unused_data)  # rewind unconsumed bytes (< one chunk)
         parts.append(d.flush())
-        yield b"".join(parts)
+        yield start, pos - start, b"".join(parts)
+
+
+def _split_members(buf: bytes, name: str):
+    """Yield each gzip member's decompressed bytes (span-less wrapper)."""
+    for _, _, data in _split_member_spans(buf, name):
+        yield data
 
 
 def _parse_headers(block: bytes, name: str) -> dict:
