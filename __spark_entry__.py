@@ -530,6 +530,23 @@ def q_cdx_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution (operators/redirects.py): the synthetic
+    3xx capture log (one /r/{uid}/k chain per page, lengths 1..13 by the
+    law) resolved to terminal URLs in O(log L) pointer-doubling rounds —
+    4 real doubling rounds here, vs 13 sequential passes hop-by-hop.
+    The oracle derives (final, hops) CLOSED-FORM from the law without
+    following a single edge, so the join-based doubling is checked
+    against an independent derivation."""
+    from ssb_sgis_spark.operators.redirects import (
+        redirect_captures_df,
+        resolve_redirects,
+    )
+
+    edges = redirect_captures_df(pages_df(spark, sf_dir))
+    return resolve_redirects(edges).select("src", "final", "hops", "is_cycle")
+
+
 def q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor extraction (operators/links.py): pages get a closed-form
     anchor block appended, then ``extract_links`` recovers every
@@ -2190,6 +2207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- (a) new/touched this round ---
         "cdx_index": q_cdx_index,
         "cdx_fetch": q_cdx_fetch,
+        "redirects": q_redirects,
         "warc_roundtrip": q_warc_roundtrip,
         "link_extract": q_link_extract,
         "host_rank": q_host_rank,
@@ -2607,6 +2625,26 @@ def oracle_sql() -> dict[str, str]:
                    uid AS ts_delta
             FROM pages
             WHERE uid % 10 = 0
+        """,
+        # closed-form from the chain law: final = /p/{uid}, hops = c − k
+        # — the oracle never follows an edge
+        "redirects": f"""
+            WITH pages AS ({pages}),
+            chains AS (
+              SELECT uid,
+                     1 + uid % 13 AS c,
+                     'https://site' || CAST(uid % 1000 AS VARCHAR) || '.no' AS site
+              FROM pages
+            ),
+            ex AS (
+              SELECT uid, c, site, unnest(generate_series(0, c - 1)) AS k
+              FROM chains
+            )
+            SELECT site || '/r/' || CAST(uid AS VARCHAR) || '/' || CAST(k AS VARCHAR) AS src,
+                   site || '/p/' || CAST(uid AS VARCHAR) AS final,
+                   CAST(c - k AS BIGINT) AS hops,
+                   false AS is_cycle
+            FROM ex
         """,
         "link_extract": _link_extract_oracle(),
         "host_rank": _host_rank_oracle(),
