@@ -547,6 +547,21 @@ def q_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resolve_redirects(edges).select("src", "final", "hops", "is_cycle")
 
 
+def q_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset sniffing + transcoding (operators/charset.py): the law
+    synthesises raw captures in six encoding shapes (BOM'd UTF-8,
+    declared/undeclared UTF-8, declared/undeclared windows-1252 bytes,
+    BOM'd UTF-16LE); detect_decode sniffs each payload HTML5-style
+    (BOM > meta prescan > UTF-8 validation > 1252 fallback) and decodes
+    to UTF-8 — map-only, Arrow-batched, raw bytes never cross back out.
+    The oracle reconstructs (charset, bom, decoded) CLOSED-FORM from
+    the law without seeing a byte."""
+    from ssb_sgis_spark.operators.charset import charset_captures_df, detect_decode
+
+    raw = charset_captures_df(pages_df(spark, sf_dir))
+    return detect_decode(raw, keep=["uid"]).select("uid", "charset", "bom", "decoded")
+
+
 def q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor extraction (operators/links.py): pages get a closed-form
     anchor block appended, then ``extract_links`` recovers every
@@ -2208,6 +2223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_index": q_cdx_index,
         "cdx_fetch": q_cdx_fetch,
         "redirects": q_redirects,
+        "charset_decode": q_charset,
         "warc_roundtrip": q_warc_roundtrip,
         "link_extract": q_link_extract,
         "host_rank": q_host_rank,
@@ -2645,6 +2661,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(c - k AS BIGINT) AS hops,
                    false AS is_cycle
             FROM ex
+        """,
+        # charset/bom/decoded straight from the encoding law — the
+        # oracle never consults a raw byte
+        "charset_decode": f"""
+            WITH pages AS ({pages}),
+            lab AS (
+              SELECT uid, uid % 4 AS m4, uid % 8 AS m8,
+                     'Søk på blåbærsyltetøy fra side ' || CAST(uid AS VARCHAR)
+                       || ' i Ålesund' AS body
+              FROM pages
+            )
+            SELECT uid,
+              CASE WHEN m4 IN (0, 1) OR m8 = 5 THEN 'utf-8'
+                   WHEN m4 = 2 OR m8 = 6 THEN 'windows-1252'
+                   ELSE 'utf-16-le' END AS charset,
+              (m4 = 0 OR m4 = 3) AS bom,
+              CASE WHEN m8 IN (5, 6)
+                   THEN '<html><head></head><body><p>' || body || '</p></body></html>'
+                   ELSE '<html><head><meta charset="'
+                        || CASE WHEN m4 IN (0, 1) THEN 'utf-8'
+                                WHEN m4 = 2 THEN 'windows-1252'
+                                ELSE 'utf-16-le' END
+                        || '"></head><body><p>' || body || '</p></body></html>'
+              END AS decoded
+            FROM lab
         """,
         "link_extract": _link_extract_oracle(),
         "host_rank": _host_rank_oracle(),
