@@ -562,6 +562,24 @@ def q_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return detect_decode(raw, keep=["uid"]).select("uid", "charset", "bom", "decoded")
 
 
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-template removal (operators/boilerplate.py): lines on >=80%
+    of a host's pages (nav/footer in the law) are stripped from every
+    page; the per-page unique line and the half-frequency promo line
+    survive.  Only 64-bit line hashes shuffle; the text column is
+    rebuilt with native array exprs and never enters an exchange.  The
+    oracle derives the expected stripped text from per-host PAGE counts
+    (it never counts lines) — an independent derivation of the same
+    integer-exact 4/5 cross-multiplied threshold."""
+    from ssb_sgis_spark.operators.boilerplate import (
+        boilerplate_pages_df,
+        remove_boilerplate,
+    )
+
+    df = boilerplate_pages_df(pages_df(spark, sf_dir))
+    return remove_boilerplate(df, id_col="uid").select("uid", "host", "text")
+
+
 def q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor extraction (operators/links.py): pages get a closed-form
     anchor block appended, then ``extract_links`` recovers every
@@ -2224,6 +2242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_fetch": q_cdx_fetch,
         "redirects": q_redirects,
         "charset_decode": q_charset,
+        "boilerplate_rm": q_boilerplate,
         "warc_roundtrip": q_warc_roundtrip,
         "link_extract": q_link_extract,
         "host_rank": q_host_rank,
@@ -2686,6 +2705,30 @@ def oracle_sql() -> dict[str, str]:
                         || '"></head><body><p>' || body || '</p></body></html>'
               END AS decoded
             FROM lab
+        """,
+        # expected stripped text from per-host PAGE counts — the oracle
+        # never explodes or counts a line
+        "boilerplate_rm": f"""
+            WITH pages AS ({pages}),
+            base AS (
+              SELECT uid,
+                     'site' || CAST(uid % 1000 AS VARCHAR) AS host,
+                     uid % 2 = 0 AS has_promo
+              FROM pages
+            ),
+            hc AS (
+              SELECT host, COUNT(*) AS n,
+                     SUM(CASE WHEN has_promo THEN 1 ELSE 0 END) AS n_promo
+              FROM base GROUP BY host
+            )
+            SELECT b.uid, b.host,
+              CASE WHEN n < 10 THEN 'nav ' || b.host || ' meny' || chr(10) ELSE '' END
+              || 'page ' || CAST(b.uid AS VARCHAR) || ' unikt innhold'
+              || CASE WHEN has_promo AND NOT (n >= 10 AND 5 * n_promo >= 4 * n)
+                      THEN chr(10) || 'promo ' || b.host || ' tilbud' ELSE '' END
+              || CASE WHEN n < 10 THEN chr(10) || 'footer ' || b.host || ' kontakt' ELSE '' END
+                 AS text
+            FROM base b JOIN hc USING (host)
         """,
         "link_extract": _link_extract_oracle(),
         "host_rank": _host_rank_oracle(),
