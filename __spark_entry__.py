@@ -580,6 +580,23 @@ def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_boilerplate(df, id_col="uid").select("uid", "host", "text")
 
 
+def q_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (operators/canonicalize.py): rel=canonical
+    extraction (one codegen regex, html never leaves the JVM) composed
+    with redirect-chain resolution — alias → final URL → declared
+    canonical.  Only url-sized rows shuffle.  The oracle derives every
+    (url, canonical) pair from uid arithmetic: it never parses html and
+    never follows an edge."""
+    from ssb_sgis_spark.operators.canonicalize import (
+        canonical_map,
+        canonical_pages_df,
+    )
+    from ssb_sgis_spark.operators.redirects import redirect_captures_df
+
+    pages = pages_df(spark, sf_dir)
+    return canonical_map(canonical_pages_df(pages), redirect_captures_df(pages))
+
+
 def q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor extraction (operators/links.py): pages get a closed-form
     anchor block appended, then ``extract_links`` recovers every
@@ -2243,6 +2260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirects": q_redirects,
         "charset_decode": q_charset,
         "boilerplate_rm": q_boilerplate,
+        "canonical_map": q_canonical,
         "warc_roundtrip": q_warc_roundtrip,
         "link_extract": q_link_extract,
         "host_rank": q_host_rank,
@@ -2729,6 +2747,27 @@ def oracle_sql() -> dict[str, str]:
               || CASE WHEN n < 10 THEN chr(10) || 'footer ' || b.host || ' kontakt' ELSE '' END
                  AS text
             FROM base b JOIN hc USING (host)
+        """,
+        # (url, canonical) from uid arithmetic — no html parse, no edge walk
+        "canonical_map": f"""
+            WITH pages AS ({pages}),
+            canon AS (
+              SELECT uid,
+                     'https://site' || CAST(uid % 1000 AS VARCHAR) || '.no' AS site,
+                     1 + uid % 13 AS c,
+                     CASE WHEN uid % 3 = 0
+                          THEN 'https://site' || CAST(uid % 1000 AS VARCHAR) || '.no/c/' || CAST(uid AS VARCHAR)
+                          ELSE 'https://site' || CAST(uid % 1000 AS VARCHAR) || '.no/p/' || CAST(uid AS VARCHAR)
+                     END AS canonical
+              FROM pages
+            )
+            SELECT site || '/r/' || CAST(uid AS VARCHAR) || '/' || CAST(k AS VARCHAR) AS url,
+                   canonical
+            FROM (SELECT uid, site, canonical,
+                         unnest(generate_series(0, c - 1)) AS k
+                  FROM canon)
+            UNION ALL
+            SELECT site || '/p/' || CAST(uid AS VARCHAR) AS url, canonical FROM canon
         """,
         "link_extract": _link_extract_oracle(),
         "host_rank": _host_rank_oracle(),
