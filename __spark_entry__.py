@@ -597,6 +597,40 @@ def q_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_map(canonical_pages_df(pages), redirect_captures_df(pages))
 
 
+def q_wet_sidecar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET generation (sources/wet.py): pages → WARC segments → fused
+    per-segment WET sidecars (conversion records, zero shuffles — the
+    extract + write happen inside the binaryFile scan task) → WET scan.
+    Output text must equal the pages law directly — the whole
+    WARC→WET→scan cycle is lossless.  Oracle = the law, no container
+    bytes consulted."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ssb_sgis_spark.sources.pages import WARC_EPOCH
+    from ssb_sgis_spark.sources.warc import write_warc
+    from ssb_sgis_spark.sources.wet import read_wet, wet_from_warc
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "sgis_wet_" + hashlib.sha256(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    warc_d, wet_d = os.path.join(base, "warc"), os.path.join(base, "wet")
+    pages = pages_df(spark, sf_dir, with_payload=True).select("url", "warc_ts", "html")
+    write_warc(pages, warc_d, n_files=64).collect()
+    wet_from_warc(spark, warc_d, wet_d).collect()
+    return read_wet(spark, wet_d).select(
+        "url",
+        F.col("text").alias("wet_text"),
+        (
+            F.unix_timestamp("wet_ts") - F.unix_timestamp(F.lit(WARC_EPOCH))
+        ).alias("ts_delta"),
+    )
+
+
 def q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor extraction (operators/links.py): pages get a closed-form
     anchor block appended, then ``extract_links`` recovers every
@@ -2261,6 +2295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "charset_decode": q_charset,
         "boilerplate_rm": q_boilerplate,
         "canonical_map": q_canonical,
+        "wet_sidecar": q_wet_sidecar,
         "warc_roundtrip": q_warc_roundtrip,
         "link_extract": q_link_extract,
         "host_rank": q_host_rank,
@@ -2650,6 +2685,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT url,
                    'page ' || CAST(uid AS VARCHAR) || ' located at E' ||
                    printf('%.3f', x) || ' N' || printf('%.3f', y) AS extracted_text,
+                   uid AS ts_delta
+            FROM pages
+        """,
+        # WET conversion text == the pages law directly (lossless cycle)
+        "wet_sidecar": f"""
+            WITH pages AS ({pages})
+            SELECT url,
+                   'page ' || CAST(uid AS VARCHAR) || ' located at E' ||
+                   printf('%.3f', x) || ' N' || printf('%.3f', y) AS wet_text,
                    uid AS ts_delta
             FROM pages
         """,
