@@ -631,6 +631,23 @@ def q_wet_sidecar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier scheduling (operators/frontier.py): per-host priority
+    rank (salted top-K prefilter bounds hot hosts, then one exact
+    window), fetch offsets spaced by the per-host crawl delay, 20 URLs
+    per host per cycle.  The oracle replays the same totally-ordered
+    window law on DuckDB's independent window engine.  The fetcher
+    assignment column (xxhash64-based) is exercised by pytest, not
+    oracled — DuckDB has no xxhash64."""
+    from ssb_sgis_spark.operators.frontier import frontier_df, schedule_frontier
+
+    plan = schedule_frontier(
+        frontier_df(pages_df(spark, sf_dir)), delay_col="delay_ms", max_per_cycle=20
+    )
+    return plan.select("url", "host", F.col("rank").cast("long").alias("rank"),
+                       "fetch_offset_ms")
+
+
 def q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor extraction (operators/links.py): pages get a closed-form
     anchor block appended, then ``extract_links`` recovers every
@@ -2296,6 +2313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_rm": q_boilerplate,
         "canonical_map": q_canonical,
         "wet_sidecar": q_wet_sidecar,
+        "crawl_schedule": q_crawl_schedule,
         "warc_roundtrip": q_warc_roundtrip,
         "link_extract": q_link_extract,
         "host_rank": q_host_rank,
@@ -2812,6 +2830,27 @@ def oracle_sql() -> dict[str, str]:
                   FROM canon)
             UNION ALL
             SELECT site || '/p/' || CAST(uid AS VARCHAR) AS url, canonical FROM canon
+        """,
+        # same frontier law replayed on DuckDB's window engine
+        "crawl_schedule": f"""
+            WITH pages AS ({pages}),
+            fr AS (
+              SELECT url,
+                     'site' || CAST(uid % 1000 AS VARCHAR) AS host,
+                     (uid * 1103515245 + 12345) % 2147483648 AS priority,
+                     500 + ((uid % 1000) % 5) * 250 AS delay_ms
+              FROM pages
+            ),
+            ranked AS (
+              SELECT url, host, delay_ms,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY host ORDER BY priority DESC, url
+                     ) AS rank
+              FROM fr
+            )
+            SELECT url, host, rank,
+                   CAST((rank - 1) * delay_ms AS BIGINT) AS fetch_offset_ms
+            FROM ranked WHERE rank <= 20
         """,
         "link_extract": _link_extract_oracle(),
         "host_rank": _host_rank_oracle(),
