@@ -656,6 +656,22 @@ def q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "fetch_offset_ms")
 
 
+def q_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive recrawl estimation (operators/recrawl.py): per-URL
+    change counting over the fetch history via one url-keyed
+    lag-window + aggregate (history shuffles once, digests travel as
+    64-bit hashes), integer cross-multiplied rate buckets and the
+    multiplicative next-interval policy.  The oracle derives every
+    column from uid arithmetic (changes = 5 // m) — it never compares
+    a digest pair."""
+    from ssb_sgis_spark.operators.recrawl import (
+        estimate_change_rates,
+        fetch_history_df,
+    )
+
+    return estimate_change_rates(fetch_history_df(pages_df(spark, sf_dir)))
+
+
 def q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor extraction (operators/links.py): pages get a closed-form
     anchor block appended, then ``extract_links`` recovers every
@@ -2322,6 +2338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_map": q_canonical,
         "wet_sidecar": q_wet_sidecar,
         "crawl_schedule": q_crawl_schedule,
+        "recrawl_rates": q_recrawl,
         "warc_roundtrip": q_warc_roundtrip,
         "link_extract": q_link_extract,
         "host_rank": q_host_rank,
@@ -2861,6 +2878,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, host, rank,
                    CAST((rank - 1) * delay_ms AS BIGINT) AS fetch_offset_ms
             FROM ranked WHERE rank <= 20
+        """,
+        # change counts from uid arithmetic: the digest seed advances
+        # every m-th fetch, so changes in 5 intervals = 5 // m
+        "recrawl_rates": f"""
+            WITH pages AS ({pages}),
+            lab AS (SELECT url, 1 + uid % 7 AS m FROM pages),
+            c AS (SELECT url, 5 // m AS chg FROM lab)
+            SELECT url,
+                   CAST(5 AS BIGINT) AS n_intervals,
+                   CAST(chg AS BIGINT) AS n_changes,
+                   CAST(86400 AS BIGINT) AS mean_interval_s,
+                   CASE WHEN 4 * chg >= 15 THEN 'hot'
+                        WHEN 4 * chg >= 5 THEN 'warm'
+                        WHEN chg > 0 THEN 'cold'
+                        ELSE 'frozen' END AS bucket,
+                   CAST(CASE WHEN 4 * chg >= 15 THEN 43200
+                             WHEN 4 * chg >= 5 THEN 86400
+                             WHEN chg > 0 THEN 172800
+                             ELSE 345600 END AS BIGINT) AS next_fetch_s
+            FROM c
         """,
         "link_extract": _link_extract_oracle(),
         "host_rank": _host_rank_oracle(),
