@@ -672,6 +672,38 @@ def q_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return estimate_change_rates(fetch_history_df(pages_df(spark, sf_dir)))
 
 
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 3986 normalization (functions/url.normalize_url_col): the
+    law synthesises messy absolute URLs (upper-case scheme/host,
+    default ports, ./ and ../ segments, duplicate slashes, scrambled +
+    tracking query params, fragments); the normalizer's HOF stack fold
+    resolves them map-only in whole-stage codegen.  The oracle writes
+    the normal form CLOSED-FORM from uid arithmetic — it never parses
+    a URL."""
+    from ssb_sgis_spark.functions.url import normalize_url_col
+
+    p = pages_df(spark, sf_dir)
+    uid = F.col("uid")
+    scheme = F.when(uid % 2 == 0, F.lit("HTTPS://")).otherwise(F.lit("http://"))
+    port = F.when(
+        uid % 3 == 0, F.when(uid % 2 == 0, F.lit(":443")).otherwise(F.lit(":80"))
+    ).otherwise(F.lit(""))
+    host = F.concat(F.lit("Site"), (uid % 1000).cast("string"), F.lit(".No"), port)
+    path = (
+        F.when(uid % 4 == 0, F.concat(F.lit("/p/./"), uid.cast("string")))
+        .when(uid % 4 == 1, F.concat(F.lit("//p//"), uid.cast("string"), F.lit("/")))
+        .when(uid % 4 == 2, F.concat(F.lit("/x/../p/"), uid.cast("string")))
+        .otherwise(F.concat(F.lit("/p/"), uid.cast("string")))
+    )
+    query = F.when(
+        uid % 5 == 0,
+        F.concat(F.lit("?b="), uid.cast("string"), F.lit("&utm_source=feed&a=1")),
+    ).otherwise(F.lit(""))
+    frag = F.when(uid % 2 == 0, F.lit("#sec")).otherwise(F.lit(""))
+    raw = F.concat(scheme, host, path, query, frag)
+    return p.select("uid", normalize_url_col(raw).alias("url_norm"))
+
+
 def q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor extraction (operators/links.py): pages get a closed-form
     anchor block appended, then ``extract_links`` recovers every
@@ -2339,6 +2371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_sidecar": q_wet_sidecar,
         "crawl_schedule": q_crawl_schedule,
         "recrawl_rates": q_recrawl,
+        "url_normalize": q_url_normalize,
         "warc_roundtrip": q_warc_roundtrip,
         "link_extract": q_link_extract,
         "host_rank": q_host_rank,
@@ -2898,6 +2931,20 @@ def oracle_sql() -> dict[str, str]:
                              WHEN chg > 0 THEN 172800
                              ELSE 345600 END AS BIGINT) AS next_fetch_s
             FROM c
+        """,
+        # the RFC 3986 normal form written directly from uid arithmetic
+        # — every messy-url feature (case, ports, dot segments, slash
+        # runs, tracking params, fragments) normalizes to this
+        "url_normalize": f"""
+            WITH pages AS ({pages})
+            SELECT uid,
+                   CASE WHEN uid % 2 = 0 THEN 'https' ELSE 'http' END
+                   || '://site' || CAST(uid % 1000 AS VARCHAR) || '.no'
+                   || '/p/' || CAST(uid AS VARCHAR)
+                   || CASE WHEN uid % 5 = 0
+                           THEN '?a=1&b=' || CAST(uid AS VARCHAR)
+                           ELSE '' END AS url_norm
+            FROM pages
         """,
         "link_extract": _link_extract_oracle(),
         "host_rank": _host_rank_oracle(),
