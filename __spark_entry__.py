@@ -704,6 +704,37 @@ def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select("uid", normalize_url_col(raw).alias("url_norm"))
 
 
+def q_crawl_to_muni(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE north-star pipeline through the real container: pages
+    → multi-member .warc.gz segments (one shuffle) → distributed
+    binaryFile scan + member-split parse (map-only) → Arrow-batched
+    coordinate geocode straight off the container bytes → cell-cover
+    broadcast PIP join → per-municipality page counts.  The precomputed
+    x/y columns never enter the plan; coordinates exist only as bytes
+    inside WARC members until the parser recovers them.  Oracle = the
+    same ray-cast law as pip_count_by_muni — the container cycle must
+    be semantically invisible."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ssb_sgis_spark.operators.textops import geocode_html
+    from ssb_sgis_spark.sources.warc import read_warc, write_warc
+
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "sgis_c2m_" + hashlib.sha256(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    pages = pages_df(spark, sf_dir, with_payload=True).select("url", "warc_ts", "html")
+    write_warc(pages, d, n_files=64).collect()
+    back = read_warc(spark, d).select("url", "html")
+    geo = geocode_html(back, keep=["url"]).select("url", "x", "y")
+    joined = points_in_polygons_join(geo, muni_df(spark), cache_key="munis")
+    return joined.groupBy("muni_id").agg(F.count(F.lit(1)).alias("n_pages"))
+
+
 def q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor extraction (operators/links.py): pages get a closed-form
     anchor block appended, then ``extract_links`` recovers every
@@ -2372,6 +2403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_schedule": q_crawl_schedule,
         "recrawl_rates": q_recrawl,
         "url_normalize": q_url_normalize,
+        "crawl_to_muni": q_crawl_to_muni,
         "warc_roundtrip": q_warc_roundtrip,
         "link_extract": q_link_extract,
         "host_rank": q_host_rank,
@@ -2753,6 +2785,10 @@ def oracle_sql() -> dict[str, str]:
         # partition pruning is an execution strategy; semantics == pip_join
         "pip_lake_pruned": _pip_oracle("SELECT uid, muni_id FROM hits"),
         "pip_count_by_muni": _pip_oracle(
+            "SELECT muni_id, count(*) AS n_pages FROM hits GROUP BY muni_id"
+        ),
+        # the WARC container cycle is semantically invisible: same law
+        "crawl_to_muni": _pip_oracle(
             "SELECT muni_id, count(*) AS n_pages FROM hits GROUP BY muni_id"
         ),
         "reproject": _reproject_oracle(),
