@@ -735,6 +735,19 @@ def q_crawl_to_muni(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("muni_id").agg(F.count(F.lit(1)).alias("n_pages"))
 
 
+def q_fetch_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fetch-log triage (operators/triage.py): one map-only CASE
+    classifies every capture (redirect / client_error / server_error /
+    empty / soft_404 / ok) with body heuristics probing only the first
+    512 chars.  The oracle replays the precedence directly from uid
+    arithmetic — it never reads a status or body."""
+    from ssb_sgis_spark.operators.triage import classify_fetches, fetch_log_df
+
+    return classify_fetches(fetch_log_df(pages_df(spark, sf_dir))).select(
+        "uid", "http_status", "disposition"
+    )
+
+
 def q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor extraction (operators/links.py): pages get a closed-form
     anchor block appended, then ``extract_links`` recovers every
@@ -2404,6 +2417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_rates": q_recrawl,
         "url_normalize": q_url_normalize,
         "crawl_to_muni": q_crawl_to_muni,
+        "fetch_triage": q_fetch_triage,
         "warc_roundtrip": q_warc_roundtrip,
         "link_extract": q_link_extract,
         "host_rank": q_host_rank,
@@ -2980,6 +2994,22 @@ def oracle_sql() -> dict[str, str]:
                    || CASE WHEN uid % 5 = 0
                            THEN '?a=1&b=' || CAST(uid AS VARCHAR)
                            ELSE '' END AS url_norm
+            FROM pages
+        """,
+        # the triage precedence replayed straight from uid arithmetic
+        "fetch_triage": f"""
+            WITH pages AS ({pages})
+            SELECT uid,
+                   CAST(CASE WHEN uid % 17 = 0 THEN 301
+                             WHEN uid % 19 = 0 THEN 404
+                             WHEN uid % 23 = 0 THEN 500
+                             ELSE 200 END AS INTEGER) AS http_status,
+                   CASE WHEN uid % 17 = 0 THEN 'redirect'
+                        WHEN uid % 19 = 0 THEN 'client_error'
+                        WHEN uid % 23 = 0 THEN 'server_error'
+                        WHEN uid % 29 = 0 THEN 'empty'
+                        WHEN uid % 13 = 0 THEN 'soft_404'
+                        ELSE 'ok' END AS disposition
             FROM pages
         """,
         "link_extract": _link_extract_oracle(),
