@@ -762,6 +762,24 @@ def q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_links(anchored_pages(pages), keep=["uid"])
 
 
+def q_anchor_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text index (operators/links.py): every ``<a>`` element
+    parsed WITH its text in whole-stage codegen, then inbound texts
+    aggregated per TARGET href behind the salted top-K cut (a
+    mega-target is bounded to k·nsalts rows before the exact window) —
+    the Common Crawl anchor-corpus artifact.  The oracle counts the
+    same (href, text) pairs from the anchor law's arithmetic — no regex
+    on the DuckDB side."""
+    from ssb_sgis_spark.operators.links import (
+        anchor_text_index,
+        anchored_pages,
+        extract_anchors,
+    )
+
+    pages = pages_df(spark, sf_dir, with_payload=True).select("uid", "html")
+    return anchor_text_index(extract_anchors(anchored_pages(pages)))
+
+
 HOST_RANK_ITERS = 3
 
 
@@ -2418,6 +2436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": q_url_normalize,
         "crawl_to_muni": q_crawl_to_muni,
         "fetch_triage": q_fetch_triage,
+        "anchor_index": q_anchor_index,
         "warc_roundtrip": q_warc_roundtrip,
         "link_extract": q_link_extract,
         "host_rank": q_host_rank,
@@ -2727,6 +2746,22 @@ def _morans_oracle() -> str:
     return morans_i_oracle_sql(pages_sql(), hq, hr)
 
 
+def _anchor_index_oracle() -> str:
+    from ssb_sgis_spark.operators.linkgraph import _A, _B
+
+    return f"""
+        WITH pages AS ({pages_sql()}),
+        ex AS (
+          SELECT uid, k FROM pages, unnest(range(1, uid % 4 + 2)) r(k)
+        )
+        SELECT 'https://site' || CAST((uid * {_A} + k * {_B}) % 1000 AS VARCHAR)
+                 || '.no/l/' || CAST(k AS VARCHAR) AS href,
+               'l' || CAST(k AS VARCHAR) AS anchor_text,
+               CAST(count(*) AS BIGINT) AS n
+        FROM ex GROUP BY 1, 2
+    """
+
+
 def _link_extract_oracle() -> str:
     """Independent derivation: hrefs straight from the anchor law — no
     regex on the oracle side, so the Spark parse is checked against a
@@ -3012,6 +3047,8 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'ok' END AS disposition
             FROM pages
         """,
+        # (href, text, n) counted straight from the anchor law arithmetic
+        "anchor_index": _anchor_index_oracle(),
         "link_extract": _link_extract_oracle(),
         "host_rank": _host_rank_oracle(),
         # decisions straight from the robots LAW (site%3==0 disallows

@@ -147,3 +147,61 @@ def host_edges_sql(links_rel: str, src_url: str = "url") -> str:
     FROM {links_rel}
     GROUP BY 1, 2
     """
+
+
+# --- anchor-TEXT index (the Common Crawl anchor-corpus artifact) ------
+
+_ANCHOR_RE = r'<a href="[^"]*"[^>]*>[^<]*</a>'
+
+
+def extract_anchors(
+    df: DataFrame,
+    html_col: str = "html",
+    keep: list[str] | None = None,
+) -> DataFrame:
+    """Every anchor WITH its text: ``(keep..., pos, href, anchor_text)``.
+    Whole-stage-codegen throughout — ``regexp_extract_all`` pulls the
+    full ``<a ...>text</a>`` elements, then per-element codegen
+    extracts slice href and text out of each; html is pruned before any
+    exchange, no Python worker anywhere."""
+    keep = keep if keep is not None else ["uid"]
+    exploded = df.select(
+        *keep,
+        F.posexplode(
+            F.regexp_extract_all(
+                F.col(html_col).cast("string"), F.lit(_ANCHOR_RE), F.lit(0)
+            )
+        ).alias("pos", "_a"),
+    )
+    return exploded.select(
+        *keep,
+        "pos",
+        F.regexp_extract("_a", _HREF_RE, 1).alias("href"),
+        F.regexp_extract("_a", r">([^<]*)</a>", 1).alias("anchor_text"),
+    )
+
+
+def anchor_text_index(
+    anchors: DataFrame, k: int = 16, nsalts: int = 32
+) -> DataFrame:
+    """Aggregate inbound anchor texts per TARGET: ``(href, anchor_text,
+    n)``, keeping the top-``k`` texts of every target by count (what a
+    search engine ranks with, and what Common Crawl publishes as its
+    anchor corpus).  One map-side-combined groupBy shuffles (href,
+    text, count) rows — never html — and the per-target cut reuses the
+    engine's salted two-stage top-K so a mega-target (every page links
+    to the front page) is bounded to k·nsalts rows before the exact
+    window."""
+    from .domains import per_key_topk
+
+    counts = anchors.groupBy("href", "anchor_text").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return per_key_topk(
+        counts,
+        "href",
+        [F.desc("n"), F.col("anchor_text")],
+        k,
+        tie_id="anchor_text",
+        nsalts=nsalts,
+    )
