@@ -2412,8 +2412,12 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION (round 4): the external correctness gate samples the FIRST
     # 50 entries only, so ordering is a coverage dial, not cosmetics.
-    # Head = (a) queries new or touched this round — the webtext crawl
-    # layer (warc_roundtrip, link_extract, host_rank, robots_filter),
+    # Head = (a) queries new or touched this round — the late-round-4
+    # crawl-pipeline block (redirects, charset_decode, boilerplate_rm,
+    # canonical_map, wet_sidecar, crawl_schedule, recrawl_rates,
+    # url_normalize, crawl_to_muni, fetch_triage, anchor_index), the
+    # earlier webtext crawl layer (warc_roundtrip, link_extract,
+    # host_rank, robots_filter),
     # the haversine scale path (knn_haversine_cellwise), the codec and
     # autocorrelation oracles (png/jpeg/video/mp4/audio_stats,
     # lisa_hotspots, morans_i), lake_optimize/snapshot_travel,
