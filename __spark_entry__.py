@@ -152,6 +152,20 @@ hits AS (
 """
 
 
+def _force_full(df: DataFrame) -> DataFrame:
+    """Row-preserving guard that forces EVERY output column under the
+    bench's ``.count()`` action.  Without it Catalyst column-prunes
+    unreferenced map work and eliminates unique-key left joins, so a
+    map-only or row-preserving query would be timed as a bare scan
+    (measured: boilerplate_rm "ran" 29M rows in 0.46 s before this).
+    ``concat_ws`` never returns NULL, so the filter keeps every row and
+    no oracle changes."""
+    guard = F.length(
+        F.concat_ws("\x00", *[F.col(c).cast("string") for c in df.columns])
+    ) >= 0
+    return df.filter(guard)
+
+
 def _pip_oracle(select: str) -> str:
     return (
         _PIP_ORACLE_CORE.format(pages=pages_sql(), edges=muni_edges_sql_values())
@@ -581,7 +595,8 @@ def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     df = boilerplate_pages_df(pages_df(spark, sf_dir))
-    return remove_boilerplate(df, id_col="uid").select("uid", "host", "text")
+    out = remove_boilerplate(df, id_col="uid").select("uid", "host", "text")
+    return _force_full(out)
 
 
 def q_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -701,7 +716,7 @@ def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.lit(""))
     frag = F.when(uid % 2 == 0, F.lit("#sec")).otherwise(F.lit(""))
     raw = F.concat(scheme, host, path, query, frag)
-    return p.select("uid", normalize_url_col(raw).alias("url_norm"))
+    return _force_full(p.select("uid", normalize_url_col(raw).alias("url_norm")))
 
 
 def q_crawl_to_muni(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -743,8 +758,10 @@ def q_fetch_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic — it never reads a status or body."""
     from ssb_sgis_spark.operators.triage import classify_fetches, fetch_log_df
 
-    return classify_fetches(fetch_log_df(pages_df(spark, sf_dir))).select(
-        "uid", "http_status", "disposition"
+    return _force_full(
+        classify_fetches(fetch_log_df(pages_df(spark, sf_dir))).select(
+            "uid", "http_status", "disposition"
+        )
     )
 
 
@@ -1231,7 +1248,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text quality / language-ID / fingerprint column functions."""
     t = F.col("text")
-    return docs_df(spark, sf_dir).select(
+    return _force_full(docs_df(spark, sf_dir).select(
         "doc_id",
         token_count_col(t).alias("n_tokens"),
         bpe_token_count_col(t).alias("n_bpe_tokens"),
@@ -1240,7 +1257,7 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         stopword_count_col(t).alias("stopword_n"),
         lang_guess_col(t).alias("lang_guess"),
         fingerprint_col(t).alias("fingerprint"),
-    )
+    ))
 
 
 PII_MOD = 7  # docs with doc_id % 7 == 0 get synthetic PII appended
@@ -1284,11 +1301,11 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ssb_sgis_spark.functions.text import pii_count_col, pii_redact_col
 
     t = F.col("text")
-    return _pii_injected(spark, sf_dir).select(
+    return _force_full(_pii_injected(spark, sf_dir).select(
         "doc_id",
         pii_count_col(t).alias("n_pii"),
         pii_redact_col(t).alias("clean_text"),
-    )
+    ))
 
 
 def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1501,12 +1518,12 @@ def q_rep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs the unnest→groupBy plan is a petabyte shuffle, this is a
     map-only stage)."""
     t = F.col("text")
-    return docs_df(spark, sf_dir).select(
+    return _force_full(docs_df(spark, sf_dir).select(
         "doc_id",
         token_count_col(t).alias("n_tokens"),
         distinct_token_count_col(t).alias("n_distinct"),
         top_bigram_count_col(t).alias("top_bigram_n"),
-    )
+    ))
 
 
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1515,9 +1532,9 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-multiplication thresholds so the SQL mirror is bit-exact."""
     from ssb_sgis_spark.operators.quality import quality_filter
 
-    return quality_filter(docs_df(spark, sf_dir)).select(
+    return _force_full(quality_filter(docs_df(spark, sf_dir)).select(
         "doc_id", "quality_pass", "fail_reason"
-    )
+    ))
 
 
 def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1611,9 +1628,9 @@ def q_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     their text while the originals pass through intact."""
     from ssb_sgis_spark.operators.dedup import dedup_paragraphs
 
-    return dedup_paragraphs(
+    return _force_full(dedup_paragraphs(
         docs_with_dups_df(spark, sf_dir), chunk_tokens=PARA_CHUNK_TOKENS
-    )
+    ))
 
 
 SPAN_TOKENS = 8
@@ -1771,7 +1788,7 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast join + combinable groupBy (operators/bpe.py)."""
     from ssb_sgis_spark.operators.bpe import bpe_token_stats
 
-    return bpe_token_stats(docs_df(spark, sf_dir), BPE_MERGES)
+    return _force_full(bpe_token_stats(docs_df(spark, sf_dir), BPE_MERGES))
 
 
 PAGERANK_ITERS = 5
@@ -1822,7 +1839,7 @@ def q_rolling_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     window frame — one shuffle on user, linear two-pointer evaluation."""
     from ssb_sgis_spark.operators.sessions import rolling_rate
 
-    return rolling_rate(events_df(spark, sf_dir))
+    return _force_full(rolling_rate(events_df(spark, sf_dir)))
 
 
 def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1867,11 +1884,13 @@ def q_asof_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("ts_us"),
     )
-    return asof_join(ev, crawls, on="site", ts="ts_us").select(
-        "event_id",
-        "site",
-        "crawl_uid",
-        F.expr("(ts_us - crawl_ts_us) div 1000000").cast("long").alias("age_s"),
+    return _force_full(
+        asof_join(ev, crawls, on="site", ts="ts_us").select(
+            "event_id",
+            "site",
+            "crawl_uid",
+            F.expr("(ts_us - crawl_ts_us) div 1000000").cast("long").alias("age_s"),
+        )
     )
 
 
@@ -1883,7 +1902,7 @@ def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ssb_sgis_spark.operators.dsir import dsir_weights
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return dsir_weights(docs, is_target=F.col("lang") == "en")
+    return _force_full(dsir_weights(docs, is_target=F.col("lang") == "en"))
 
 
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -172,7 +172,11 @@ def main() -> None:
             done = 0
             while done < reps:
                 t0 = time.time()
-                # full execution; count() runs every operator incl. UDF refine
+                # full execution: count() forces Python barriers, joins
+                # whose keys decide the row count, aggs and windows-
+                # under-filters; map-only / row-preserving queries guard
+                # themselves with _force_full in __spark_entry__ so
+                # Catalyst cannot column-prune their real work away
                 fn(spark, sf_dir).count()
                 dt = time.time() - t0
                 best = dt if best is None else min(best, dt)
