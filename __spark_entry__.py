@@ -75,6 +75,7 @@ from ssb_sgis_spark.operators.multimodal import (
     video_stats_oracle_sql,
     mp4_stats_oracle_sql,
 )
+from ssb_sgis_spark.operators import imagehash as _imagehash
 from ssb_sgis_spark.operators.textops import extract_text, geocode_html
 from ssb_sgis_spark.operators.zonal import zonal_stats
 from ssb_sgis_spark.sources.raster import (
@@ -1370,6 +1371,44 @@ def q_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jpeg_stats(media)
 
 
+def _image_hash_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # same single-file-split spread as the other media queries
+    return docs_df(spark, sf_dir).select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+
+
+def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hashing (multimodal dedup, stage 1): REAL BMP
+    payloads under a near-duplicate variant law, decoded by the engine's
+    own codec inside mapInPandas, then aHash (8x8 block-mean threshold,
+    two 32-bit halves) + dHash (horizontal-gradient, 56 bits) as exact
+    integer arithmetic.  Map-only — pixels never shuffle.  The oracle
+    recomputes both hashes closed-form from the pixel law, so a match
+    certifies decode -> gray -> block-mean -> threshold bit-for-bit."""
+    from ssb_sgis_spark.operators.imagehash import image_hashes, synth_bmp_variants
+
+    return image_hashes(synth_bmp_variants(_image_hash_ids(spark, sf_dir)))
+
+
+def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs (multimodal dedup, stage 2): banded
+    pigeonhole Hamming join over the aHashes — 4 disjoint 16-bit bands,
+    radius r=3 < 4 bands, so the (band_idx, band_val) equi-join provably
+    finds EVERY pair within radius; verify is bit_count(xor) on hash
+    rows only (pixels stay in stage 1's Python worker).  The oracle is
+    the INDEPENDENT brute-force self-join over law hashes, so a match
+    also certifies the banding loses no pair."""
+    from ssb_sgis_spark.operators.imagehash import (
+        hamming_pairs,
+        image_hashes,
+        synth_bmp_variants,
+    )
+
+    hashes = image_hashes(synth_bmp_variants(_image_hash_ids(spark, sf_dir)))
+    return hamming_pairs(hashes, r=3)
+
+
 def q_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VIDEO decode, oracle-checked end to end: one REAL MJPEG-AVI clip
     per document (RIFF container, 4 block-constant grayscale frames as
@@ -2447,6 +2486,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # follows — nothing is ever deleted, all entries stay runnable.
     return {
         # --- (a) new/touched this round ---
+        "image_phash": q_image_phash,
+        "image_neardup": q_image_neardup,
         "cdx_index": q_cdx_index,
         "cdx_fetch": q_cdx_fetch,
         "redirects": q_redirects,
@@ -3257,6 +3298,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pii_redact": _pii_redact_oracle(),
         "media_stats": bmp_stats_oracle_sql("(SELECT doc_id FROM documents)"),
+        "image_phash": _imagehash.ahash_oracle_sql("(SELECT doc_id FROM documents)"),
+        "image_neardup": _imagehash.hamming_pairs_oracle_sql(
+            "(SELECT doc_id FROM documents)", r=3
+        ),
         "png_stats": png_stats_oracle_sql("(SELECT doc_id FROM documents)"),
         "jpeg_stats": jpeg_stats_oracle_sql("(SELECT doc_id FROM documents)"),
         "video_stats": video_stats_oracle_sql("(SELECT doc_id FROM documents)"),
