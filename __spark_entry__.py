@@ -75,6 +75,7 @@ from ssb_sgis_spark.operators.multimodal import (
     video_stats_oracle_sql,
     mp4_stats_oracle_sql,
 )
+from ssb_sgis_spark.operators import chunking as _chunking
 from ssb_sgis_spark.operators import imagehash as _imagehash
 from ssb_sgis_spark.operators.textops import extract_text, geocode_html
 from ssb_sgis_spark.operators.zonal import zonal_stats
@@ -1409,6 +1410,21 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_pairs(hashes, r=3)
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunking: overlapping 64-token windows (16 overlap) per
+    document — one map-only split/sequence/posexplode/slice projection,
+    no shuffle; the exact window-count rule is mirrored in the oracle."""
+    from ssb_sgis_spark.operators.chunking import chunk_documents
+
+    return _force_full(
+        chunk_documents(
+            docs_df(spark, sf_dir).select("doc_id", "text"),
+            chunk_tokens=64,
+            overlap=16,
+        )
+    )
+
+
 def q_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VIDEO decode, oracle-checked end to end: one REAL MJPEG-AVI clip
     per document (RIFF container, 4 block-constant grayscale frames as
@@ -2488,6 +2504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- (a) new/touched this round ---
         "image_phash": q_image_phash,
         "image_neardup": q_image_neardup,
+        "doc_chunks": q_doc_chunks,
         "cdx_index": q_cdx_index,
         "cdx_fetch": q_cdx_fetch,
         "redirects": q_redirects,
@@ -3301,6 +3318,9 @@ def oracle_sql() -> dict[str, str]:
         "image_phash": _imagehash.ahash_oracle_sql("(SELECT doc_id FROM documents)"),
         "image_neardup": _imagehash.hamming_pairs_oracle_sql(
             "(SELECT doc_id FROM documents)", r=3
+        ),
+        "doc_chunks": _chunking.chunk_oracle_sql(
+            "documents", chunk_tokens=64, overlap=16
         ),
         "png_stats": png_stats_oracle_sql("(SELECT doc_id FROM documents)"),
         "jpeg_stats": jpeg_stats_oracle_sql("(SELECT doc_id FROM documents)"),
