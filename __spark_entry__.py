@@ -1410,6 +1410,45 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_pairs(hashes, r=3)
 
 
+def q_lake_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE INTO (upsert by key), content-checked through
+    the real container: commit documents as a key-clustered snapshot
+    table, MERGE an update set (every 7th doc gets ' v2' text) plus an
+    insert set (every 13th doc re-keyed past the id range as a new row),
+    then read the HEAD snapshot.  Only files whose footer key range can
+    hold an update key are rewritten — the rest carry into the new
+    snapshot by reference (file-granular pruning asserted in
+    tests/test_merge.py).  The oracle replays the upsert rule in pure
+    SQL without any lake machinery."""
+    import tempfile
+
+    from ssb_sgis_spark.sources.snapshots import (
+        merge_snapshot_table,
+        read_snapshot_table,
+        write_snapshot_table,
+    )
+
+    t = tempfile.mkdtemp(prefix="lake_merge_") + "/docs"
+    base = (
+        docs_df(spark, sf_dir)
+        .select("doc_id", "text")
+        .repartitionByRange(8, "doc_id")
+        .sortWithinPartitions("doc_id")
+    )
+    write_snapshot_table(base, t)
+    docs = docs_df(spark, sf_dir)
+    updates = docs.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" v2")).alias("text")
+    )
+    inserts = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        F.concat(F.lit("new "), F.col("text")).alias("text"),
+    )
+    sid = merge_snapshot_table(spark, t, updates.unionByName(inserts), "doc_id")
+    head = read_snapshot_table(spark, t, snapshot_id=sid)
+    return head.select("doc_id", F.md5("text").alias("h"))
+
+
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG chunking: overlapping 64-token windows (16 overlap) per
     document — one map-only split/sequence/posexplode/slice projection,
@@ -2505,6 +2544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash": q_image_phash,
         "image_neardup": q_image_neardup,
         "doc_chunks": q_doc_chunks,
+        "lake_merge": q_lake_merge,
         "cdx_index": q_cdx_index,
         "cdx_fetch": q_cdx_fetch,
         "redirects": q_redirects,
@@ -3322,6 +3362,15 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": _chunking.chunk_oracle_sql(
             "documents", chunk_tokens=64, overlap=16
         ),
+        "lake_merge": """
+            SELECT doc_id,
+                   md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                            ELSE text END) AS h
+            FROM documents
+            UNION ALL
+            SELECT doc_id + 10000000 AS doc_id, md5('new ' || text) AS h
+            FROM documents WHERE doc_id % 13 = 0
+        """,
         "png_stats": png_stats_oracle_sql("(SELECT doc_id FROM documents)"),
         "jpeg_stats": jpeg_stats_oracle_sql("(SELECT doc_id FROM documents)"),
         "video_stats": video_stats_oracle_sql("(SELECT doc_id FROM documents)"),

@@ -35,6 +35,7 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _SNAPDIR = "_snapshots"
 
@@ -206,6 +207,161 @@ def optimize_snapshot_table(
     else:
         out = df.repartition(target_files)
     return write_snapshot_table(out, path, mode="replace")
+
+
+def _snapshot_files(m: dict) -> list[str]:
+    """Every parquet data file a snapshot references (dirs expanded)."""
+    out = []
+    for d in m["data_dirs"]:
+        if os.path.isfile(d):
+            out.append(d)
+            continue
+        for root, _, files in os.walk(d):
+            for fn in sorted(files):
+                if fn.endswith(".parquet"):
+                    out.append(os.path.join(root, fn))
+    return out
+
+
+def _file_key_range(fp: str, column: str):
+    """(min, max) of ``column`` from the parquet footer, or None when the
+    footer carries no stats (then the file must be treated as touched)."""
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(fp).metadata
+    if not meta.num_row_groups:
+        return None
+    idx = next(
+        (
+            j
+            for j in range(meta.num_columns)
+            if meta.row_group(0).column(j).path_in_schema == column
+        ),
+        None,
+    )
+    if idx is None:
+        return None
+    mins, maxs = [], []
+    for rg in range(meta.num_row_groups):
+        st = meta.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return None
+        mins.append(st.min)
+        maxs.append(st.max)
+    return min(mins), max(maxs)
+
+
+# Driver-side ceiling for the exact touched-file probe: above this many
+# DISTINCT update keys the key set is not collected; file selection falls
+# back to footer [min,max] interval overlap alone (still correct — only
+# potentially rewrites more files).  ~8e6 int64 keys = 64 MB driver heap.
+MERGE_EXACT_KEY_CAP = 8_000_000
+
+
+def merge_snapshot_table(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_col: str,
+    *,
+    validate_unique: bool = True,
+) -> int:
+    """Iceberg-style copy-on-write ``MERGE INTO`` (upsert by key):
+    rows of ``updates`` REPLACE current rows with the same ``key_col``
+    and are INSERTED when the key is new.  Returns the new snapshot id.
+
+    The copy-on-write contract is file-granular, driven by parquet
+    footer statistics exactly like Iceberg's manifest pruning: a data
+    file is REWRITTEN only if its ``[min, max]`` key range can contain an
+    update key (checked against the exact distinct update-key set when
+    it fits under ``MERGE_EXACT_KEY_CAP``, else by interval overlap);
+    every other file is carried into the new snapshot BY REFERENCE —
+    same path, same bytes, zero IO.  After an OPTIMIZE clustering pass
+    on the key column the ranges are disjoint, so a point-key merge
+    rewrites exactly one file regardless of table size — that pairing is
+    what makes upsert viable at 10^12 rows.
+
+    Touched files are re-read and anti-joined on the key (broadcast when
+    the update side is small — the common trickle-upsert shape), unioned
+    with ``updates``, and written as a fresh data directory; the commit
+    manifest lists untouched files + the new directory, so all earlier
+    snapshots stay readable (time travel preserved; nothing mutated).
+
+    ``updates`` must be key-unique (the MERGE cardinality rule;
+    ``validate_unique=False`` skips the one count-vs-distinct check for
+    pre-deduplicated feeds)."""
+    m = _resolve(path)
+    cols = [f["name"] for f in m["schema"]["fields"]]
+    if set(cols) != {f.name for f in updates.schema.fields}:
+        raise ValueError(
+            f"merge schema mismatch: table has {sorted(cols)}, updates has "
+            f"{sorted(f.name for f in updates.schema.fields)}"
+        )
+    updates = updates.select(*cols)
+    if validate_unique:
+        total, distinct = updates.select(
+            F.count(F.lit(1)), F.count_distinct(F.col(key_col))
+        ).first()
+        if total != distinct:
+            raise ValueError(
+                f"updates are not unique on {key_col!r}: {total} rows, "
+                f"{distinct} distinct keys (MERGE cardinality rule)"
+            )
+
+    files = _snapshot_files(m)
+    n_keys = updates.select(key_col).distinct().count()
+    key_set = None
+    if n_keys <= MERGE_EXACT_KEY_CAP:
+        key_rows = updates.select(key_col).distinct().collect()
+        key_set = sorted(r[0] for r in key_rows)
+    touched, untouched = [], []
+    for fp in files:
+        rng = _file_key_range(fp, key_col)
+        if rng is None:
+            touched.append(fp)
+            continue
+        lo, hi = rng
+        if key_set is not None:
+            import bisect
+
+            i = bisect.bisect_left(key_set, lo)
+            hit = i < len(key_set) and key_set[i] <= hi
+        else:
+            k_lo, k_hi = updates.select(
+                F.min(key_col), F.max(key_col)
+            ).first()
+            hit = not (hi < k_lo or lo > k_hi)
+        (touched if hit else untouched).append(fp)
+
+    sid = m["snapshot_id"] + 1
+    data_dir = os.path.join(path, "data", f"s{sid}-{uuid.uuid4().hex[:8]}")
+    if touched:
+        current = spark.read.parquet(*touched).select(*cols)
+        survivors = current.join(
+            updates.select(key_col), on=key_col, how="left_anti"
+        )
+        merged = survivors.unionByName(updates)
+    else:
+        merged = updates
+    merged.write.mode("errorifexists").parquet(data_dir)
+
+    manifest = {
+        "snapshot_id": sid,
+        "parent_id": m["snapshot_id"],
+        "timestamp_ms": int(time.time() * 1000),
+        "operation": "merge",
+        "data_dirs": untouched + [data_dir],
+        "rewritten_files": len(touched),
+        "carried_files": len(untouched),
+        "schema": m["schema"],
+    }
+    mdir = _manifest_dir(path)
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, f".v{sid}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(mdir, f"v{sid:08d}.json"))  # commit point
+    return sid
 
 
 def file_column_ranges(
