@@ -180,6 +180,7 @@ def optimize_snapshot_table(
     *,
     cluster_by: list[str] | None = None,
     target_files: int = 8,
+    zorder: bool = False,
 ) -> int:
     """Iceberg ``OPTIMIZE`` analogue: rewrite the CURRENT snapshot's data
     as a compacted, optionally cluster-sorted file set, committed as a
@@ -200,13 +201,48 @@ def optimize_snapshot_table(
       boundaries distributedly — no global single-partition sort.
     """
     df = read_snapshot_table(spark, path)
-    if cluster_by:
+    if cluster_by and zorder and len(cluster_by) == 2:
+        key = _zorder_key(df, cluster_by[0], cluster_by[1])
+        out = (
+            df.withColumn("_zkey", key)
+            .repartitionByRange(target_files, "_zkey")
+            .sortWithinPartitions("_zkey")
+            .drop("_zkey")
+        )
+    elif cluster_by:
+        if zorder:
+            raise ValueError("zorder=True needs exactly two cluster_by columns")
         out = df.repartitionByRange(target_files, *cluster_by).sortWithinPartitions(
             *cluster_by
         )
     else:
         out = df.repartition(target_files)
     return write_snapshot_table(out, path, mode="replace")
+
+
+def _zorder_key(df: DataFrame, col_a: str, col_b: str):
+    """Native Z-order key for two numeric columns: each value is binned
+    to a 16-bit rank inside its column's [min, max] (two scalars read
+    once from a tiny agg — the Delta/Iceberg range-binning approach, so
+    arbitrary value skew still spreads over the full bucket space is NOT
+    guaranteed, but unlike raw-bit interleave it is monotone and
+    bounded), then bit-interleaved with the SAME Morton spread the cell
+    index uses (:func:`ssb_sgis_spark.cells.morton_from_ixy_col`) — the
+    whole key is whole-stage-codegen native, no Python."""
+    from ..cells import morton_from_ixy_col
+
+    lo_a, hi_a, lo_b, hi_b = df.select(
+        F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
+    ).first()
+
+    def bin16(c, lo, hi):
+        span = float(hi) - float(lo)
+        if span <= 0:
+            return F.lit(0).cast("long")
+        scaled = F.floor((F.col(c).cast("double") - F.lit(float(lo))) / span * 65535)
+        return F.least(F.lit(65535), F.greatest(F.lit(0), scaled)).cast("long")
+
+    return morton_from_ixy_col(bin16(col_a, lo_a, hi_a), bin16(col_b, lo_b, hi_b))
 
 
 def _snapshot_files(m: dict) -> list[str]:

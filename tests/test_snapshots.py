@@ -192,3 +192,52 @@ def test_optimize_then_expire_reclaims_old_layout(spark, tmp_path):
     assert read_snapshot_table(spark, t, snapshot_id=sid).count() == 500
     with pytest.raises(ValueError, match="no snapshot 1"):
         read_snapshot_table(spark, t, snapshot_id=1)
+
+
+def test_zorder_prunes_both_columns(spark, tmp_path):
+    """Z-order clustering: BOTH columns' per-file footer ranges shrink,
+    where lexicographic clustering leaves the second column spanning the
+    whole range in every file."""
+    from ssb_sgis_spark.sources.snapshots import (
+        file_column_ranges,
+        optimize_snapshot_table,
+    )
+
+    def span_frac(t, col, full):
+        rngs = file_column_ranges(t, col)
+        return sum((r["max"] - r["min"]) / full for r in rngs) / len(rngs)
+
+    df = (
+        spark.range(0, 40_000)
+        .withColumn("xa", F.col("id") % 200)
+        .withColumn("yb", (F.col("id") * 48271) % 200)  # independent of xa
+    )
+    tz, tl = str(tmp_path / "z"), str(tmp_path / "l")
+    for t in (tz, tl):
+        write_snapshot_table(df, t)
+    sz = optimize_snapshot_table(
+        spark, tz, cluster_by=["xa", "yb"], target_files=16, zorder=True
+    )
+    optimize_snapshot_table(spark, tl, cluster_by=["xa", "yb"], target_files=16)
+    # lossless rewrite
+    assert read_snapshot_table(spark, tz, snapshot_id=sz).count() == 40_000
+    got = {
+        r.id: (r.xa, r.yb)
+        for r in read_snapshot_table(spark, tz).sample(0.01, seed=7).collect()
+    }
+    for i, (xa, yb) in got.items():
+        assert xa == i % 200 and yb == (i * 48271) % 200
+    # pruning evidence: z-order bounds BOTH columns to a fraction of the
+    # range per file; lexicographic leaves yb near-full-range everywhere
+    assert span_frac(tz, "xa", 199) < 0.5
+    assert span_frac(tz, "yb", 199) < 0.5
+    assert span_frac(tl, "yb", 199) > 0.9
+
+
+def test_zorder_requires_two_columns(spark, tmp_path):
+    from ssb_sgis_spark.sources.snapshots import optimize_snapshot_table
+
+    t = str(tmp_path / "tbl")
+    write_snapshot_table(_mk(spark, 0, 10), t)
+    with pytest.raises(ValueError, match="exactly two"):
+        optimize_snapshot_table(spark, t, cluster_by=["id"], zorder=True)
