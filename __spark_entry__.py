@@ -1449,6 +1449,50 @@ def q_lake_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return head.select("doc_id", F.md5("text").alias("h"))
 
 
+def q_stream_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming ingest into the lake, content-checked end
+    to end: documents are re-laid as a 3-file backlog, drained by a real
+    Structured Streaming query (availableNow, maxFilesPerTrigger=1) into
+    a snapshot table — one snapshot per micro-batch, the batch id
+    committed INSIDE the same atomic manifest rename as the data — then
+    a streaming-upsert batch (every 7th doc ' v2') lands through the
+    copy-on-write merge path, and a deliberate REPLAY of that batch id
+    proves idempotence (skipped).  The oracle replays the final table
+    state in pure SQL; a hash match certifies the whole
+    at-least-once→exactly-once cycle loses and duplicates nothing."""
+    import tempfile
+
+    from ssb_sgis_spark.sources.snapshots import read_snapshot_table
+    from ssb_sgis_spark.streaming.lakesink import (
+        commit_stream_batch,
+        stream_to_snapshot_table,
+    )
+
+    root = tempfile.mkdtemp(prefix="stream_lake_")
+    src, tbl, ckpt = f"{root}/src", f"{root}/tbl", f"{root}/ckpt"
+    docs = docs_df(spark, sf_dir).select("doc_id", "text")
+    docs.withColumn("_b", F.col("doc_id") % 3).repartition(3, "_b").drop(
+        "_b"
+    ).write.parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream_to_snapshot_table(stream, tbl, ckpt)
+    updates = docs.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" v2")).alias("text")
+    )
+    commit_stream_batch(spark, tbl, updates, 100, mode="merge", key_col="doc_id")
+    replayed = commit_stream_batch(
+        spark, tbl, updates, 100, mode="merge", key_col="doc_id"
+    )
+    assert replayed is None, "replayed batch id must be skipped"
+    return read_snapshot_table(spark, tbl).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+
+
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG chunking: overlapping 64-token windows (16 overlap) per
     document — one map-only split/sequence/posexplode/slice projection,
@@ -2545,6 +2589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_neardup": q_image_neardup,
         "doc_chunks": q_doc_chunks,
         "lake_merge": q_lake_merge,
+        "stream_lake": q_stream_lake,
         "cdx_index": q_cdx_index,
         "cdx_fetch": q_cdx_fetch,
         "redirects": q_redirects,
@@ -3370,6 +3415,12 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_id + 10000000 AS doc_id, md5('new ' || text) AS h
             FROM documents WHERE doc_id % 13 = 0
+        """,
+        "stream_lake": """
+            SELECT doc_id,
+                   md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                            ELSE text END) AS h
+            FROM documents
         """,
         "png_stats": png_stats_oracle_sql("(SELECT doc_id FROM documents)"),
         "jpeg_stats": jpeg_stats_oracle_sql("(SELECT doc_id FROM documents)"),

@@ -86,6 +86,7 @@ def write_snapshot_table(
     *,
     mode: str = "append",
     partition_by: list[str] | None = None,
+    extra_manifest: dict | None = None,
 ) -> int:
     """Commit ``df`` as a new snapshot; returns the new snapshot id.
 
@@ -126,6 +127,7 @@ def write_snapshot_table(
         "operation": mode,
         "data_dirs": dirs,
         "schema": json.loads(df.schema.json()),
+        **(extra_manifest or {}),
     }
     mdir = _manifest_dir(path)
     os.makedirs(mdir, exist_ok=True)
@@ -301,6 +303,7 @@ def merge_snapshot_table(
     key_col: str,
     *,
     validate_unique: bool = True,
+    extra_manifest: dict | None = None,
 ) -> int:
     """Iceberg-style copy-on-write ``MERGE INTO`` (upsert by key):
     rows of ``updates`` REPLACE current rows with the same ``key_col``
@@ -390,6 +393,7 @@ def merge_snapshot_table(
         "rewritten_files": len(touched),
         "carried_files": len(untouched),
         "schema": m["schema"],
+        **(extra_manifest or {}),
     }
     mdir = _manifest_dir(path)
     os.makedirs(mdir, exist_ok=True)
