@@ -1945,6 +1945,24 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(docs, link_edges(docs, n=n), n_iter=PAGERANK_ITERS)
 
 
+LPA_ITERS = 4
+
+
+def q_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph communities via deterministic synchronous label
+    propagation (4 fixed rounds, most-frequent-neighbor-label with
+    smallest-label tie-break over the undirected law edges) — the
+    spam-cluster / link-farm signal beside PageRank.  Per round: one
+    edge-join shuffle + one combinable (node,label) count + one top-1
+    window, all |E|-sized.  Oracle: 4 unrolled CTE rounds of the
+    identical rule."""
+    from ssb_sgis_spark.operators.linkgraph import label_propagation, link_edges
+
+    docs = docs_df(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    return label_propagation(docs, link_edges(docs, n=n), n_iter=LPA_ITERS)
+
+
 HITS_ITERS = 3
 
 
@@ -2594,6 +2612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "lake_merge": q_lake_merge,
         "stream_lake": q_stream_lake,
+        "communities": q_communities,
         "cdx_index": q_cdx_index,
         "cdx_fetch": q_cdx_fetch,
         "redirects": q_redirects,
@@ -2982,6 +3001,7 @@ def oracle_sql() -> dict[str, str]:
         unigram_nll_sql,
     )
     from ssb_sgis_spark.operators.linkgraph import link_edges_sql, pagerank_sql
+    from ssb_sgis_spark.operators.linkgraph import label_propagation_sql as _lpa_sql
     from ssb_sgis_spark.operators.sessions import (
         cohort_retention_sql,
         session_stats_sql,
@@ -3512,6 +3532,11 @@ def oracle_sql() -> dict[str, str]:
                 "documents", n="(SELECT count(*) FROM documents)"
             ),
             n_iter=PAGERANK_ITERS,
+        ),
+        "communities": _lpa_sql(
+            "documents",
+            n="(SELECT count(*) FROM documents)",
+            n_iter=LPA_ITERS,
         ),
         "hits": _hits_oracle(),
         "para_dedup": dedup_paragraphs_sql(
