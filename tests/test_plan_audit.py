@@ -329,3 +329,36 @@ def test_pagerank_round_plan(spark):
     p = plan_of(pagerank_round(edges_d, verts, ranks))
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_doc_chunks_is_map_only(spark):
+    """Chunking must stay a zero-Exchange projection: split + sequence +
+    posexplode + slice, no shuffle at 10^12 docs."""
+    p = plan_of(entry.queries()["doc_chunks"](spark, SF))
+    assert "Exchange" not in p, p
+
+
+def test_image_neardup_band_join_no_cartesian(spark):
+    """The Hamming pair stage must be the banded equi-join — never a
+    cartesian/nested-loop over the hash table."""
+    p = plan_of(entry.queries()["image_neardup"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_lpa_round_no_sort_window(spark):
+    """The deterministic top-1 must stay a combinable max_by aggregate,
+    not a row_number sort window (which would add a per-round global
+    sort within every node partition)."""
+    from ssb_sgis_spark.operators.linkgraph import lpa_round
+
+    nodes = spark.range(0, 50).withColumnRenamed("id", "v")
+    edges = spark.createDataFrame(
+        [(i, (i * 7) % 50) for i in range(50)], ["src", "dst"]
+    )
+    und = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = nodes.select("v", F.col("v").alias("lbl"))
+    p = plan_of(lpa_round(und, nodes, labels))
+    assert "Window" not in p, p
