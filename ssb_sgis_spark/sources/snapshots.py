@@ -299,15 +299,18 @@ MERGE_EXACT_KEY_CAP = 8_000_000
 def merge_snapshot_table(
     spark: SparkSession,
     path: str,
-    updates: DataFrame,
+    updates: DataFrame | None,
     key_col: str,
     *,
+    delete_keys: DataFrame | None = None,
     validate_unique: bool = True,
     extra_manifest: dict | None = None,
 ) -> int:
     """Iceberg-style copy-on-write ``MERGE INTO`` (upsert by key):
     rows of ``updates`` REPLACE current rows with the same ``key_col``
-    and are INSERTED when the key is new.  Returns the new snapshot id.
+    and are INSERTED when the key is new; keys in ``delete_keys`` (a
+    one-column frame — the CDC delete feed) are REMOVED.  A key may not
+    appear on both sides.  Returns the new snapshot id.
 
     The copy-on-write contract is file-granular, driven by parquet
     footer statistics exactly like Iceberg's manifest pruning: a data
@@ -331,28 +334,48 @@ def merge_snapshot_table(
     pre-deduplicated feeds)."""
     m = _resolve(path)
     cols = [f["name"] for f in m["schema"]["fields"]]
-    if set(cols) != {f.name for f in updates.schema.fields}:
-        raise ValueError(
-            f"merge schema mismatch: table has {sorted(cols)}, updates has "
-            f"{sorted(f.name for f in updates.schema.fields)}"
-        )
-    updates = updates.select(*cols)
-    if validate_unique:
-        total, distinct = updates.select(
-            F.count(F.lit(1)), F.count_distinct(F.col(key_col))
-        ).first()
-        if total != distinct:
+    if updates is None and delete_keys is None:
+        raise ValueError("merge needs updates and/or delete_keys")
+    if updates is not None:
+        if set(cols) != {f.name for f in updates.schema.fields}:
             raise ValueError(
-                f"updates are not unique on {key_col!r}: {total} rows, "
-                f"{distinct} distinct keys (MERGE cardinality rule)"
+                f"merge schema mismatch: table has {sorted(cols)}, updates "
+                f"has {sorted(f.name for f in updates.schema.fields)}"
             )
+        updates = updates.select(*cols)
+        if validate_unique:
+            total, distinct = updates.select(
+                F.count(F.lit(1)), F.count_distinct(F.col(key_col))
+            ).first()
+            if total != distinct:
+                raise ValueError(
+                    f"updates are not unique on {key_col!r}: {total} rows, "
+                    f"{distinct} distinct keys (MERGE cardinality rule)"
+                )
+
+    # the keys that can touch a file: update keys ∪ delete keys
+    probe = None
+    if updates is not None:
+        probe = updates.select(key_col)
+    if delete_keys is not None:
+        dk = delete_keys.toDF(key_col)
+        if updates is not None:
+            both = updates.select(key_col).join(dk, on=key_col).count()
+            if both:
+                raise ValueError(
+                    f"{both} keys appear in BOTH updates and delete_keys "
+                    "(ambiguous MERGE actions)"
+                )
+        probe = dk if probe is None else probe.unionByName(dk)
 
     files = _snapshot_files(m)
-    n_keys = updates.select(key_col).distinct().count()
+    n_keys = probe.distinct().count()
     key_set = None
     if n_keys <= MERGE_EXACT_KEY_CAP:
-        key_rows = updates.select(key_col).distinct().collect()
-        key_set = sorted(r[0] for r in key_rows)
+        key_set = sorted(r[0] for r in probe.distinct().collect())
+        k_lo, k_hi = (key_set[0], key_set[-1]) if key_set else (None, None)
+    else:
+        k_lo, k_hi = probe.select(F.min(key_col), F.max(key_col)).first()
     touched, untouched = [], []
     for fp in files:
         rng = _file_key_range(fp, key_col)
@@ -366,22 +389,23 @@ def merge_snapshot_table(
             i = bisect.bisect_left(key_set, lo)
             hit = i < len(key_set) and key_set[i] <= hi
         else:
-            k_lo, k_hi = updates.select(
-                F.min(key_col), F.max(key_col)
-            ).first()
-            hit = not (hi < k_lo or lo > k_hi)
+            hit = k_lo is not None and not (hi < k_lo or lo > k_hi)
         (touched if hit else untouched).append(fp)
 
     sid = m["snapshot_id"] + 1
     data_dir = os.path.join(path, "data", f"s{sid}-{uuid.uuid4().hex[:8]}")
     if touched:
         current = spark.read.parquet(*touched).select(*cols)
-        survivors = current.join(
-            updates.select(key_col), on=key_col, how="left_anti"
+        survivors = current.join(probe.distinct(), on=key_col, how="left_anti")
+        merged = (
+            survivors.unionByName(updates) if updates is not None else survivors
         )
-        merged = survivors.unionByName(updates)
     else:
-        merged = updates
+        merged = (
+            updates
+            if updates is not None
+            else spark.createDataFrame([], read_snapshot_table(spark, path).schema)
+        )
     merged.write.mode("errorifexists").parquet(data_dir)
 
     manifest = {

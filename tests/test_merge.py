@@ -91,3 +91,38 @@ def test_interval_fallback_same_result(spark, tmp_path, monkeypatch):
     assert _head_map(spark, t1) == _head_map(spark, t2)
     # fallback still prunes: files whose range misses [100, 140) carry over
     assert snapshots(t2)[-1]["carried_files"] >= 2
+
+
+def test_delete_keys_cdc(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    base = _mk(spark, 0, 100).repartitionByRange(4, "id").sortWithinPartitions("id")
+    write_snapshot_table(base, t)
+    dels = spark.range(10, 20).select(F.col("id"))
+    merge_snapshot_table(spark, t, None, "id", delete_keys=dels)
+    got = _head_map(spark, t)
+    assert len(got) == 90 and 15 not in got and got[5] == 50
+    # point delete after clustering rewrites exactly one file
+    m = snapshots(t)[-1]
+    assert m["rewritten_files"] == 1 and m["carried_files"] == 3
+
+
+def test_update_and_delete_in_one_commit(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    write_snapshot_table(_mk(spark, 0, 50), t)
+    upd = _mk(spark, 0, 5, mult=777)
+    dels = spark.range(40, 50).select(F.col("id"))
+    merge_snapshot_table(spark, t, upd, "id", delete_keys=dels)
+    got = _head_map(spark, t)
+    assert len(got) == 40 and got[0] == 0 and got[3] == 3 * 777 and 45 not in got
+
+
+def test_conflicting_update_delete_raises(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    write_snapshot_table(_mk(spark, 0, 10), t)
+    with pytest.raises(ValueError, match="BOTH updates and delete_keys"):
+        merge_snapshot_table(
+            spark, t, _mk(spark, 0, 3), "id",
+            delete_keys=spark.range(2, 4).select(F.col("id")),
+        )
+    with pytest.raises(ValueError, match="updates and/or delete_keys"):
+        merge_snapshot_table(spark, t, None, "id")
