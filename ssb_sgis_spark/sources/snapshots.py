@@ -87,6 +87,7 @@ def write_snapshot_table(
     mode: str = "append",
     partition_by: list[str] | None = None,
     extra_manifest: dict | None = None,
+    allow_evolution: bool = False,
 ) -> int:
     """Commit ``df`` as a new snapshot; returns the new snapshot id.
 
@@ -104,10 +105,23 @@ def write_snapshot_table(
         schema_cols = {f["name"] for f in head["schema"]["fields"]}
         new_cols = {f.name for f in df.schema.fields}
         if mode == "append" and schema_cols != new_cols:
-            raise ValueError(
-                f"append schema mismatch: table has {sorted(schema_cols)}, "
-                f"dataframe has {sorted(new_cols)}"
-            )
+            if allow_evolution and new_cols > schema_cols:
+                # additive evolution: the append carries every existing
+                # column plus new ones; the committed manifest schema
+                # becomes the union, and the explicit-schema read path
+                # null-fills the new columns in pre-evolution files
+                # (Iceberg add-column semantics; drops stay refused)
+                pass
+            else:
+                hint = (
+                    " (pass allow_evolution=True for additive columns)"
+                    if new_cols > schema_cols
+                    else ""
+                )
+                raise ValueError(
+                    f"append schema mismatch: table has {sorted(schema_cols)}, "
+                    f"dataframe has {sorted(new_cols)}{hint}"
+                )
         sid = head["snapshot_id"] + 1
         parent = head["snapshot_id"]
     else:
@@ -149,8 +163,17 @@ def read_snapshot_table(
     manifest's directory list — later commits never touch these files,
     so the result at snapshot N is immutable forever."""
     m = _resolve(path, snapshot_id, as_of_timestamp_ms)
-    return spark.read.option("basePath", os.path.join(path, "data")).parquet(
-        *m["data_dirs"]
+    from pyspark.sql import types as T
+
+    schema = T.StructType.fromJson(m["schema"])
+    # the MANIFEST schema drives the scan (Iceberg semantics): after
+    # additive evolution, files written before a column existed are
+    # null-filled for it instead of the read failing or depending on
+    # which file Spark sampled for inference
+    return (
+        spark.read.schema(schema)
+        .option("basePath", os.path.join(path, "data"))
+        .parquet(*m["data_dirs"])
     )
 
 

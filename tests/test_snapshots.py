@@ -241,3 +241,38 @@ def test_zorder_requires_two_columns(spark, tmp_path):
     write_snapshot_table(_mk(spark, 0, 10), t)
     with pytest.raises(ValueError, match="exactly two"):
         optimize_snapshot_table(spark, t, cluster_by=["id"], zorder=True)
+
+
+def test_schema_evolution_additive(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    write_snapshot_table(_mk(spark, 0, 20), t)
+    evolved = _mk(spark, 20, 30).withColumn("lang", F.lit("no"))
+    # refused without the flag, with an actionable hint
+    with pytest.raises(ValueError, match="allow_evolution"):
+        write_snapshot_table(evolved, t)
+    write_snapshot_table(evolved, t, allow_evolution=True)
+    head = read_snapshot_table(spark, t)
+    assert set(head.columns) == {"id", "v", "lang"}
+    rows = {r.id: r.lang for r in head.collect()}
+    assert len(rows) == 30
+    assert rows[5] is None and rows[25] == "no"  # old files null-filled
+    # the pre-evolution snapshot still reads with its OWN schema
+    old = read_snapshot_table(spark, t, snapshot_id=1)
+    assert set(old.columns) == {"id", "v"}
+    # dropping a column stays refused
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_snapshot_table(
+            spark.range(30, 35).withColumn("lang", F.lit("x")),
+            t,
+            allow_evolution=True,
+        )
+
+
+def test_partitioned_snapshot_roundtrip_with_explicit_schema(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    df = _mk(spark, 0, 40).withColumn("p", F.col("id") % 4)
+    write_snapshot_table(df, t, partition_by=["p"])
+    got = read_snapshot_table(spark, t)
+    assert got.count() == 40
+    assert {r.p for r in got.select("p").distinct().collect()} == {0, 1, 2, 3}
+    assert got.filter(F.col("p") == 2).count() == 10
