@@ -76,6 +76,7 @@ from ssb_sgis_spark.operators.multimodal import (
     mp4_stats_oracle_sql,
 )
 from ssb_sgis_spark.operators import chunking as _chunking
+from ssb_sgis_spark.operators import classifier as _clf
 from ssb_sgis_spark.operators import imagehash as _imagehash
 from ssb_sgis_spark.operators.textops import extract_text, geocode_html
 from ssb_sgis_spark.operators.zonal import zonal_stats
@@ -1945,6 +1946,25 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(docs, link_edges(docs, n=n), n_iter=PAGERANK_ITERS)
 
 
+CLF_ITERS = 3
+
+
+def q_quality_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear classifier trained ON the cluster: batch
+    perceptron over 256 hashed unigram buckets (+bias), 3 integer-exact
+    rounds (no learning rate, no floats, order-free), then every doc
+    scored with the final weights — the CCNet/LLaMA corpus-curation
+    model shape.  Label: lang == 'en' vs rest.  Per round: broadcast
+    ≤257-row weights into the checkpointed feature table, one combinable
+    doc-score agg + one combinable gradient agg.  Oracle: 3 unrolled CTE
+    rounds of the identical batch rule."""
+    from ssb_sgis_spark.operators.classifier import perceptron_scores
+
+    docs = docs_df(spark, sf_dir).select("doc_id", "text", "lang")
+    label = F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(-1))
+    return perceptron_scores(docs, label, n_iter=CLF_ITERS)
+
+
 LPA_ITERS = 4
 
 
@@ -2613,6 +2633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lake_merge": q_lake_merge,
         "stream_lake": q_stream_lake,
         "communities": q_communities,
+        "quality_clf": q_quality_clf,
         "cdx_index": q_cdx_index,
         "cdx_fetch": q_cdx_fetch,
         "redirects": q_redirects,
@@ -3537,6 +3558,11 @@ def oracle_sql() -> dict[str, str]:
             "documents",
             n="(SELECT count(*) FROM documents)",
             n_iter=LPA_ITERS,
+        ),
+        "quality_clf": _clf.perceptron_oracle_sql(
+            "documents",
+            "CASE WHEN lang = 'en' THEN 1 ELSE -1 END",
+            n_iter=CLF_ITERS,
         ),
         "hits": _hits_oracle(),
         "para_dedup": dedup_paragraphs_sql(
