@@ -1494,6 +1494,28 @@ def q_stream_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate GROUPS (transitive fuzzy dedup for the
+    multimodal corpus): the banded Hamming pairs become edges and the
+    distributed CC operator labels every image with its group's min id —
+    A~B~C is ONE group even when A-C alone exceeds the radius.  Oracle:
+    recursive-CTE label propagation over the INDEPENDENT brute-force
+    pair set."""
+    from ssb_sgis_spark.operators.clusters import connected_components
+    from ssb_sgis_spark.operators.imagehash import (
+        hamming_pairs,
+        image_hashes,
+        synth_bmp_variants,
+    )
+
+    ids = _image_hash_ids(spark, sf_dir)
+    pairs = hamming_pairs(image_hashes(synth_bmp_variants(ids)), r=3)
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    return connected_components(
+        edges, ids.select("doc_id"), id_col="doc_id", component_col="grp"
+    )
+
+
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG chunking: overlapping 64-token windows (16 overlap) per
     document — one map-only split/sequence/posexplode/slice projection,
@@ -2629,6 +2651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- (a) new/touched this round ---
         "image_phash": q_image_phash,
         "image_neardup": q_image_neardup,
+        "image_dup_groups": q_image_dup_groups,
         "doc_chunks": q_doc_chunks,
         "lake_merge": q_lake_merge,
         "stream_lake": q_stream_lake,
@@ -3449,6 +3472,23 @@ def oracle_sql() -> dict[str, str]:
         "image_neardup": _imagehash.hamming_pairs_oracle_sql(
             "(SELECT doc_id FROM documents)", r=3
         ),
+        "image_dup_groups": f"""
+            WITH RECURSIVE pairs AS (
+              {_imagehash.hamming_pairs_oracle_sql("(SELECT doc_id FROM documents)", r=3)}
+            ),
+            sym AS (
+              SELECT id_a AS u, id_b AS v FROM pairs
+              UNION
+              SELECT id_b AS u, id_a AS v FROM pairs
+            ),
+            cc(vid, lbl) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT s.u, c.lbl FROM sym s JOIN cc c ON c.vid = s.v
+            )
+            SELECT vid AS doc_id, CAST(min(lbl) AS BIGINT) AS grp
+            FROM cc GROUP BY vid
+        """,
         "doc_chunks": _chunking.chunk_oracle_sql(
             "documents", chunk_tokens=64, overlap=16
         ),
