@@ -158,11 +158,42 @@ def read_snapshot_table(
     *,
     snapshot_id: int | None = None,
     as_of_timestamp_ms: int | None = None,
+    key_range: tuple[str, object, object] | None = None,
 ) -> DataFrame:
     """Read the table at a snapshot (default: latest).  The scan is the
     manifest's directory list — later commits never touch these files,
-    so the result at snapshot N is immutable forever."""
+    so the result at snapshot N is immutable forever.
+
+    ``key_range=(column, lo, hi)`` is Iceberg-style manifest pruning
+    made explicit: data files whose parquet-footer ``[min, max]`` for
+    ``column`` misses ``[lo, hi]`` are dropped from the scan BEFORE
+    Spark sees them (driver-side footer walk, no data IO), and the
+    residual ``lo <= column <= hi`` filter is applied to the survivors.
+    After OPTIMIZE key-clustering (ranges disjoint) or Z-order, a point
+    or range read touches O(matching) files regardless of table size.
+    Exact: footer stats are conservative, the residual filter is the
+    semantics."""
     m = _resolve(path, snapshot_id, as_of_timestamp_ms)
+    if key_range is not None:
+        col, lo, hi = key_range
+        keep = []
+        for fp in _snapshot_files(m):
+            rng = _file_key_range(fp, col)
+            if rng is None or not (rng[1] < lo or rng[0] > hi):
+                keep.append(fp)
+        from pyspark.sql import types as T
+
+        schema = T.StructType.fromJson(m["schema"])
+        reader = spark.read.schema(schema).option(
+            "basePath", os.path.join(path, "data")
+        )
+        if not keep:
+            df = spark.createDataFrame([], schema)
+        else:
+            df = reader.parquet(*keep)
+        return df.filter(
+            (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+        )
     from pyspark.sql import types as T
 
     schema = T.StructType.fromJson(m["schema"])

@@ -276,3 +276,22 @@ def test_partitioned_snapshot_roundtrip_with_explicit_schema(spark, tmp_path):
     assert got.count() == 40
     assert {r.p for r in got.select("p").distinct().collect()} == {0, 1, 2, 3}
     assert got.filter(F.col("p") == 2).count() == 10
+
+
+def test_key_range_read_prunes_files(spark, tmp_path):
+    """Manifest pruning made explicit: after key clustering a range read
+    scans only the files whose footer range matches, and the result is
+    exactly the predicate's rows."""
+    from ssb_sgis_spark.sources.snapshots import optimize_snapshot_table
+
+    t = str(tmp_path / "tbl")
+    write_snapshot_table(_mk(spark, 0, 1000), t)
+    optimize_snapshot_table(spark, t, cluster_by=["id"], target_files=8)
+    narrow = read_snapshot_table(spark, t, key_range=("id", 100, 140))
+    assert sorted(r.id for r in narrow.collect()) == list(range(100, 141))
+    scanned = {f for f in narrow.inputFiles()}
+    full = {f for f in read_snapshot_table(spark, t).inputFiles()}
+    assert len(scanned) <= 2 and len(full) == 8
+    # empty range -> zero files, empty frame, schema intact
+    empty = read_snapshot_table(spark, t, key_range=("id", 5000, 6000))
+    assert empty.count() == 0 and set(empty.columns) == {"id", "v"}
