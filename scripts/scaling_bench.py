@@ -63,7 +63,8 @@ QUERIES = os.environ.get(
 DOC_QUERIES = {
     "unigram_nll", "para_dedup", "minhash_groups", "corpus_pipeline",
     "dedup_exact", "near_dup", "simhash", "quality_filter", "seq_pack",
-    "stream_dedup", "stream_neardup",
+    "stream_dedup", "stream_neardup", "image_phash", "quality_clf",
+    "bm25",
 }
 # queries that read the dup-injected corpus (docs_with_dups_df): its
 # +1,000,000 / +2,000,000 id offsets collide with scaled doc_ids once

@@ -160,7 +160,6 @@ def hamming_pairs(
             f"hamming_pairs is exact only for r < 4 bands (got r={r}); "
             "use more/narrower bands for a larger radius"
         )
-    mask = (1 << 16) - 1
     banded = hashes.select(
         F.col(id_col),
         "ahash0",
@@ -174,7 +173,6 @@ def hamming_pairs(
             )
         ).alias("band_idx", "band_val"),
     )
-    assert mask == 65535
     if bucket_cap is not None:
         w = Window.partitionBy("band_idx", "band_val")
         banded = (
