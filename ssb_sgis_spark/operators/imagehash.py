@@ -47,14 +47,21 @@ CELL_W = BMP_W // GRID  # 3
 CELL_H = BMP_H // GRID  # 2
 N_PIX = BMP_W * BMP_H  # 384 pixels, 1152 channel values
 
-# Near-dup variant law: doc d renders the BASE image of group d // VAR_GROUP
-# with the first VAR_CHANNELS channel values shifted by (d % VAR_GROUP) *
-# VAR_STEP (mod 256).  Variants of one base differ in ~1 cell (plus the
-# occasional borderline-mean flip), bases are independent — so intra-base
-# pairs sit at small Hamming distance and inter-base pairs at ~32.
+# Near-dup variant law: doc d renders the BASE image of group
+# b = d // VAR_GROUP with the first VAR_CHANNELS channel values shifted
+# by (d % VAR_GROUP) * VAR_STEP (mod 256).  Variants of one base differ
+# in ~1 cell (plus the occasional borderline-mean flip).  The per-index
+# slope carries a base-dependent term ((b % VAR_SLOPE_MOD) * VAR_SLOPE)
+# so different bases are STRUCTURALLY different images, not uniform
+# brightness shifts of one another — uniform shifts barely move the
+# mean-threshold bits, and without the slope term ~7% of ALL base pairs
+# landed within Hamming 3 (62k dense edges at 5k images, deep CC
+# chains); with it near-dups are intra-base plus a thin realistic tail.
 VAR_GROUP = 4
 VAR_STEP = 49
 VAR_CHANNELS = 6  # the first two pixels (cell 0,0 only)
+VAR_SLOPE = 977
+VAR_SLOPE_MOD = 251
 
 
 def synth_bmp_variants(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -74,9 +81,10 @@ def synth_bmp_variants(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             payloads = []
             for mid in ids:
                 d = int(mid)
+                b = d // VAR_GROUP
                 v = (
-                    (d // VAR_GROUP) * PIX_A
-                    + idx * PIX_B
+                    b * PIX_A
+                    + idx * (PIX_B + (b % VAR_SLOPE_MOD) * VAR_SLOPE)
                     + (d % VAR_GROUP) * VAR_STEP * pert
                 ) % 256
                 payloads.append(
@@ -213,8 +221,10 @@ def hamming_pairs(
 # ------------------------------------------------------------- oracle SQL
 def _gray_term(chan_expr: str, id_col: str) -> str:
     """Law value of channel index ``chan_expr`` for doc ``id_col``."""
+    base = f"({id_col} // {VAR_GROUP})"
+    slope = f"({PIX_B} + ({base} % {VAR_SLOPE_MOD}) * {VAR_SLOPE})"
     return (
-        f"((({id_col} // {VAR_GROUP}) * {PIX_A} + ({chan_expr}) * {PIX_B}"
+        f"(({base} * {PIX_A} + ({chan_expr}) * {slope}"
         f" + CASE WHEN ({chan_expr}) < {VAR_CHANNELS}"
         f" THEN ({id_col} % {VAR_GROUP}) * {VAR_STEP} ELSE 0 END) % 256)"
     )

@@ -99,6 +99,8 @@ def test_hash_is_codec_invariant(spark):
         PIX_B,
         VAR_CHANNELS,
         VAR_GROUP,
+        VAR_SLOPE,
+        VAR_SLOPE_MOD,
         VAR_STEP,
     )
 
@@ -106,8 +108,11 @@ def test_hash_is_codec_invariant(spark):
     idx = np.arange(N_PIX * 3, dtype=np.int64)
     pert = (idx < VAR_CHANNELS).astype(np.int64)
     for d in range(8):
+        b = d // VAR_GROUP
         v = (
-            (d // VAR_GROUP) * PIX_A + idx * PIX_B + (d % VAR_GROUP) * VAR_STEP * pert
+            b * PIX_A
+            + idx * (PIX_B + (b % VAR_SLOPE_MOD) * VAR_SLOPE)
+            + (d % VAR_GROUP) * VAR_STEP * pert
         ) % 256
         rows.append(
             {
