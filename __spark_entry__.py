@@ -2630,9 +2630,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION (round 4): the external correctness gate samples the FIRST
     # 50 entries only, so ordering is a coverage dial, not cosmetics.
     # Head = (a) queries new or touched this round — the end-of-round-4
-    # lake/multimodal block (image_phash + image_neardup perceptual-hash
-    # dedup, doc_chunks RAG windows, lake_merge copy-on-write upsert,
-    # stream_lake exactly-once streaming commits), then
+    # lake/multimodal/ML block (image_phash + image_neardup +
+    # image_dup_groups perceptual-hash dedup, doc_chunks RAG windows,
+    # lake_merge copy-on-write upsert + CDC deletes, stream_lake
+    # exactly-once streaming commits, communities LPA, quality_clf
+    # batch perceptron), then
     # the late-round-4
     # crawl-pipeline block (redirects, charset_decode, boilerplate_rm,
     # canonical_map, wet_sidecar, crawl_schedule, recrawl_rates,
