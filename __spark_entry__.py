@@ -2273,6 +2273,30 @@ def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRE-FILTERED vector search (the metadata-predicate ANN problem):
+    top-k over only label==1 corpus vectors, with the predicate applied
+    to the posting lists BEFORE scoring (post-filtering a k-list returns
+    <k or zero hits for selective filters).  Full probe so the result is
+    provably the brute-force top-k over the filtered subset — the oracle
+    is an independent WHERE + window."""
+    from ssb_sgis_spark.operators.ivf import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % ANN_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return ivf_topk(
+        queries,
+        emb,
+        ANN_K,
+        corpus_id="vec_id",
+        n_centroids=16,
+        n_probe=16,
+        corpus_filter=F.col("label") == 1,
+    )
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN at FULL probe (n_probe == n_centroids) scored FROM THE
     PERSISTED INDEX (operators/ivf.py build_ivf_index / ivf_topk_indexed):
@@ -2659,6 +2683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_lake": q_stream_lake,
         "communities": q_communities,
         "quality_clf": q_quality_clf,
+        "ann_filtered": q_ann_filtered,
         "cdx_index": q_cdx_index,
         "cdx_fetch": q_cdx_fetch,
         "redirects": q_redirects,
@@ -3687,6 +3712,12 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": cosine_topk_sql(
             f"(SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id % {ANN_QUERY_MOD} = 0)",
             "embeddings",
+            ANN_K,
+            corpus_id="vec_id",
+        ),
+        "ann_filtered": cosine_topk_sql(
+            f"(SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id % {ANN_QUERY_MOD} = 0)",
+            "(SELECT * FROM embeddings WHERE label = 1)",
             ANN_K,
             corpus_id="vec_id",
         ),

@@ -126,14 +126,25 @@ def ivf_topk(
     n_iter: int = 5,
     seed: int = 7,
     centroids: np.ndarray | None = None,
+    corpus_filter=None,
 ) -> DataFrame:
     """(qid, vid, rank): cosine top-k via IVF posting lists.  Pass a
     pre-trained ``centroids`` matrix to reuse an index across query
-    batches (the production pattern — train once, probe forever)."""
+    batches (the production pattern — train once, probe forever).
+
+    ``corpus_filter`` (a boolean Column) is PRE-FILTERED vector search:
+    the predicate restricts the posting lists BEFORE scoring, so top-k
+    is exact over the metadata-matching subset — the correct semantics
+    when a filter is selective (post-filtering a k-list can return fewer
+    than k, or none, for a rare label).  Catalyst pushes the predicate
+    into the posting scan; centroids are trained on the UNFILTERED
+    corpus so one index serves every filter."""
     if centroids is None:
         centroids = train_ivf_centroids(
             corpus, n_centroids, n_iter, corpus_id, vec_col, seed
         )
+    if corpus_filter is not None:
+        corpus = corpus.filter(corpus_filter)
     n_probe = min(n_probe, centroids.shape[0])
     assign = _assign_udf(centroids)
     cn = _normalize(centroids).T.copy()

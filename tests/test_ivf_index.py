@@ -138,3 +138,40 @@ def test_probe_scan_is_partition_pruned(spark, tmp_path):
     )
     assert "PartitionFilters" in plan and "_cid" in plan
     assert res.count() == K
+
+
+def test_filtered_search_is_exact_over_subset(spark):
+    """corpus_filter + full probe == brute top-k over the filtered
+    subset; post-filtering the unfiltered k-list is NOT equivalent
+    (returns fewer than k for selective predicates)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ssb_sgis_spark.operators.ann import cosine_topk
+    from ssb_sgis_spark.operators.ivf import ivf_topk
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (int(i), rng.standard_normal(8).astype("float32").tolist(), int(i % 5))
+        for i in range(200)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    queries = emb.filter(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    got = ivf_topk(
+        queries, emb, 5, corpus_id="vec_id", n_centroids=8, n_probe=8,
+        corpus_filter=F.col("label") == 2,
+    )
+    brute = cosine_topk(
+        queries, emb.filter(F.col("label") == 2), 5, corpus_id="vec_id"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, brute.collect()))
+    # post-filter of the unfiltered top-5: selective label leaves <5 hits
+    post = (
+        cosine_topk(queries, emb, 5, corpus_id="vec_id")
+        .join(emb.select(F.col("vec_id").alias("vid"), "label"), on="vid")
+        .filter(F.col("label") == 2)
+    )
+    per_q = {r.qid: r.n for r in post.groupBy("qid").agg(F.count("*").alias("n")).collect()}
+    assert any(n < 5 for n in per_q.values()) or len(per_q) < queries.count()
