@@ -159,6 +159,7 @@ def read_snapshot_table(
     snapshot_id: int | None = None,
     as_of_timestamp_ms: int | None = None,
     key_range: tuple[str, object, object] | None = None,
+    tag: str | None = None,
 ) -> DataFrame:
     """Read the table at a snapshot (default: latest).  The scan is the
     manifest's directory list — later commits never touch these files,
@@ -172,7 +173,12 @@ def read_snapshot_table(
     After OPTIMIZE key-clustering (ranges disjoint) or Z-order, a point
     or range read touches O(matching) files regardless of table size.
     Exact: footer stats are conservative, the residual filter is the
-    semantics."""
+    semantics.  ``tag`` reads at a named ref (:func:`tag_snapshot`)."""
+    if tag is not None:
+        t = snapshot_tags(path)
+        if tag not in t:
+            raise ValueError(f"{path}: no tag {tag!r} (tags: {sorted(t)})")
+        snapshot_id = t[tag]
     m = _resolve(path, snapshot_id, as_of_timestamp_ms)
     if key_range is not None:
         col, lo, hi = key_range
@@ -208,16 +214,62 @@ def read_snapshot_table(
     )
 
 
+def tag_snapshot(path: str, name: str, snapshot_id: int | None = None) -> int:
+    """Iceberg-style named ref: pin ``name`` to a snapshot (default: the
+    current head).  Tags survive :func:`expire_snapshots` — a tagged
+    snapshot and its files are never reclaimed while the tag exists.
+    Returns the tagged snapshot id."""
+    m = _resolve(path, snapshot_id)
+    tags = snapshot_tags(path)
+    tags[str(name)] = m["snapshot_id"]
+    _write_tags(path, tags)
+    return m["snapshot_id"]
+
+
+def drop_tag(path: str, name: str) -> None:
+    tags = snapshot_tags(path)
+    tags.pop(str(name), None)
+    _write_tags(path, tags)
+
+
+def snapshot_tags(path: str) -> dict[str, int]:
+    fp = os.path.join(_manifest_dir(path), "tags.json")
+    if not os.path.isfile(fp):
+        return {}
+    with open(fp) as f:
+        return {str(k): int(v) for k, v in json.load(f).items()}
+
+
+def _write_tags(path: str, tags: dict[str, int]) -> None:
+    mdir = _manifest_dir(path)
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, ".tags.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(tags, f)
+    os.replace(tmp, os.path.join(mdir, "tags.json"))  # atomic
+
+
 def expire_snapshots(path: str, keep_last: int = 1) -> list[int]:
     """Iceberg-style maintenance: drop manifests older than the last
     ``keep_last`` and delete data directories no surviving snapshot
-    references.  Returns the expired snapshot ids."""
+    references.  Tagged snapshots are always kept (and keep their
+    files), whatever their age.  Returns the expired snapshot ids."""
     import shutil
 
     snaps = snapshots(path)
     if len(snaps) <= keep_last:
         return []
-    keep, drop = snaps[-keep_last:], snaps[:-keep_last]
+    tagged = set(snapshot_tags(path).values())
+    keep = snaps[-keep_last:] + [
+        m for m in snaps[:-keep_last] if m["snapshot_id"] in tagged
+    ]
+    drop = [
+        m
+        for m in snaps[:-keep_last]
+        if m["snapshot_id"] not in tagged
+    ]
+    if not drop:
+        return []
     live = {d for m in keep for d in m["data_dirs"]}
     expired = []
     for m in drop:

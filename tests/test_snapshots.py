@@ -295,3 +295,28 @@ def test_key_range_read_prunes_files(spark, tmp_path):
     # empty range -> zero files, empty frame, schema intact
     empty = read_snapshot_table(spark, t, key_range=("id", 5000, 6000))
     assert empty.count() == 0 and set(empty.columns) == {"id", "v"}
+
+
+def test_tags_pin_snapshots_and_survive_expiry(spark, tmp_path):
+    from ssb_sgis_spark.sources.snapshots import (
+        drop_tag,
+        snapshot_tags,
+        tag_snapshot,
+    )
+
+    t = str(tmp_path / "tbl")
+    write_snapshot_table(_mk(spark, 0, 10), t)
+    tag_snapshot(t, "v1")  # head = snapshot 1
+    write_snapshot_table(_mk(spark, 10, 30), t, mode="overwrite")
+    write_snapshot_table(_mk(spark, 30, 40), t)
+    assert snapshot_tags(t) == {"v1": 1}
+    assert read_snapshot_table(spark, t, tag="v1").count() == 10
+    # expiry keeps the tagged snapshot AND its files readable
+    expired = expire_snapshots(t, keep_last=1)
+    assert 1 not in expired and 2 in expired
+    assert read_snapshot_table(spark, t, tag="v1").count() == 10
+    with pytest.raises(ValueError, match="no tag"):
+        read_snapshot_table(spark, t, tag="nope")
+    # dropping the tag releases it for the next expiry
+    drop_tag(t, "v1")
+    assert 1 in expire_snapshots(t, keep_last=1)
