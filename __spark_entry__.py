@@ -1760,6 +1760,43 @@ def q_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPLIT_FRAC, SPLIT_SEED = 0.8, "7"
+
+
+def q_split_leak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval split hygiene — near-duplicate LEAKAGE detection: a
+    deterministic hash split (80/20, the engine's RNG-free rule) crossed
+    with the MinHash near-dup groups; any group with members on BOTH
+    sides is an eval answer the model saw in training.  Output
+    ``(grp, n_train, n_eval)`` for the leaking groups only.  One extra
+    combinable agg on top of the dup-group operator — the check real
+    pipelines skip and then pay for in inflated evals."""
+    from ssb_sgis_spark.operators.dedup import minhash_dup_groups
+    from ssb_sgis_spark.operators.sampling import (
+        _hash_key_col,
+        fraction_threshold_hex,
+    )
+
+    groups = minhash_dup_groups(
+        docs_with_dups_df(spark, sf_dir),
+        tau_num=MINHASH_TAU[0],
+        tau_den=MINHASH_TAU[1],
+    )
+    thr = fraction_threshold_hex(SPLIT_FRAC)
+    is_train = (
+        F.substring(_hash_key_col(F.col("doc_id"), SPLIT_SEED), 1, 8) < thr
+    ).cast("long")
+    return (
+        groups.select("grp", is_train.alias("_tr"))
+        .groupBy("grp")
+        .agg(
+            F.sum("_tr").alias("n_train"),
+            (F.count(F.lit(1)) - F.sum("_tr")).alias("n_eval"),
+        )
+        .filter((F.col("n_train") > 0) & (F.col("n_eval") > 0))
+    )
+
+
 def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed corpus funnel — quality filter -> exact dedup ->
     benchmark decontamination -> sequence packing — as ONE lazy DAG.
@@ -2684,6 +2721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "communities": q_communities,
         "quality_clf": q_quality_clf,
         "ann_filtered": q_ann_filtered,
+        "split_leak": q_split_leak,
         "cdx_index": q_cdx_index,
         "cdx_fetch": q_cdx_fetch,
         "redirects": q_redirects,
@@ -3571,6 +3609,24 @@ def oracle_sql() -> dict[str, str]:
             tau_num=MINHASH_TAU[0],
             tau_den=MINHASH_TAU[1],
         ),
+        "split_leak": f"""
+            WITH g AS ({minhash_dup_groups_sql(
+                f"({docs_with_dups_sql()})",
+                tau_num=MINHASH_TAU[0],
+                tau_den=MINHASH_TAU[1],
+            )}),
+            s AS (
+              SELECT grp,
+                     CASE WHEN {sample_fraction_pred_sql("doc_id", SPLIT_FRAC, SPLIT_SEED)}
+                          THEN 1 ELSE 0 END AS tr
+              FROM g
+            )
+            SELECT grp,
+                   CAST(sum(tr) AS BIGINT) AS n_train,
+                   CAST(count(*) - sum(tr) AS BIGINT) AS n_eval
+            FROM s GROUP BY grp
+            HAVING sum(tr) > 0 AND count(*) - sum(tr) > 0
+        """,
         "corpus_pipeline": corpus_pipeline_sql(
             f"({docs_with_dups_sql()})",
             f"(SELECT doc_id, text FROM documents WHERE doc_id % {CONTAM_BENCH_MOD} = 0)",
