@@ -1760,6 +1760,33 @@ def q_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus datasheet (per-source report card a data release
+    ships): docs, token mass, language spread, and corpus-wide
+    exact-duplicate incidence per source.  Two combinable shuffles (the
+    md5 dup histogram + the source rollup) and one hash-key join — the
+    text column never shuffles, only its md5."""
+    d = docs_df(spark, sf_dir).select(
+        "source",
+        "lang",
+        F.md5("text").alias("h"),
+        token_count_col(F.col("text")).alias("nt"),
+    )
+    dup = d.groupBy("h").agg(
+        (F.count(F.lit(1)) > 1).cast("long").alias("is_dup")
+    )
+    return (
+        d.join(dup, on="h")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("n_tokens"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("is_dup").alias("n_dup_docs"),
+        )
+    )
+
+
 SPLIT_FRAC, SPLIT_SEED = 0.8, "7"
 
 
@@ -2722,6 +2749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_clf": q_quality_clf,
         "ann_filtered": q_ann_filtered,
         "split_leak": q_split_leak,
+        "corpus_report": q_corpus_report,
         "cdx_index": q_cdx_index,
         "cdx_fetch": q_cdx_fetch,
         "redirects": q_redirects,
@@ -3682,6 +3710,24 @@ def oracle_sql() -> dict[str, str]:
             n="(SELECT count(*) FROM documents)",
             n_iter=LPA_ITERS,
         ),
+        "corpus_report": f"""
+            WITH d AS (
+              SELECT source, lang, md5(text) AS h,
+                     {token_count_sql('text')} AS nt
+              FROM documents
+            ),
+            dup AS (
+              SELECT h, CASE WHEN count(*) > 1 THEN 1 ELSE 0 END AS is_dup
+              FROM d GROUP BY h
+            )
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(nt) AS BIGINT) AS n_tokens,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                   CAST(sum(is_dup) AS BIGINT) AS n_dup_docs
+            FROM d JOIN dup USING (h)
+            GROUP BY source
+        """,
         "quality_clf": _clf.perceptron_oracle_sql(
             "documents",
             "CASE WHEN lang = 'en' THEN 1 ELSE -1 END",
