@@ -170,3 +170,35 @@ def mix_corpora_pred_sql(
         f"substr(md5(concat(CAST({key_expr} AS VARCHAR), ':{seed}')), 1, 8)"
         f" < (CASE {source_expr} {cases} ELSE '00000000' END)"
     )
+
+
+def temperature_fractions(
+    sizes: dict[str, int],
+    temperature: float,
+    target_total: int | None = None,
+) -> dict[str, float]:
+    """Per-source keep-fractions that reshape a corpus toward the
+    temperature-scaled distribution used in multilingual/multi-source
+    pretraining (mT5/XLM-R): sampling mass ``p_i ∝ size_i^(1/T)``.
+    ``T = 1`` keeps natural proportions, ``T → ∞`` approaches uniform
+    across sources, ``T < 1`` sharpens toward the big sources.
+
+    Returns fractions for :func:`mix_corpora` (clamped to 1.0 — this
+    engine subsamples, never duplicates; pick ``target_total`` small
+    enough that no source is asked to up-sample, or accept the clamp).
+    Driver-side arithmetic over the |sources|-sized histogram — the
+    data-sized work stays the one map-only mix filter."""
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    if not sizes:
+        return {}
+    total = sum(sizes.values())
+    if target_total is None:
+        target_total = total
+    masses = {s: float(n) ** (1.0 / temperature) for s, n in sizes.items()}
+    z = sum(masses.values())
+    out = {}
+    for s, n in sizes.items():
+        want = target_total * masses[s] / z
+        out[s] = min(1.0, want / n) if n else 0.0
+    return out

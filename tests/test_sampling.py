@@ -324,3 +324,50 @@ def test_dedup_against_exact_takes_precedence(spark):
     new = spark.createDataFrame([(10, t)], "doc_id long, text string")
     rows = dedup_against(new, old).collect()
     assert len(rows) == 1 and rows[0].dup_kind == "exact"
+
+
+def test_temperature_fractions_shapes():
+    from ssb_sgis_spark.operators.sampling import temperature_fractions
+
+    sizes = {"cc": 1_000_000, "wiki": 10_000, "books": 40_000}
+    # T=1: natural proportions -> uniform scale factor
+    f1 = temperature_fractions(sizes, 1.0, target_total=105_000)
+    assert abs(f1["cc"] - 0.1) < 1e-9 and abs(f1["wiki"] - 0.1) < 1e-9
+    # T=2 flattens: small sources keep a LARGER fraction than big ones
+    f2 = temperature_fractions(sizes, 2.0, target_total=105_000)
+    assert f2["wiki"] > f2["cc"] and f2["books"] > f2["cc"]
+    # achieved mass ratio wiki:cc moves toward sqrt-size ratio
+    m2 = {s: f2[s] * sizes[s] for s in sizes}
+    import math
+
+    assert abs(m2["wiki"] / m2["cc"] - math.sqrt(10_000 / 1_000_000)) < 1e-9
+    # clamp: tiny source asked to up-sample stays at 1.0
+    f3 = temperature_fractions(sizes, 100.0, target_total=2_000_000)
+    assert f3["wiki"] == 1.0
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        temperature_fractions(sizes, 0)
+
+
+def test_temperature_mix_integration(spark):
+    from pyspark.sql import functions as F
+
+    from ssb_sgis_spark.operators.sampling import (
+        mix_corpora,
+        temperature_fractions,
+    )
+
+    df = spark.range(0, 20_000).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 < 8, "big").otherwise("small").alias("src"),
+    )
+    sizes = {r.src: r.n for r in df.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    fr = temperature_fractions(sizes, 2.0, target_total=8_000)
+    kept = mix_corpora(df, "src", fr, key_col="id")
+    got = {r.src: r.n for r in kept.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    for s in sizes:
+        want = fr[s] * sizes[s]
+        assert abs(got[s] - want) < 0.1 * want + 50  # Bernoulli tolerance
+    # flattening really happened: small keeps a larger share than natural
+    assert got["small"] / sizes["small"] > got["big"] / sizes["big"]
