@@ -982,8 +982,8 @@ def audio_stats_oracle_sql(ids_rel: str, id_col: str = "doc_id") -> str:
                CAST({WAV_N} AS BIGINT) AS n_samples,
                CAST(trunc(sqrt(sum(x * x) / CAST({WAV_N} AS DOUBLE)) * 1000) AS BIGINT)
                    AS rms_x1000,
-               sum(CASE WHEN px IS NOT NULL AND ((x < 0) != (px < 0))
-                        THEN 1 ELSE 0 END) AS zero_crossings
+               CAST(sum(CASE WHEN px IS NOT NULL AND ((x < 0) != (px < 0))
+                        THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
         FROM lagged GROUP BY {id_col}
     """
 
