@@ -96,12 +96,29 @@ def write_snapshot_table(
     files stay on disk — earlier snapshots remain readable);
     ``mode="replace"`` is overwrite semantics with a distinct lineage
     label — used by :func:`optimize_snapshot_table` for data-preserving
-    rewrites (Iceberg's ``replace`` operation)."""
+    rewrites (Iceberg's ``replace`` operation).
+
+    The TABLE owns its partition layout (Iceberg partition-spec
+    semantics): the manifest records ``partition_by``, appends inherit
+    it when the caller omits the argument, and an append that names a
+    DIFFERENT layout is refused — one snapshot's scan unions old and
+    new directories, so a mixed hive layout under the shared
+    ``basePath`` would corrupt partition discovery.  ``overwrite`` /
+    ``replace`` may set a new layout (a new table generation)."""
     if mode not in ("append", "overwrite", "replace"):
         raise ValueError(f"mode must be append|overwrite|replace, got {mode!r}")
     prev = snapshots(path)
     if prev:
         head = prev[-1]
+        if mode == "append":
+            head_pby = head.get("partition_by") or []
+            if partition_by is None:
+                partition_by = head_pby
+            elif list(partition_by) != head_pby:
+                raise ValueError(
+                    f"append partition layout mismatch: table is partitioned "
+                    f"by {head_pby}, append requested {list(partition_by)}"
+                )
         schema_cols = {f["name"] for f in head["schema"]["fields"]}
         new_cols = {f.name for f in df.schema.fields}
         if mode == "append" and schema_cols != new_cols:
@@ -140,6 +157,7 @@ def write_snapshot_table(
         "timestamp_ms": int(time.time() * 1000),
         "operation": mode,
         "data_dirs": dirs,
+        "partition_by": list(partition_by or []),
         "schema": json.loads(df.schema.json()),
         **(extra_manifest or {}),
     }
@@ -187,31 +205,43 @@ def read_snapshot_table(
             rng = _file_key_range(fp, col)
             if rng is None or not (rng[1] < lo or rng[0] > hi):
                 keep.append(fp)
-        from pyspark.sql import types as T
-
-        schema = T.StructType.fromJson(m["schema"])
-        reader = spark.read.schema(schema).option(
-            "basePath", os.path.join(path, "data")
-        )
-        if not keep:
-            df = spark.createDataFrame([], schema)
-        else:
-            df = reader.parquet(*keep)
-        return df.filter(
+        return _read_manifest_paths(spark, path, m, keep).filter(
             (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
         )
-    from pyspark.sql import types as T
-
-    schema = T.StructType.fromJson(m["schema"])
     # the MANIFEST schema drives the scan (Iceberg semantics): after
     # additive evolution, files written before a column existed are
     # null-filled for it instead of the read failing or depending on
     # which file Spark sampled for inference
-    return (
-        spark.read.schema(schema)
-        .option("basePath", os.path.join(path, "data"))
-        .parquet(*m["data_dirs"])
-    )
+    return _read_manifest_paths(spark, path, m, m["data_dirs"])
+
+
+def _read_manifest_paths(spark: SparkSession, path: str, m: dict, paths: list[str]):
+    """Read data paths (dirs or files) under a snapshot manifest with the
+    MANIFEST schema.  Unpartitioned tables read in one scan under the
+    shared ``<table>/data`` basePath.  For a hive-partitioned table the
+    per-snapshot directories (``s<N>-…``, not ``k=v`` form) sit between
+    that root and the partition dirs, which breaks Spark's global
+    partition discovery — so each snapshot directory becomes its own
+    ``basePath`` and the scans union by name (what Iceberg planning does
+    per manifest)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType.fromJson(m["schema"])
+    if not paths:
+        return spark.createDataFrame([], schema)
+    pby = m.get("partition_by") or []
+    data_root = os.path.join(path, "data")
+    if not pby:
+        return spark.read.schema(schema).option("basePath", data_root).parquet(*paths)
+    groups: dict[str, list[str]] = {}
+    for p in paths:
+        top = os.path.relpath(p, data_root).split(os.sep)[0]
+        groups.setdefault(os.path.join(data_root, top), []).append(p)
+    out = None
+    for base, ps in sorted(groups.items()):
+        df = spark.read.schema(schema).option("basePath", base).parquet(*ps)
+        out = df if out is None else out.unionByName(df)
+    return out.select(*schema.fieldNames())
 
 
 def tag_snapshot(path: str, name: str, snapshot_id: int | None = None) -> int:
@@ -251,9 +281,16 @@ def _write_tags(path: str, tags: dict[str, int]) -> None:
 
 def expire_snapshots(path: str, keep_last: int = 1) -> list[int]:
     """Iceberg-style maintenance: drop manifests older than the last
-    ``keep_last`` and delete data directories no surviving snapshot
-    references.  Tagged snapshots are always kept (and keep their
-    files), whatever their age.  Returns the expired snapshot ids."""
+    ``keep_last`` and reclaim data no surviving snapshot references.
+    Tagged snapshots are always kept (and keep their files), whatever
+    their age.  Returns the expired snapshot ids.
+
+    Liveness is FILE-granular, not directory-granular: a ``merge``
+    snapshot carries the untouched files of OLDER snapshots by
+    individual path, so a dropped snapshot's data directory may still
+    hold files the surviving head reads.  Only parquet files in no kept
+    snapshot's expanded file set are deleted; a directory is removed
+    whole only when none of its files are live."""
     import shutil
 
     snaps = snapshots(path)
@@ -270,15 +307,36 @@ def expire_snapshots(path: str, keep_last: int = 1) -> list[int]:
     ]
     if not drop:
         return []
-    live = {d for m in keep for d in m["data_dirs"]}
+    live_dirs = {d for m in keep for d in m["data_dirs"]}
+    live_files = {f for m in keep for f in _snapshot_files(m)}
     expired = []
     for m in drop:
         os.remove(os.path.join(_manifest_dir(path), f"v{m['snapshot_id']:08d}.json"))
         expired.append(m["snapshot_id"])
     for m in drop:
         for d in m["data_dirs"]:
-            if d not in live and os.path.isdir(d):
+            if d in live_dirs:
+                continue
+            if os.path.isfile(d):
+                if d not in live_files:
+                    os.remove(d)
+                continue
+            if not os.path.isdir(d):
+                continue  # shared dir already reclaimed via another snapshot
+            dir_live = any(
+                os.path.join(root, fn) in live_files
+                for root, _, fns in os.walk(d)
+                for fn in fns
+            )
+            if not dir_live:
                 shutil.rmtree(d)
+            else:
+                # carried files stay (with their sidecars); dead parquet goes
+                for root, _, fns in os.walk(d):
+                    for fn in fns:
+                        fp = os.path.join(root, fn)
+                        if fn.endswith(".parquet") and fp not in live_files:
+                            os.remove(fp)
     return expired
 
 
@@ -325,7 +383,12 @@ def optimize_snapshot_table(
         )
     else:
         out = df.repartition(target_files)
-    return write_snapshot_table(out, path, mode="replace")
+    # a rewrite keeps the table's partition spec (Iceberg OPTIMIZE never
+    # changes the layout); the manifest carries it forward
+    pby = _resolve(path).get("partition_by") or []
+    return write_snapshot_table(
+        out, path, mode="replace", partition_by=pby or None
+    )
 
 
 def _zorder_key(df: DataFrame, col_a: str, col_b: str):
@@ -395,11 +458,65 @@ def _file_key_range(fp: str, column: str):
     return min(mins), max(maxs)
 
 
-# Driver-side ceiling for the exact touched-file probe: above this many
-# DISTINCT update keys the key set is not collected; file selection falls
-# back to footer [min,max] interval overlap alone (still correct — only
-# potentially rewrites more files).  ~8e6 int64 keys = 64 MB driver heap.
-MERGE_EXACT_KEY_CAP = 8_000_000
+def _partition_key_value(fp: str, column: str, schema: dict):
+    """``(lo, hi)`` with ``lo == hi`` — the hive-path-encoded value of a
+    partition column (absent from data-file footers), typed per the
+    manifest schema so a MERGE keyed on the partition column still
+    prunes to the matching partition's files.  None when the path does
+    not encode the column (the file is then treated as touched)."""
+    token = f"{column}="
+    for seg in fp.split(os.sep):
+        if seg.startswith(token):
+            raw = seg[len(token):]
+            typ = next(
+                (f["type"] for f in schema["fields"] if f["name"] == column),
+                "string",
+            )
+            if typ in ("long", "integer", "short", "byte"):
+                v: object = int(raw)
+            elif typ in ("double", "float"):
+                v = float(raw)
+            else:
+                v = raw
+            return v, v
+    return None
+
+
+def _probe_touched_files(
+    probe_d: DataFrame, key_col: str, ranges: list[tuple]
+) -> set[int]:
+    """Which per-file key intervals contain at least one probe key —
+    decided on the EXECUTORS, so the driver never materializes the key
+    set however many update keys there are; only the hit file ids (at
+    most the snapshot's file count) come back.
+
+    Each Arrow batch of distinct keys is sorted once, then ONE
+    vectorized ``np.searchsorted`` locates every file's ``lo`` in it:
+    file *i* is hit iff the first key ≥ ``lo_i`` is ≤ ``hi_i`` — the
+    same decision the old driver-side ``bisect`` probe made, bit for
+    bit, without the 8M-key collect or its cap.  O((|batch| + |files|)
+    · log |batch|) per batch, overlap-safe (pre-OPTIMIZE files may have
+    overlapping ranges)."""
+    import numpy as np
+    import pandas as pd
+
+    fids = np.array([r[0] for r in ranges], dtype=np.int64)
+    los = np.array([r[1] for r in ranges])
+    his = np.array([r[2] for r in ranges])
+
+    def kernel(it):
+        hit = np.zeros(len(fids), dtype=bool)
+        for pdf in it:
+            keys = np.sort(pdf.iloc[:, 0].to_numpy())
+            if not keys.size:
+                continue
+            pos = np.searchsorted(keys, los, side="left")
+            safe = np.minimum(pos, keys.size - 1)
+            hit |= (pos < keys.size) & (keys[safe] <= his)
+        yield pd.DataFrame({"fid": fids[hit]})
+
+    out = probe_d.select(key_col).mapInPandas(kernel, "fid long")
+    return {r[0] for r in out.distinct().collect()}
 
 
 def merge_snapshot_table(
@@ -420,11 +537,14 @@ def merge_snapshot_table(
 
     The copy-on-write contract is file-granular, driven by parquet
     footer statistics exactly like Iceberg's manifest pruning: a data
-    file is REWRITTEN only if its ``[min, max]`` key range can contain an
-    update key (checked against the exact distinct update-key set when
-    it fits under ``MERGE_EXACT_KEY_CAP``, else by interval overlap);
-    every other file is carried into the new snapshot BY REFERENCE —
-    same path, same bytes, zero IO.  After an OPTIMIZE clustering pass
+    file is REWRITTEN only if its ``[min, max]`` key range contains at
+    least one distinct update key — decided distributively by
+    :func:`_probe_touched_files` (executor-side searchsorted over each
+    Arrow batch; the driver sees only hit FILE IDS, never keys, so
+    there is no key-count ceiling); every other file is carried into
+    the new snapshot BY REFERENCE — same path, same bytes, zero IO.
+    For a hive-partitioned table keyed on the partition column the
+    interval is the path-encoded value.  After an OPTIMIZE clustering pass
     on the key column the ranges are disjoint, so a point-key merge
     rewrites exactly one file regardless of table size — that pairing is
     what makes upsert viable at 10^12 rows.
@@ -475,34 +595,36 @@ def merge_snapshot_table(
         probe = dk if probe is None else probe.unionByName(dk)
 
     files = _snapshot_files(m)
-    n_keys = probe.distinct().count()
-    key_set = None
-    if n_keys <= MERGE_EXACT_KEY_CAP:
-        key_set = sorted(r[0] for r in probe.distinct().collect())
-        k_lo, k_hi = (key_set[0], key_set[-1]) if key_set else (None, None)
-    else:
-        k_lo, k_hi = probe.select(F.min(key_col), F.max(key_col)).first()
-    touched, untouched = [], []
-    for fp in files:
-        rng = _file_key_range(fp, key_col)
-        if rng is None:
-            touched.append(fp)
-            continue
-        lo, hi = rng
-        if key_set is not None:
-            import bisect
+    pby = m.get("partition_by") or []
+    probe_d = probe.distinct()
 
-            i = bisect.bisect_left(key_set, lo)
-            hit = i < len(key_set) and key_set[i] <= hi
+    # per-file [lo, hi] key intervals (footer stats, or the hive path
+    # value when the key IS a partition column); stat-less files are
+    # always rewritten
+    ranges: list[tuple] = []
+    touched_idx: set[int] = set()
+    for i, fp in enumerate(files):
+        if key_col in pby:
+            rng = _partition_key_value(fp, key_col, m["schema"])
         else:
-            hit = k_lo is not None and not (hi < k_lo or lo > k_hi)
-        (touched if hit else untouched).append(fp)
+            rng = _file_key_range(fp, key_col)
+        if rng is None:
+            touched_idx.add(i)
+        else:
+            ranges.append((i, rng[0], rng[1]))
+    if ranges:
+        touched_idx |= _probe_touched_files(probe_d, key_col, ranges)
+    touched = [fp for i, fp in enumerate(files) if i in touched_idx]
+    untouched = [fp for i, fp in enumerate(files) if i not in touched_idx]
 
     sid = m["snapshot_id"] + 1
     data_dir = os.path.join(path, "data", f"s{sid}-{uuid.uuid4().hex[:8]}")
     if touched:
-        current = spark.read.parquet(*touched).select(*cols)
-        survivors = current.join(probe.distinct(), on=key_col, how="left_anti")
+        # re-read EXACTLY like read_snapshot_table: the manifest schema
+        # (so post-evolution columns null-fill in pre-evolution files)
+        # + per-snapshot basePath (so hive partition columns resolve)
+        current = _read_manifest_paths(spark, path, m, touched).select(*cols)
+        survivors = current.join(probe_d, on=key_col, how="left_anti")
         merged = (
             survivors.unionByName(updates) if updates is not None else survivors
         )
@@ -512,7 +634,10 @@ def merge_snapshot_table(
             if updates is not None
             else spark.createDataFrame([], read_snapshot_table(spark, path).schema)
         )
-    merged.write.mode("errorifexists").parquet(data_dir)
+    writer = merged.write.mode("errorifexists")
+    if pby:
+        writer = writer.partitionBy(*pby)
+    writer.parquet(data_dir)
 
     manifest = {
         "snapshot_id": sid,
@@ -520,6 +645,7 @@ def merge_snapshot_table(
         "timestamp_ms": int(time.time() * 1000),
         "operation": "merge",
         "data_dirs": untouched + [data_dir],
+        "partition_by": pby,
         "rewritten_files": len(touched),
         "carried_files": len(untouched),
         "schema": m["schema"],

@@ -77,20 +77,37 @@ def test_cardinality_and_schema_guards(spark, tmp_path):
         merge_snapshot_table(spark, t, bad, "id")
 
 
-def test_interval_fallback_same_result(spark, tmp_path, monkeypatch):
-    """Above the exact-key cap the footer-interval fallback may rewrite
-    more files but must produce the identical table."""
-    t1, t2 = str(tmp_path / "a"), str(tmp_path / "b")
-    base = _mk(spark, 0, 500).repartitionByRange(4, "id").sortWithinPartitions("id")
-    upd = _mk(spark, 100, 140, mult=77)
-    for t in (t1, t2):
-        write_snapshot_table(base, t)
-    merge_snapshot_table(spark, t1, upd, "id")
-    monkeypatch.setattr(snap, "MERGE_EXACT_KEY_CAP", 0)
-    merge_snapshot_table(spark, t2, upd, "id")
-    assert _head_map(spark, t1) == _head_map(spark, t2)
-    # fallback still prunes: files whose range misses [100, 140) carry over
-    assert snapshots(t2)[-1]["carried_files"] >= 2
+def test_probe_never_collects_keys_to_driver(spark, tmp_path, monkeypatch):
+    """The touched-file probe is distributed: however many distinct
+    update keys there are, the only rows that ever reach the driver
+    during MERGE are hit file ids (≤ file count) and scalar checks —
+    driver memory stays flat (the old 8M-key cap is gone)."""
+    # patch the CONCRETE class — pyspark.sql.DataFrame is the ABC and
+    # the classic subclass defines its own collect
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    t = str(tmp_path / "tbl")
+    base = (
+        _mk(spark, 0, 200_000).repartitionByRange(8, "id").sortWithinPartitions("id")
+    )
+    write_snapshot_table(base, t)
+    sizes = []
+    orig = DataFrame.collect
+
+    def spy(self):
+        out = orig(self)
+        sizes.append(len(out))
+        return out
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    upd = _mk(spark, 100_000, 250_000, mult=7)  # 150k distinct keys
+    merge_snapshot_table(spark, t, upd, "id")
+    monkeypatch.setattr(DataFrame, "collect", orig)
+    assert sizes and max(sizes) <= 8, f"driver collected {max(sizes)} rows"
+    got = _head_map(spark, t)
+    assert len(got) == 250_000 and got[5] == 50 and got[150_000] == 1_050_000
+    # pruning still exact: files fully below the update range carry over
+    assert snapshots(t)[-1]["carried_files"] >= 3
 
 
 def test_delete_keys_cdc(spark, tmp_path):
@@ -126,3 +143,65 @@ def test_conflicting_update_delete_raises(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="updates and/or delete_keys"):
         merge_snapshot_table(spark, t, None, "id")
+
+
+def test_merge_then_expire_keeps_carried_files(spark, tmp_path):
+    """Regression (ADVICE r4, high): a merge snapshot carries untouched
+    files by individual path; expire_snapshots must not rmtree the
+    parent directory of a carried file."""
+    from ssb_sgis_spark.sources.snapshots import expire_snapshots
+
+    t = str(tmp_path / "tbl")
+    base = _mk(spark, 0, 1000).repartitionByRange(4, "id").sortWithinPartitions("id")
+    write_snapshot_table(base, t)
+    merge_snapshot_table(spark, t, _mk(spark, 7, 8, mult=999), "id")
+    expired = expire_snapshots(t, keep_last=1)
+    assert expired == [1]
+    got = _head_map(spark, t)  # HEAD must remain fully readable
+    assert len(got) == 1000 and got[7] == 7 * 999 and got[500] == 5000
+
+
+def test_merge_partitioned_table(spark, tmp_path):
+    """Regression (ADVICE r4, medium): merging a hive-partitioned table
+    must re-read touched files with the manifest schema + basePath so
+    the partition column resolves from the path."""
+    t = str(tmp_path / "tbl")
+    base = _mk(spark, 0, 100).withColumn("p", F.col("id") % 4)
+    write_snapshot_table(base, t, partition_by=["p"])
+    upd = _mk(spark, 90, 110, mult=1000).withColumn("p", F.col("id") % 4)
+    merge_snapshot_table(spark, t, upd, "id")
+    df = read_snapshot_table(spark, t)
+    got = {r.id: (r.v, r.p) for r in df.collect()}
+    assert len(got) == 110
+    assert got[5] == (50, 1) and got[95] == (95_000, 3) and got[105] == (105_000, 1)
+    assert snapshots(t)[-1]["partition_by"] == ["p"]
+
+
+def test_merge_keyed_on_partition_column_prunes(spark, tmp_path):
+    """A MERGE keyed on the partition column reads the key interval from
+    the hive path (footers lack the column) — only the matching
+    partitions' files are rewritten."""
+    t = str(tmp_path / "tbl")
+    base = _mk(spark, 0, 100).withColumn("p", F.col("id") % 4)
+    write_snapshot_table(base, t, partition_by=["p"])
+    dels = spark.createDataFrame([(3,)], "p long")
+    merge_snapshot_table(spark, t, None, "p", delete_keys=dels)
+    m = snapshots(t)[-1]
+    assert m["carried_files"] >= 3 and m["rewritten_files"] >= 1
+    got = _head_map(spark, t)
+    assert len(got) == 75 and all(k % 4 != 3 for k in got)
+
+
+def test_merge_after_schema_evolution(spark, tmp_path):
+    """After an additive-evolution append, MERGE re-reads pre-evolution
+    files with the manifest schema (new column null-filled) instead of
+    failing on inference."""
+    t = str(tmp_path / "tbl")
+    write_snapshot_table(_mk(spark, 0, 10), t)
+    evolved = _mk(spark, 10, 20).withColumn("w", F.lit(5))
+    write_snapshot_table(evolved, t, allow_evolution=True)
+    upd = _mk(spark, 0, 2, mult=111).withColumn("w", F.lit(9))
+    merge_snapshot_table(spark, t, upd, "id")
+    rows = {r.id: (r.v, r.w) for r in read_snapshot_table(spark, t).collect()}
+    assert len(rows) == 20
+    assert rows[0] == (0, 9) and rows[5] == (50, None) and rows[15] == (150, 5)
