@@ -212,27 +212,32 @@ _TOP_BIGRAM_CTES = """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM 
 
 
 def _quality_filter_oracle() -> str:
-    """Signals in a CTE (top-bigram via the SAME CTE block as the
-    rep_stats oracle), then the shared fail_reason CASE — rule order and
-    integer arithmetic generated by the same code as the Spark plan.
-    The CASE is evaluated once; quality_pass derives from its result."""
+    """INDEPENDENT derivation (round-5 de-circularization): the
+    fail_reason CASE below is hand-written from the documented Gopher
+    rule SPEC — thresholds re-derived from the percentages (2% stopword
+    ratio -> ``100 * n_stop < 2 * n_tokens``; 20% top-bigram cover ->
+    ``100 * top_bigram > 20 * n_tokens``; mean word length in [3, 12]
+    via BETWEEN) rather than emitted by
+    ``operators.quality.quality_filter_sql``, so a bug in the shared
+    rule generator can no longer pass both engines.  The signal columns
+    were already independent implementations (DuckDB string_split /
+    unnest vs Spark Column builders)."""
     from ssb_sgis_spark.functions.text import (
         distinct_token_count_sql,
         stopword_count_sql,
         token_count_sql,
         word_chars_sql,
     )
-    from ssb_sgis_spark.operators.quality import quality_filter_sql
 
-    case = quality_filter_sql(
-        {
-            "n_tokens": "n_tokens",
-            "word_chars": "word_chars",
-            "n_stop": "n_stop",
-            "top_bigram": "top_bigram",
-            "n_distinct": "n_distinct",
-        }
-    )
+    case = """CASE
+                 WHEN n_tokens < 40 THEN 'too_short'
+                 WHEN n_tokens > 100000 THEN 'too_long'
+                 WHEN NOT (word_chars BETWEEN 3 * n_tokens AND 12 * n_tokens)
+                      THEN 'word_length'
+                 WHEN 100 * n_stop < 2 * n_tokens THEN 'low_stopword'
+                 WHEN 100 * top_bigram > 20 * n_tokens THEN 'repetitive'
+                 WHEN 100 * n_distinct < 20 * n_tokens THEN 'low_diversity'
+                 ELSE NULL END"""
     return f"""
         WITH {_TOP_BIGRAM_CTES},
         sig AS (
@@ -248,6 +253,106 @@ def _quality_filter_oracle() -> str:
                fail_reason IS NULL AS quality_pass,
                fail_reason
         FROM (SELECT doc_id, {case} AS fail_reason FROM sig)
+    """
+
+
+def _hex_binned_independent_cte(size: float) -> str:
+    """CTE block ending in ``hexed(uid, hex_q, hex_r)`` — an INDEPENDENT
+    hex-assignment derivation (round-5 de-circularization): instead of
+    evaluating the engine's shared cube-rounding SQL
+    (``hexcells.hex_qr_sql``), this picks the candidate hex whose CENTER
+    is nearest the point (the defining Voronoi property of a hex grid:
+    containment == nearest center).  Base cell from floored fractional
+    axial coords, a 3x3 candidate window (absorbs any ulp drift in the
+    floor), centers from the inverse axial transform
+    ``cx = size*sqrt(3)*(q + r/2), cy = 1.5*size*r``, argmin of squared
+    Euclidean distance.  A disagreement with Spark's cube rounding needs
+    a point within ~1e-10 m of a cell edge; page coordinates quantize at
+    ~7e-6 m on irrational-offset edges, so the expected collision count
+    at sf0.1 is ~1e-7.  Expects a ``pages`` CTE in scope."""
+    s = repr(float(size))
+    return f"""base AS (
+          SELECT uid, x, y,
+                 CAST(floor((x / sqrt(3.0) - y / 3.0) / {s}) AS BIGINT) AS qb,
+                 CAST(floor((y * 2.0 / 3.0) / {s}) AS BIGINT) AS rb
+          FROM pages
+        ),
+        offs(dq, dr) AS (
+          VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)
+        ),
+        cand AS (
+          SELECT b.uid, b.qb + o.dq AS q, b.rb + o.dr AS r,
+                 (b.x - {s} * sqrt(3.0) * ((b.qb + o.dq) + (b.rb + o.dr) / 2.0))
+                   * (b.x - {s} * sqrt(3.0) * ((b.qb + o.dq) + (b.rb + o.dr) / 2.0))
+                 + (b.y - {s} * 1.5 * (b.rb + o.dr))
+                   * (b.y - {s} * 1.5 * (b.rb + o.dr)) AS d2
+          FROM base b CROSS JOIN offs o
+        ),
+        hexed AS (
+          SELECT uid, q AS hex_q, r AS hex_r
+          FROM (
+            SELECT uid, q, r,
+                   row_number() OVER (PARTITION BY uid ORDER BY d2, q, r) AS rn
+            FROM cand
+          ) WHERE rn = 1
+        )"""
+
+
+def _hll_oracle_independent(rel: str, value_sql: str) -> str:
+    """INDEPENDENT HLL register derivation (round-5 de-circularization):
+    the engine's shared generator (``sketch.hll_register_exprs``) counts
+    leading zero BITS of the 96-bit md5 tail by hex-string trimming + a
+    per-nibble CASE; this oracle re-derives the rank NUMERICALLY — the
+    tail's two 48-bit halves become integers by positional hex-digit
+    arithmetic (exact in float64: values < 2^48 < 2^53), and the
+    leading-zero count is ``48 - length(bin(n))`` from DuckDB's binary
+    formatter.  Same spec (rank = leading zero bits + 1, all-zero tail
+    -> 97), disjoint formula path."""
+
+    def h2i(lo_pos: int) -> str:
+        return (
+            "CAST(list_sum(list_transform(generate_series(1, 12), i -> "
+            f"(strpos('0123456789abcdef', substr(tail, {lo_pos - 1} + i, 1)) - 1)"
+            " * power(16.0, 12 - i))) AS BIGINT)"
+        )
+
+    return f"""
+        WITH h AS (
+          SELECT substr(md5({value_sql}), 1, 3) AS bucket,
+                 substr(md5({value_sql}), 4, 24) AS tail
+          FROM {rel}
+        ),
+        num AS (
+          SELECT bucket, {h2i(1)} AS hi, {h2i(13)} AS lo FROM h
+        ),
+        ranks AS (
+          SELECT bucket,
+                 CASE WHEN hi > 0 THEN 49 - length(bin(hi))
+                      WHEN lo > 0 THEN 97 - length(bin(lo))
+                      ELSE 97 END AS rank
+          FROM num
+        )
+        SELECT bucket, CAST(max(rank) AS BIGINT) AS max_rank
+        FROM ranks GROUP BY bucket
+    """
+
+
+def _cms_oracle_independent(rel: str, value_sql: str, weight_sql: str) -> str:
+    """INDEPENDENT count-min oracle (round-5 de-circularization):
+    hand-written seeds-table cross join + concat, no text from
+    ``sketch.cms_register_exprs`` — the seeded-md5 cell spec
+    (``md5(seed || '#' || value)`` hex prefix) is restated, not
+    imported."""
+    return f"""
+        WITH seeds AS (SELECT * FROM (VALUES (0), (1), (2), (3)) s(seed)),
+        cells AS (
+          SELECT s.seed,
+                 substr(md5(concat(CAST(s.seed AS VARCHAR), '#', {value_sql})), 1, 3) AS col,
+                 CAST({weight_sql} AS BIGINT) AS w
+          FROM {rel} r CROSS JOIN seeds s
+        )
+        SELECT CAST(seed AS BIGINT) AS seed, col, CAST(sum(w) AS BIGINT) AS cnt
+        FROM cells GROUP BY seed, col
     """
 
 
@@ -2715,36 +2820,72 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ROTATION (round 4): the external correctness gate samples the FIRST
+    # ROTATION (round 5): the external correctness gate samples the FIRST
     # 50 entries only, so ordering is a coverage dial, not cosmetics.
-    # Head = (a) queries new or touched this round — the end-of-round-4
-    # lake/multimodal/ML block (image_phash + image_neardup +
-    # image_dup_groups perceptual-hash dedup, doc_chunks RAG windows,
-    # lake_merge copy-on-write upsert + CDC deletes, stream_lake
-    # exactly-once streaming commits, communities LPA, quality_clf
-    # batch perceptron), then
-    # the late-round-4
-    # crawl-pipeline block (redirects, charset_decode, boilerplate_rm,
-    # canonical_map, wet_sidecar, crawl_schedule, recrawl_rates,
-    # url_normalize, crawl_to_muni, fetch_triage, anchor_index), the
-    # earlier webtext crawl layer (warc_roundtrip, link_extract,
-    # host_rank, robots_filter),
-    # the haversine scale path (knn_haversine_cellwise), the codec and
-    # autocorrelation oracles (png/jpeg/video/mp4/audio_stats,
-    # lisa_hotspots, morans_i), lake_optimize/snapshot_travel,
-    # integer-exact LSH, batched-BPE, the guard-touched semdedup /
-    # cosine_pairs / network family, persisted-index ann_ivf — then (b)
-    # the round-3 registry tail (old positions 51-89) that the driver
-    # cap never reached last round.  The round-3 driver-checked block
-    # follows — nothing is ever deleted, all entries stay runnable.
+    # Head, per the round-4 verdict's ask #2: (a) the 24 entries that had
+    # never had a green DRIVER row (only builder/judge re-runs) — 22
+    # oracle-checked + the 2 rows-only-by-design (ann_lsh,
+    # buffdissexp_blobs); then (b) the lake queries whose engine code the
+    # round-5 snapshot-layer fixes touched (file-granular expiry,
+    # partitioned/evolved merge re-read, distributed touched-file probe);
+    # then (c) the de-circularized oracles (independent DuckDB
+    # derivations replacing shared-generator SQL); then (d) the rest of
+    # the round-3 tail.  Round-5 additions are inserted into the head as
+    # they land.  With rounds 3 and 4 this makes every registry entry
+    # driver-verified across three consecutive rounds.  Nothing is ever
+    # deleted; all entries stay runnable.
     return {
-        # --- (a) new/touched this round ---
+        # --- (a) never driver-checked before round 5 ---
+        "audio_stats": q_audio_stats,
+        "freq_sketch": q_freq_sketch,
+        "pmi_top": q_pmi_top,
+        "corpus_mix": q_corpus_mix,
+        "unigram_nll": q_unigram_nll,
+        "bigram_nll": q_bigram_nll,
+        "nll_buckets": q_nll_buckets,
+        "pagerank": q_pagerank,
+        "hits": q_hits,
+        "sessions": q_sessions,
+        "retention": q_retention,
+        "rolling_rate": q_rolling_rate,
+        "asof_crawl": q_asof_crawl,
+        "funnel": q_funnel,
+        "dsir": q_dsir,
+        "dsir_select": q_dsir_select,
+        "hex_domains": q_hex_domains,
+        "crawl_delta": q_crawl_delta,
+        "dup_groups": q_dup_groups,
+        "stream_dedup": q_stream_dedup,
+        "stream_neardup": q_stream_neardup,
+        "stream_hex": q_stream_hex,
+        "ann_lsh": q_ann_lsh,
+        "buffdissexp_blobs": q_buffdissexp_blobs,
+        # --- (b) engine code touched by the round-5 lake fixes ---
+        "lake_merge": q_lake_merge,
+        "lake_optimize": q_lake_optimize,
+        "snapshot_travel": q_snapshot_travel,
+        "stream_lake": q_stream_lake,
+        # --- (c) de-circularized oracles ---
+        "hex_index": q_hex_index,
+        "hex_density": q_hex_density,
+        "hex_smooth": q_hex_smooth,
+        "distinct_sketch": q_distinct_sketch,
+        "quality_filter": q_quality_filter,
+        # --- (d) round-3 tail ---
+        "dedup_incr": q_dedup_incr,
+        "ann_topk": q_ann_topk,
+        "zonal": q_zonal,
+        "pip_within_distance": q_pip_within_distance,
+        "knn_cellwise": q_knn_cellwise,
+        "pip_join_compact": q_pip_join_compact,
+        "salted_stats": q_salted_stats,
+        "rasterize_cells": q_rasterize_cells,
+        "gradient_cells": q_gradient_cells,
+        # --- previously driver-checked blocks (r4 then r3 order) ---
         "image_phash": q_image_phash,
         "image_neardup": q_image_neardup,
         "image_dup_groups": q_image_dup_groups,
         "doc_chunks": q_doc_chunks,
-        "lake_merge": q_lake_merge,
-        "stream_lake": q_stream_lake,
         "communities": q_communities,
         "quality_clf": q_quality_clf,
         "ann_filtered": q_ann_filtered,
@@ -2776,10 +2917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mp4_stats": q_mp4_stats,
         "lisa_hotspots": q_lisa,
         "morans_i": q_morans_i,
-        "lake_optimize": q_lake_optimize,
-        "audio_stats": q_audio_stats,
         "ann_lsh_quant": q_ann_lsh_quant,
-        "snapshot_travel": q_snapshot_travel,
         "bpe_merges": q_bpe_merges,
         "bpe_tokens": q_bpe_tokens,
         "cosine_pairs": q_cosine_pairs,
@@ -2789,49 +2927,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "service_area": q_service_area,
         "network_components": q_network_components,
         "component_size": q_component_size,
-        # --- (b) round-3 tail the driver cap never reached ---
-        "dedup_incr": q_dedup_incr,
-        "distinct_sketch": q_distinct_sketch,
-        "freq_sketch": q_freq_sketch,
-        "pmi_top": q_pmi_top,
-        "corpus_mix": q_corpus_mix,
-        "unigram_nll": q_unigram_nll,
-        "bigram_nll": q_bigram_nll,
-        "nll_buckets": q_nll_buckets,
-        "pagerank": q_pagerank,
-        "hits": q_hits,
-        "sessions": q_sessions,
-        "retention": q_retention,
-        "rolling_rate": q_rolling_rate,
-        "asof_crawl": q_asof_crawl,
-        "funnel": q_funnel,
-        "dsir": q_dsir,
-        "dsir_select": q_dsir_select,
-        "hex_domains": q_hex_domains,
-        "crawl_delta": q_crawl_delta,
-        "ann_topk": q_ann_topk,
-        "ann_lsh": q_ann_lsh,
-        "dup_groups": q_dup_groups,
-        "stream_dedup": q_stream_dedup,
-        "stream_neardup": q_stream_neardup,
-        "stream_hex": q_stream_hex,
-        "zonal": q_zonal,
-        "pip_within_distance": q_pip_within_distance,
-        "knn_cellwise": q_knn_cellwise,
-        "pip_join_compact": q_pip_join_compact,
-        "salted_stats": q_salted_stats,
-        "rasterize_cells": q_rasterize_cells,
-        "gradient_cells": q_gradient_cells,
-        # --- round-3 driver-checked block (CORRECTNESS_r03.json) ---
         "pip_join": q_pip_join,
         "pip_count_by_muni": q_pip_count_by_muni,
         "grid_id": q_grid_id,
         "areal_ssb": q_areal_ssb,
         "cell_index": q_cell_index,
         "cell_pyramid": q_cell_pyramid,
-        "hex_index": q_hex_index,
-        "hex_density": q_hex_density,
-        "hex_smooth": q_hex_smooth,
         "knn": q_knn,
         "knn_haversine": q_knn_haversine,
         "sfilter": q_sfilter,
@@ -2840,7 +2941,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "box_overlay_pairs": q_box_overlay_pairs,
         "box_overlay_area": q_box_overlay_area,
         "page_clusters": q_page_clusters,
-        "buffdissexp_blobs": q_buffdissexp_blobs,
         "text_extract": q_text_extract,
         "geocode_pip": q_geocode_pip,
         "tiled_pip": q_tiled_pip,
@@ -2860,7 +2960,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rep_stats": q_rep_stats,
         "url_stats": q_url_stats,
         "domain_topk": q_domain_topk,
-        "quality_filter": q_quality_filter,
         "seq_pack": q_seq_pack,
         "sample_frac": q_sample_frac,
         "sample_strat": q_sample_strat,
@@ -3128,7 +3227,6 @@ def oracle_sql() -> dict[str, str]:
         minhash_dup_groups_sql,
     )
     from ssb_sgis_spark.operators.search import bm25_topk_sql
-    from ssb_sgis_spark.operators.sketch import cms_sketch_sql, hll_sketch_sql
     from ssb_sgis_spark.operators.stats import exact_quantiles_sql
     from ssb_sgis_spark.operators.pipeline import corpus_pipeline_sql
     from ssb_sgis_spark.operators.bpe import bpe_merges_sql
@@ -3417,35 +3515,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM pyr
         """,
         "hex_index": f"""
-            WITH pages AS ({pages})
-            SELECT uid,
-                   {hex_qr_sql('x', 'y', HEX_SIZE)[0]} AS hex_q,
-                   {hex_qr_sql('x', 'y', HEX_SIZE)[1]} AS hex_r
-            FROM pages
+            WITH pages AS ({pages}),
+            {_hex_binned_independent_cte(HEX_SIZE)}
+            SELECT uid, hex_q, hex_r FROM hexed
         """,
         "hex_density": f"""
             WITH pages AS ({pages}),
-            binned AS (
-              SELECT {hex_qr_sql('x', 'y', HEX_SIZE)[0]} AS hex_q,
-                     {hex_qr_sql('x', 'y', HEX_SIZE)[1]} AS hex_r
-              FROM pages
-            )
-            SELECT hex_q, hex_r, count(*) AS n FROM binned GROUP BY 1, 2
+            {_hex_binned_independent_cte(HEX_SIZE)}
+            SELECT hex_q, hex_r, count(*) AS n FROM hexed GROUP BY 1, 2
         """,
         "hex_smooth": f"""
             WITH pages AS ({pages}),
+            {_hex_binned_independent_cte(HEX_SIZE)},
             dens AS (
-              SELECT {hex_qr_sql('x', 'y', HEX_SIZE)[0]} AS hex_q,
-                     {hex_qr_sql('x', 'y', HEX_SIZE)[1]} AS hex_r,
-                     count(*) AS n
-              FROM pages GROUP BY 1, 2
+              SELECT hex_q, hex_r, count(*) AS n FROM hexed GROUP BY 1, 2
             ),
-            offs(dq, dr) AS (
+            disk(dq, dr) AS (
               VALUES (0, 0), (1, 0), (-1, 0), (1, -1), (-1, 1), (0, -1), (0, 1)
             )
             SELECT d.hex_q + o.dq AS hex_q, d.hex_r + o.dr AS hex_r,
                    CAST(sum(d.n) AS BIGINT) AS n_disk
-            FROM dens d CROSS JOIN offs o
+            FROM dens d CROSS JOIN disk o
             GROUP BY 1, 2
         """,
         "lake_optimize": f"""
@@ -3685,11 +3775,11 @@ def oracle_sql() -> dict[str, str]:
         "funnel": _funnel_oracle(),
         "dsir_select": _dsir_select_oracle(),
         "hex_domains": f"""
-            WITH pages AS ({pages})
-            SELECT {hex_qr_sql('x', 'y', HEX_SIZE)[0]} AS hex_q,
-                   {hex_qr_sql('x', 'y', HEX_SIZE)[1]} AS hex_r,
+            WITH pages AS ({pages}),
+            {_hex_binned_independent_cte(HEX_SIZE)}
+            SELECT hex_q, hex_r,
                    CAST(count(DISTINCT uid % 1000) AS BIGINT) AS n_sites
-            FROM pages GROUP BY 1, 2
+            FROM hexed GROUP BY 1, 2
         """,
         "crawl_delta": crawl_delta_sql(
             f"(WITH pages AS ({pages}) SELECT url, uid*31+1 AS content"
@@ -3748,11 +3838,11 @@ def oracle_sql() -> dict[str, str]:
             k=BM25_K,
         ),
         "quantiles": exact_quantiles_sql("documents", "n_chars"),
-        "distinct_sketch": hll_sketch_sql(
+        "distinct_sketch": _hll_oracle_independent(
             f"({docs_with_dups_sql()})", "text"
         ),
-        "freq_sketch": cms_sketch_sql(
-            "documents", "source", weight_col="n_chars"
+        "freq_sketch": _cms_oracle_independent(
+            "documents", "r.source", "r.n_chars"
         ),
         "pmi_top": pmi_collocations_sql("documents"),
         "dedup_incr": dedup_against_sql(
@@ -3829,17 +3919,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "stream_hex": f"""
             WITH pages AS ({pages}),
-            t AS (
-              SELECT uid, x, y,
-                     CAST(epoch(TIMESTAMP '2024-01-01 00:00:00'
-                                + uid * INTERVAL '1 second') AS BIGINT) AS es
-              FROM pages
-            )
-            SELECT CAST((es // 3600) * 3600 AS BIGINT) AS win_start_s,
-                   {hex_qr_sql('x', 'y', HEX_SIZE)[0]} AS hex_q,
-                   {hex_qr_sql('x', 'y', HEX_SIZE)[1]} AS hex_r,
-                   count(*) AS n_pages
-            FROM t GROUP BY 1, 2, 3
+            {_hex_binned_independent_cte(HEX_SIZE)}
+            SELECT (CAST(epoch(TIMESTAMP '2024-01-01 00:00:00'
+                               + uid * INTERVAL '1 second') AS BIGINT)
+                    // 3600) * 3600 AS win_start_s,
+                   hex_q, hex_r, count(*) AS n_pages
+            FROM hexed GROUP BY 1, 2, 3
         """,
         "od_cost": f"""
             WITH o AS ({origins_sql(OD_ORIGIN_MOD, 'origin')}),
