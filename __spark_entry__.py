@@ -451,6 +451,42 @@ def _reproject_oracle() -> str:
     """
 
 
+def q_reproject_laea(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ETRS89-LAEA (EPSG:3035) reprojection — the pan-European equal-area
+    statistical grid, the one projected-CRS family the registry still
+    refused in round 4 (reference reaches it via pyproj,
+    general.py:28-77).  Snyder LAEA numpy kernel (kernels/proj.py,
+    forward matches the EPSG Guidance Note 7-2 worked example to
+    sub-mm) in one Arrow-batched map-only pass; whole-metre rounding
+    keeps the value hash clear of the ~1e-8 m SQL-mirror drift."""
+    from ssb_sgis_spark.operators.conversion import transform_coords
+
+    ll = pages_df(spark, sf_dir).select(
+        "uid",
+        F.expr(_REPROJ_LON).alias("lon"),
+        F.expr(_REPROJ_LAT).alias("lat"),
+    )
+    out = transform_coords(ll, 4326, 3035, "lon", "lat", "e35", "n35")
+    m = lambda c: F.expr(f"CAST(round({c}, 0) AS BIGINT)").alias(f"{c}_m")
+    return out.select("uid", m("e35"), m("n35"))
+
+
+def _reproject_laea_oracle() -> str:
+    from ssb_sgis_spark.kernels import proj
+
+    e35, n35 = proj.laea_forward_sql("lon", "lat")
+    return f"""
+        WITH pages AS ({pages_sql()}),
+        ll AS (
+          SELECT uid, {_REPROJ_LON} AS lon, {_REPROJ_LAT} AS lat FROM pages
+        )
+        SELECT uid,
+               CAST(round(({e35}), 0) AS BIGINT) AS e35_m,
+               CAST(round(({n35}), 0) AS BIGINT) AS n35_m
+        FROM ll
+    """
+
+
 def q_cell_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quadtree Morton cell assignment (the engine's H3/S2-equivalent
     partition key) at res 13 — SURVEY §2.9 tiling layer."""
@@ -2860,6 +2896,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_hex": q_stream_hex,
         "ann_lsh": q_ann_lsh,
         "buffdissexp_blobs": q_buffdissexp_blobs,
+        # --- round-5 additions ---
+        "reproject_laea": q_reproject_laea,
         # --- (b) engine code touched by the round-5 lake fixes ---
         "lake_merge": q_lake_merge,
         "lake_optimize": q_lake_optimize,
@@ -3266,6 +3304,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT muni_id, count(*) AS n_pages FROM hits GROUP BY muni_id"
         ),
         "reproject": _reproject_oracle(),
+        "reproject_laea": _reproject_laea_oracle(),
         "warc_roundtrip": f"""
             WITH pages AS ({pages})
             SELECT url,

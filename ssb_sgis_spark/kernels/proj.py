@@ -205,3 +205,141 @@ def webmercator_forward_sql(lon: str, lat: str) -> tuple[str, str]:
         f"({_R_MERC!r} * radians({lon}))",
         f"({_R_MERC!r} * ln(tan({np.pi / 4.0!r} + radians({lat}) / 2)))",
     )
+
+
+# ------------------------------------------- Lambert azimuthal equal-area
+# ETRS89-LAEA (EPSG:3035) — the pan-European statistical grid CRS the
+# reference reaches through pyproj (general.py:28-77 accepts any CRS);
+# this closes the last projected-CRS family a European-grid user needs.
+# Ellipsoidal LAEA per Snyder, "Map Projections — A Working Manual",
+# USGS PP 1395, pp. 187-190 (eqs. 3-11..3-12, 24-2..24-27): authalic
+# latitude beta, radius Rq = a*sqrt(qp/2), oblique-aspect B/D scaling.
+_LAEA_LAT0, _LAEA_LON0 = 52.0, 10.0
+_LAEA_X0, _LAEA_Y0 = 4_321_000.0, 3_210_000.0
+
+
+def _authalic_q(sinphi):
+    """Snyder eq. 3-12."""
+    es = _E * sinphi
+    return (1.0 - _E2) * (
+        sinphi / (1.0 - _E2 * sinphi * sinphi)
+        - (1.0 / (2.0 * _E)) * np.log((1.0 - es) / (1.0 + es))
+    )
+
+
+_QP = _authalic_q(1.0)  # q at the pole
+_RQ = _A * np.sqrt(_QP / 2.0)
+
+
+def _laea_consts(lat0: float):
+    phi1 = np.radians(lat0)
+    s1 = np.sin(phi1)
+    beta1 = np.arcsin(_authalic_q(s1) / _QP)
+    m1 = np.cos(phi1) / np.sqrt(1.0 - _E2 * s1 * s1)
+    d = _A * m1 / (_RQ * np.cos(beta1))
+    return beta1, d
+
+
+def lonlat_to_laea(
+    lon,
+    lat,
+    lat0: float = _LAEA_LAT0,
+    lon0: float = _LAEA_LON0,
+    x0: float = _LAEA_X0,
+    y0: float = _LAEA_Y0,
+):
+    """(lon°, lat°) -> LAEA (easting, northing), vectorized (Snyder
+    24-2..24-24; defaults are EPSG:3035)."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    beta1, d = _laea_consts(lat0)
+    lam = np.radians(lon - lon0)
+    beta = np.arcsin(np.clip(_authalic_q(np.sin(np.radians(lat))) / _QP, -1.0, 1.0))
+    b = _RQ * np.sqrt(
+        2.0
+        / (
+            1.0
+            + np.sin(beta1) * np.sin(beta)
+            + np.cos(beta1) * np.cos(beta) * np.cos(lam)
+        )
+    )
+    x = x0 + b * d * np.cos(beta) * np.sin(lam)
+    y = y0 + (b / d) * (
+        np.cos(beta1) * np.sin(beta) - np.sin(beta1) * np.cos(beta) * np.cos(lam)
+    )
+    return x, y
+
+
+def laea_to_lonlat(
+    e,
+    n,
+    lat0: float = _LAEA_LAT0,
+    lon0: float = _LAEA_LON0,
+    x0: float = _LAEA_X0,
+    y0: float = _LAEA_Y0,
+):
+    """LAEA (easting, northing) -> (lon°, lat°), vectorized (Snyder
+    24-26..24-27 + the 3-16 authalic-to-geodetic iteration)."""
+    e = np.asarray(e, dtype=np.float64)
+    n = np.asarray(n, dtype=np.float64)
+    beta1, d = _laea_consts(lat0)
+    xp = (e - x0) / d
+    yp = (n - y0) * d
+    rho = np.sqrt(xp * xp + yp * yp)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ce = 2.0 * np.arcsin(np.clip(rho / (2.0 * _RQ), -1.0, 1.0))
+        q = _QP * (
+            np.cos(ce) * np.sin(beta1)
+            + yp * np.sin(ce) * np.cos(beta1) / np.where(rho == 0.0, 1.0, rho)
+        )
+        lam = np.arctan2(
+            xp * np.sin(ce),
+            rho * np.cos(beta1) * np.cos(ce) - yp * np.sin(beta1) * np.sin(ce),
+        )
+    q = np.where(rho == 0.0, _QP * np.sin(beta1), q)
+    lam = np.where(rho == 0.0, 0.0, lam)
+    # Snyder 3-16: iterate geodetic latitude from authalic q
+    phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+    for _ in range(6):
+        s = np.sin(phi)
+        es = _E * s
+        one = 1.0 - _E2 * s * s
+        phi = phi + (one * one / (2.0 * np.cos(phi))) * (
+            q / (1.0 - _E2)
+            - s / one
+            + (1.0 / (2.0 * _E)) * np.log((1.0 - es) / (1.0 + es))
+        )
+    return lon0 + np.degrees(lam), np.degrees(phi)
+
+
+def laea_forward_sql(
+    lon: str,
+    lat: str,
+    lat0: float = _LAEA_LAT0,
+    lon0: float = _LAEA_LON0,
+    x0: float = _LAEA_X0,
+    y0: float = _LAEA_Y0,
+) -> tuple[str, str]:
+    """(easting_sql, northing_sql) DuckDB mirror of
+    :func:`lonlat_to_laea` — same Snyder formulation, scalar constants
+    precomputed in numpy and emitted as literals."""
+    beta1, d = _laea_consts(lat0)
+    sb1, cb1 = float(np.sin(beta1)), float(np.cos(beta1))
+    lam = f"radians(({lon}) - {lon0!r})"
+    s = f"sin(radians({lat}))"
+    q = (
+        f"({1.0 - _E2!r} * ({s} / (1 - {_E2!r} * {s} * {s})"
+        f" - {1.0 / (2.0 * _E)!r} *"
+        f" ln((1 - {_E!r} * {s}) / (1 + {_E!r} * {s}))))"
+    )
+    beta = f"asin(({q}) / {_QP!r})"
+    b = (
+        f"({_RQ!r} * sqrt(2 / (1 + {sb1!r} * sin({beta})"
+        f" + {cb1!r} * cos({beta}) * cos({lam}))))"
+    )
+    x = f"({x0!r} + {b} * {d!r} * cos({beta}) * sin({lam}))"
+    y = (
+        f"({y0!r} + ({b} / {d!r}) * ({cb1!r} * sin({beta})"
+        f" - {sb1!r} * cos({beta}) * cos({lam})))"
+    )
+    return x, y

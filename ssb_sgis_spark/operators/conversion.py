@@ -142,6 +142,10 @@ def _identity2(a, b):
 CRS_REGISTRY: dict[int, tuple] = {
     4326: (_identity2, _identity2),
     3857: (proj.lonlat_to_webmercator, proj.webmercator_to_lonlat),
+    # ETRS89-LAEA — the pan-European statistical grid (kernels/proj.py
+    # Snyder LAEA; forward matches the EPSG Guidance Note 7-2 test
+    # point to sub-mm)
+    3035: (proj.lonlat_to_laea, proj.laea_to_lonlat),
 }
 for _zone in (32, 33, 34, 35):
     CRS_REGISTRY[25800 + _zone] = (
@@ -159,6 +163,18 @@ def register_utm_crs(epsg: int, zone: int) -> None:
     )
 
 
+def register_laea_crs(
+    epsg: int, lat0: float, lon0: float, x0: float, y0: float
+) -> None:
+    """Register another Lambert-azimuthal-equal-area CRS (the Snyder
+    kernel is fully parameterized; 3035 ships pre-registered)."""
+    p = (float(lat0), float(lon0), float(x0), float(y0))
+    CRS_REGISTRY[int(epsg)] = (
+        (lambda lon, lat, _p=p: proj.lonlat_to_laea(lon, lat, *_p)),
+        (lambda e, n, _p=p: proj.laea_to_lonlat(e, n, *_p)),
+    )
+
+
 def _crs_fns(crs: int) -> tuple:
     try:
         return CRS_REGISTRY[int(crs)]
@@ -166,7 +182,8 @@ def _crs_fns(crs: int) -> tuple:
         raise NotImplementedError(
             f"EPSG:{crs} is not registered; supported: "
             f"{sorted(CRS_REGISTRY)} (use register_utm_crs for other "
-            "transverse-Mercator zones)"
+            "transverse-Mercator zones, register_laea_crs for other "
+            "equal-area grids)"
         ) from None
 
 

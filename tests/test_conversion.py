@@ -313,3 +313,98 @@ def test_tm_forward_sql_mirror_tracks_kernel():
     x, y = proj.lonlat_to_webmercator(lon, lat)
     assert np.abs(got["x"] - x).max() < 1e-7
     assert np.abs(got["y"] - y).max() < 1e-7
+
+
+# ---------------------------------------------------------------------------
+# LAEA (round 5): ETRS89-LAEA EPSG:3035 — the pan-European equal-area
+# grid (reference reaches it through pyproj, general.py:28-77).
+# ---------------------------------------------------------------------------
+
+
+def test_laea_epsg_guidance_note_test_point():
+    """Absolute anchor: the worked example in EPSG/IOGP Guidance Note
+    7-2 for ETRS89-LAEA — 50N 5E -> E 3962799.45, N 2999718.85."""
+    e, n = proj.lonlat_to_laea(5.0, 50.0)
+    assert abs(e - 3_962_799.45) < 0.01
+    assert abs(n - 2_999_718.85) < 0.01
+    # projection centre maps exactly to the false origin
+    assert proj.lonlat_to_laea(10.0, 52.0) == (4_321_000.0, 3_210_000.0)
+
+
+def test_laea_roundtrip_ulp_level():
+    rng = np.random.default_rng(35)
+    lon = rng.uniform(-10.0, 35.0, 1000)   # pan-European extent
+    lat = rng.uniform(34.0, 72.0, 1000)
+    e, n = proj.lonlat_to_laea(lon, lat)
+    lon2, lat2 = proj.laea_to_lonlat(e, n)
+    assert np.abs(lon2 - lon).max() < 1e-9
+    assert np.abs(lat2 - lat).max() < 1e-9
+
+
+def test_laea_is_equal_area():
+    """The defining property, checked independently of any formula: the
+    finite-difference Jacobian determinant must equal the ellipsoidal
+    area element a^2 (1-e^2) cos(phi) / (1 - e^2 sin^2 phi)^2 per
+    square radian — areal scale 1 everywhere."""
+    a, f = 6378137.0, 1.0 / 298.257222101
+    e2 = f * (2.0 - f)
+    h = 1e-5
+    for lon, lat in [(5.0, 40.0), (10.0, 52.0), (25.0, 65.0), (-8.0, 37.0)]:
+        x0, y0 = proj.lonlat_to_laea(lon, lat)
+        xl, yl = proj.lonlat_to_laea(lon + h, lat)
+        xp, yp = proj.lonlat_to_laea(lon, lat + h)
+        det = abs((xl - x0) * (yp - y0) - (xp - x0) * (yl - y0))
+        hr = np.radians(h)
+        s = np.sin(np.radians(lat))
+        truth = (
+            a * a * (1.0 - e2) * np.cos(np.radians(lat))
+            / (1.0 - e2 * s * s) ** 2 * hr * hr
+        )
+        assert abs(det / truth - 1.0) < 1e-4
+
+
+def test_laea_registry_and_spark_path(spark):
+    lon = [5.0, 10.0, 25.3, -3.7]
+    lat = [50.0, 52.0, 61.2, 40.1]
+    df = spark.createDataFrame(list(zip(lon, lat)), "lon double, lat double")
+    out = transform_coords(df, 4326, 3035, "lon", "lat", "e", "n")
+    rows = out.orderBy("lon").collect()
+    order = np.argsort(lon)
+    e, n = proj.lonlat_to_laea(np.array(lon)[order], np.array(lat)[order])
+    # Arrow batch path bit-identical to the driver kernel
+    assert np.array_equal(np.array([r.e for r in rows]), e)
+    assert np.array_equal(np.array([r.n for r in rows]), n)
+    back = transform_coords(out, 3035, 4326, "e", "n", "lon2", "lat2")
+    b = back.orderBy("lon").collect()
+    assert np.abs(np.array([r.lon2 for r in b]) - np.array(lon)[order]).max() < 1e-9
+
+
+def test_register_laea_crs_custom_grid():
+    from ssb_sgis_spark.operators.conversion import (
+        CRS_REGISTRY,
+        register_laea_crs,
+        transform_coords_np,
+    )
+
+    register_laea_crs(990035, lat0=45.0, lon0=0.0, x0=0.0, y0=0.0)
+    try:
+        e, n = transform_coords_np(np.array([0.0]), np.array([45.0]), 4326, 990035)
+        assert abs(e[0]) < 1e-9 and abs(n[0]) < 1e-9
+        lon, lat = transform_coords_np(e, n, 990035, 4326)
+        assert abs(lon[0]) < 1e-9 and abs(lat[0] - 45.0) < 1e-9
+    finally:
+        CRS_REGISTRY.pop(990035, None)
+
+
+def test_laea_duckdb_mirror_tracks_kernel():
+    ex, ny = proj.laea_forward_sql("lon", "lat")
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT {ex} AS e, {ny} AS n FROM (VALUES (5.0, 50.0), (25.3, 61.2),"
+        " (-8.0, 37.0)) t(lon, lat)"
+    ).fetchall()
+    e, n = proj.lonlat_to_laea(
+        np.array([5.0, 25.3, -8.0]), np.array([50.0, 61.2, 37.0])
+    )
+    for i, (ge, gn) in enumerate(got):
+        assert abs(ge - e[i]) < 1e-6 and abs(gn - n[i]) < 1e-6

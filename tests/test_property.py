@@ -285,3 +285,16 @@ def test_simplify_is_subsequence_within_tolerance(line, tol4):
     for s, e in zip(kept_idx[:-1], kept_idx[1:]):
         for m in range(s + 1, e):
             assert _line_dist(line[m], line[s], line[e]) <= tol + 1e-9
+
+
+@given(
+    st.floats(min_value=-10.0, max_value=35.0, allow_nan=False),
+    st.floats(min_value=34.0, max_value=72.0, allow_nan=False),
+)
+@settings(max_examples=300, deadline=None)
+def test_laea_roundtrip_everywhere_in_europe(lon, lat):
+    """EPSG:3035 bijectivity over the pan-European extent (round 5)."""
+    e, n = proj.lonlat_to_laea(np.array([lon]), np.array([lat]))
+    lon2, lat2 = proj.laea_to_lonlat(e, n)
+    assert abs(lon2[0] - lon) < 1e-9
+    assert abs(lat2[0] - lat) < 1e-9
