@@ -311,6 +311,7 @@ def test_christofides_structure_kernels():
     import numpy as np
 
     from ssb_sgis_spark.operators.tsp import (
+        _blossom_matching,
         _christofides_tour,
         _greedy_matching,
         _prim_mst,
@@ -330,8 +331,13 @@ def test_christofides_structure_kernels():
         deg[b] += 1
     odd = [int(v) for v in np.where(deg % 2 == 1)[0]]
     assert len(odd) % 2 == 0  # handshake lemma
-    match = _greedy_matching(odd, d)
+    match = _blossom_matching(odd, d)
     assert sorted(v for pair in match for v in pair) == sorted(odd)  # perfect
+    # exact matching is never heavier than the old greedy one (round 5)
+    greedy = _greedy_matching(odd, d)
+    w_exact = sum(d[a, b] for a, b in match)
+    w_greedy = sum(d[a, b] for a, b in greedy)
+    assert w_exact <= w_greedy + 1e-9
 
     tour = _christofides_tour(d)
     assert sorted(tour) == list(range(len(pts)))  # hamiltonian
