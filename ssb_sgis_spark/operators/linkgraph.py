@@ -90,6 +90,7 @@ def pagerank(
     edges: DataFrame,
     id_col: str = "doc_id",
     n_iter: int = 5,
+    checkpoint_every: int = 8,
 ) -> DataFrame:
     """Fixed-point integer PageRank: ``(id_col, rank_micro)`` after
     ``n_iter`` exact rounds (see module docstring for the arithmetic).
@@ -97,6 +98,12 @@ def pagerank(
     ``nodes`` is one row per vertex; ``edges`` has columns (src, dst).
     Vertices without in-links settle at the teleport mass; vertices
     without out-links simply leak their mass (deterministic, mirrored).
+
+    Rounds chain LAZILY (the whole fixed-round run is one Spark job),
+    matching :func:`label_propagation`'s loop hygiene: per-round eager
+    checkpoints made fixed per-job overhead dominate (measured 102 s
+    for 5 rounds on a 2.56M-node graph at local[32] vs ~15 s lazy);
+    ``checkpoint_every`` bounds plan depth for deep runs.
     """
     # out-degree folded onto the edge list ONCE; the per-round join then
     # carries (src, dst, outdeg) and never recomputes degrees
@@ -105,8 +112,10 @@ def pagerank(
 
     verts = nodes.select(F.col(id_col).alias("v")).localCheckpoint(eager=True)
     ranks = verts.select("v", F.lit(R0_MICRO).cast("long").alias("r"))
-    for _ in range(n_iter):
-        ranks = pagerank_round(edges_d, verts, ranks).localCheckpoint(eager=True)
+    for i in range(n_iter):
+        ranks = pagerank_round(edges_d, verts, ranks)
+        if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(F.col("v").alias(id_col), F.col("r").alias("rank_micro"))
 
 
