@@ -2173,6 +2173,20 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(docs, link_edges(docs, n=n), n_iter=PAGERANK_ITERS)
 
 
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts over the law citation graph (the
+    clustering / link-farm density signal): simple-graph dedup, DEGREE-
+    ORDERED edge orientation (wedge work bounded O(m^1.5) regardless of
+    hub skew — the Suri-Vassilvitskii discipline), one wedge self-join +
+    one pair equi-join closure, 3-way scatter into a combinable count.
+    Oracle: INDEPENDENT id-ordered brute 3-way join (no orientation)."""
+    from ssb_sgis_spark.operators.linkgraph import link_edges, triangle_counts
+
+    docs = docs_df(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    return triangle_counts(docs, link_edges(docs, n=n))
+
+
 CLF_ITERS = 3
 
 
@@ -2898,6 +2912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "buffdissexp_blobs": q_buffdissexp_blobs,
         # --- round-5 additions ---
         "reproject_laea": q_reproject_laea,
+        "triangles": q_triangles,
         # --- (b) engine code touched by the round-5 lake fixes ---
         "lake_merge": q_lake_merge,
         "lake_optimize": q_lake_optimize,
@@ -3275,6 +3290,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from ssb_sgis_spark.operators.linkgraph import link_edges_sql, pagerank_sql
     from ssb_sgis_spark.operators.linkgraph import label_propagation_sql as _lpa_sql
+    from ssb_sgis_spark.operators.linkgraph import triangle_counts_sql
     from ssb_sgis_spark.operators.sessions import (
         cohort_retention_sql,
         session_stats_sql,
@@ -3826,6 +3842,9 @@ def oracle_sql() -> dict[str, str]:
             f"(WITH pages AS ({pages}) SELECT url, uid*31 +"
             " (CASE WHEN uid % 3 = 0 THEN 2 ELSE 1 END) AS content"
             " FROM pages WHERE uid % 7 <> 0)",
+        ),
+        "triangles": triangle_counts_sql(
+            "documents", n="(SELECT count(*) FROM documents)"
         ),
         "pagerank": pagerank_sql(
             "documents",

@@ -111,6 +111,10 @@ def events_parquet_path(scale: int) -> str:
     return f"/tmp/ssb_sgis_scaled_events_x{scale}.parquet"
 
 
+def graph_parquet_path(scale: int) -> str:
+    return f"/tmp/ssb_sgis_scaled_graph_x{scale}.parquet"
+
+
 def _pin(cpus: int) -> list[str]:
     return ["taskset", "-c", f"0-{min(cpus, NCPU) - 1}"]
 
@@ -190,6 +194,33 @@ print("rows", spark.read.parquet({events_parquet!r}).count())
     subprocess.run([sys.executable, "-c", code], check=True, timeout=1200)
 
 
+def materialize_graph(scale: int) -> None:
+    """Scaled VERTEX table for the iterative-join (graph) profile: the
+    sf0.1 doc ids replicated scale× (dense 0..n·scale-1, so the
+    closed-form citation law yields a connected scale× graph with
+    ~2.5·n·scale edges).  Only doc_id is kept — pagerank/LPA never read
+    text, and a slim vertex parquet keeps materialization O(n) bytes."""
+    graph_parquet = graph_parquet_path(scale)
+    if os.path.isdir(graph_parquet):
+        return
+    code = f"""
+import sys; sys.path.insert(0, {REPO!r})
+from pyspark.sql import SparkSession, functions as F
+spark = (SparkSession.builder.master("local[32]")
+  .config("spark.driver.memory", "8g")
+  .config("spark.ui.enabled","false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+df = (spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id").repartition(64))
+out = (df.withColumn("_k", F.explode(F.sequence(F.lit(0), F.lit({scale} - 1))))
+  .withColumn("doc_id", F.col("doc_id") * {scale} + F.col("_k"))
+  .drop("_k"))
+out.write.mode("overwrite").parquet({graph_parquet!r})
+print("rows", spark.read.parquet({graph_parquet!r}).count())
+"""
+    subprocess.run([sys.executable, "-c", code], check=True, timeout=1200)
+
+
 def run_level(cpus: int, queries: str, scale: int, kind: str = "pages") -> dict:
     # heap scales WITH the level (1.5 GB/core): a real N -> 4N executor
     # comparison holds memory-per-core constant — each executor ships
@@ -201,7 +232,13 @@ def run_level(cpus: int, queries: str, scale: int, kind: str = "pages") -> dict:
     mem = os.environ.get(
         "SPARK_GRAFT_DRIVER_MEM", f"{max(3, (cpus * 3) // 2)}g"
     )
-    if kind == "docs":
+    if kind == "graph":
+        # the graph profile reroutes docs_df to the slim vertex parquet
+        # (pagerank/LPA select doc_id only); SPARK_GRAFT_SCALE pinned to
+        # 1 for the same reason as the docs kind
+        table_env = {"SPARK_GRAFT_DOCS_PARQUET": graph_parquet_path(scale),
+                     "SPARK_GRAFT_SCALE": "1"}
+    elif kind == "docs":
         # SPARK_GRAFT_SCALE pinned to 1: an inherited value would trigger
         # bench.py's on-the-fly page-scaling path (pages_parquet unset in
         # docs runs) and synthesize a huge page table before every session
@@ -274,11 +311,14 @@ print(json.dumps({"cpus": cpus, "min": round(min(times), 2)}))
 
 
 EVENTS_QUERIES = {"sessions", "retention"}
+GRAPH_QUERIES = {"pagerank", "communities", "hits"}
 
 
 def _kind(q: str) -> str:
     if q in EVENTS_QUERIES:
         return "events"
+    if q in GRAPH_QUERIES:
+        return "graph"
     return "docs" if q in DOC_QUERIES else "pages"
 
 
@@ -295,6 +335,7 @@ def main() -> None:
     _check_scales()
     for q, sc in QUERY_SCALES:
         {"docs": materialize_docs, "events": materialize_events,
+         "graph": materialize_graph,
          "pages": materialize_pages}[_kind(q)](sc)
     probe = run_capacity_probe() if os.environ.get("SPARK_GRAFT_PROBE", "1") == "1" else {}
     print(f"host capacity probe (pure-codegen arithmetic): {probe}", flush=True)
@@ -312,7 +353,7 @@ def main() -> None:
                 r = run_level(c, qnames, sc, kind)
                 merged["queries"].update(r["queries"])
                 for q in qnames.split(","):
-                    if kind == "docs":
+                    if kind in ("docs", "graph"):
                         pages_per_query[q] = r.get("n_docs", r["n_pages"])
                     elif kind == "events":
                         pages_per_query[q] = r.get("n_events", r["n_pages"])
