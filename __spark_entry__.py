@@ -119,7 +119,13 @@ from ssb_sgis_spark.operators.sjoin import (
     sfilter_inverse,
 )
 from ssb_sgis_spark.cells import cell_of_xy_col
-from ssb_sgis_spark.hexcells import hex_bin, hex_density, hex_qr_sql, hex_smooth
+from ssb_sgis_spark.hexcells import (
+    hex_bin,
+    hex_dbscan,
+    hex_density,
+    hex_qr_sql,
+    hex_smooth,
+)
 from ssb_sgis_spark.sources.municipalities import muni_df, muni_edges_sql_values
 from ssb_sgis_spark.sources.pages import pages_df, pages_sql
 from ssb_sgis_spark.sources.events import events_df
@@ -545,6 +551,21 @@ def q_hex_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy re-aggregates — the shuffle carries <= 7 x |occupied hexes|
     rows, never the pages (hexcells.py)."""
     return hex_smooth(pages_df(spark, sf_dir), HEX_SIZE)
+
+
+HEX_DBSCAN_MIN_PTS = 100
+
+
+def q_hex_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-density clustering (the cell-based DBSCAN family) over the
+    page lake: hexes with >= min_pts pages are DENSE, edge-adjacent
+    dense hexes merge via the distributed hash-min CC — deterministic
+    hotspot extraction (urban cores / geo link-farms), no seeds, no
+    epsilon ball probes.  Pages collapse to the hex histogram in one
+    combinable groupBy; everything after is |dense-cells|-sized.
+    Oracle: INDEPENDENT nearest-center hex assignment + recursive-CTE
+    label propagation over an explicit 6-direction adjacency join."""
+    return hex_dbscan(pages_df(spark, sf_dir), HEX_SIZE, HEX_DBSCAN_MIN_PTS)
 
 
 def q_lisa(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2173,6 +2194,41 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(docs, link_edges(docs, n=n), n_iter=PAGERANK_ITERS)
 
 
+HYBRID_K = 5  # fused results per query
+
+
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-10 + exact cosine dense top-5
+    fused by integer reciprocal-rank fusion (RRF, k=60) — the standard
+    RAG two-tower retrieval combiner.  Query set = every ANN query id
+    (vec_id % ANN_QUERY_MOD == 0); its TEXT query is the same doc's
+    text, its VECTOR query the aligned embedding row.  The expensive
+    stages keep their own scale paths (BM25's combinable aggs, the
+    broadcast-query vector scorer); fusion itself only ever touches
+    |queries|*k rows.  All fusion arithmetic is 64-bit integer
+    (1e9-unit reciprocals), so Spark ≡ DuckDB bit for bit."""
+    from ssb_sgis_spark.operators.search import bm25_topk, rrf_fuse
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    docs = docs_df(spark, sf_dir)
+    qids = emb.filter(F.col("vec_id") % ANN_QUERY_MOD == 0)
+    vec_list = cosine_topk(
+        qids.select(F.col("vec_id").alias("qid"), "embedding"),
+        emb,
+        ANN_K,
+        corpus_id="vec_id",
+    ).select(
+        F.col("qid").alias("query_id"), F.col("vid").alias("doc_id"), "rank"
+    )
+    tq = qids.join(docs, qids["vec_id"] == docs["doc_id"]).select(
+        F.col("vec_id").alias("query_id"), F.col("text").alias("qtext")
+    )
+    text_list = bm25_topk(docs, tq, k=BM25_K).select(
+        "query_id", "doc_id", "rank"
+    )
+    return rrf_fuse([text_list, vec_list], out_k=HYBRID_K)
+
+
 def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vertex triangle counts over the law citation graph (the
     clustering / link-farm density signal): simple-graph dedup, DEGREE-
@@ -2913,6 +2969,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-5 additions ---
         "reproject_laea": q_reproject_laea,
         "triangles": q_triangles,
+        "hybrid_search": q_hybrid_search,
+        "hex_dbscan": q_hex_dbscan,
         # --- (b) engine code touched by the round-5 lake fixes ---
         "lake_merge": q_lake_merge,
         "lake_optimize": q_lake_optimize,
@@ -3279,7 +3337,7 @@ def oracle_sql() -> dict[str, str]:
         dedup_spans_sql,
         minhash_dup_groups_sql,
     )
-    from ssb_sgis_spark.operators.search import bm25_topk_sql
+    from ssb_sgis_spark.operators.search import bm25_topk_sql, rrf_fuse_sql
     from ssb_sgis_spark.operators.stats import exact_quantiles_sql
     from ssb_sgis_spark.operators.pipeline import corpus_pipeline_sql
     from ssb_sgis_spark.operators.bpe import bpe_merges_sql
@@ -3579,6 +3637,37 @@ def oracle_sql() -> dict[str, str]:
             {_hex_binned_independent_cte(HEX_SIZE)}
             SELECT hex_q, hex_r, count(*) AS n FROM hexed GROUP BY 1, 2
         """,
+        "hex_dbscan": f"""
+            WITH RECURSIVE pages AS ({pages}),
+            {_hex_binned_independent_cte(HEX_SIZE)},
+            dens AS (
+              SELECT hex_q, hex_r, CAST(count(*) AS BIGINT) AS n
+              FROM hexed GROUP BY hex_q, hex_r
+            ),
+            dense AS (
+              SELECT hex_q, hex_r, n,
+                     (hex_q + {1 << 20}) * {1 << 21} + (hex_r + {1 << 20})
+                         AS cid
+              FROM dens WHERE n >= {HEX_DBSCAN_MIN_PTS}
+            ),
+            e AS (
+              SELECT a.cid AS u, b.cid AS v
+              FROM dense a JOIN dense b
+                ON (b.hex_q = a.hex_q + 1 AND b.hex_r = a.hex_r)
+                OR (b.hex_q = a.hex_q AND b.hex_r = a.hex_r + 1)
+                OR (b.hex_q = a.hex_q + 1 AND b.hex_r = a.hex_r - 1)
+            ),
+            sym AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+            cc(vid, lbl) AS (
+              SELECT cid, cid FROM dense
+              UNION
+              SELECT s.u, c.lbl FROM sym s JOIN cc c ON c.vid = s.v
+            )
+            SELECT d.hex_q, d.hex_r, d.n,
+                   CAST(min(c.lbl) AS BIGINT) AS cluster
+            FROM dense d JOIN cc c ON c.vid = d.cid
+            GROUP BY d.hex_q, d.hex_r, d.n
+        """,
         "hex_smooth": f"""
             WITH pages AS ({pages}),
             {_hex_binned_independent_cte(HEX_SIZE)},
@@ -3845,6 +3934,28 @@ def oracle_sql() -> dict[str, str]:
         ),
         "triangles": triangle_counts_sql(
             "documents", n="(SELECT count(*) FROM documents)"
+        ),
+        "hybrid_search": rrf_fuse_sql(
+            [
+                bm25_topk_sql(
+                    "documents",
+                    "(SELECT e.vec_id AS query_id, d.text AS qtext"
+                    " FROM embeddings e JOIN documents d"
+                    " ON d.doc_id = e.vec_id"
+                    f" WHERE e.vec_id % {ANN_QUERY_MOD} = 0)",
+                    k=BM25_K,
+                ),
+                "SELECT qid AS query_id, vid AS doc_id, rank FROM ("
+                + cosine_topk_sql(
+                    "(SELECT vec_id AS qid, embedding FROM embeddings"
+                    f" WHERE vec_id % {ANN_QUERY_MOD} = 0)",
+                    "embeddings",
+                    ANN_K,
+                    corpus_id="vec_id",
+                )
+                + ")",
+            ],
+            out_k=HYBRID_K,
         ),
         "pagerank": pagerank_sql(
             "documents",

@@ -295,3 +295,95 @@ def tfidf_keywords_sql(
       FROM scored
     ) WHERE kw_rank <= {int(j)}
     """
+
+
+# ------------------------------------------------------- hybrid search (RRF)
+RRF_SCALE = 1_000_000_000  # contribution = RRF_SCALE div (k_rrf + rank)
+
+
+def rrf_fuse(
+    ranked_lists: list[DataFrame],
+    k_rrf: int = 60,
+    out_k: int = 5,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion of per-query ranked lists — the standard
+    hybrid-retrieval combiner (Cormack/Clarke/Buettcher SIGIR'09; the
+    BM25 + dense-vector fusion every RAG stack runs): each list
+    contributes ``RRF_SCALE div (k_rrf + rank)`` per (query, doc), the
+    fused score is the integer sum, output is the per-query top
+    ``out_k`` as ``(query_id, fused_rank, doc_id, rrf_micro)``.
+
+    Every input must have columns (query_id_col, id_col, rank).  The
+    reciprocal is computed in integer 1e9-units so the fusion is
+    bit-exact across engines (no float sums); ties break on doc id.
+
+    Scale shape: the inputs are top-k lists — ``|queries| * k`` rows, a
+    vanishing fraction of the corpora that produced them — so the fusion
+    is one union + one map-side-combinable (query, doc) sum + one
+    per-query window over <= lists*k rows per query.  The expensive
+    parts (BM25 aggregation, vector scoring) stay inside the upstream
+    operators with their own scale paths; fusion adds no corpus-sized
+    shuffle.
+    """
+    from functools import reduce
+
+    parts = [
+        df.select(
+            F.col(query_id_col).alias("_q"),
+            F.col(id_col).alias("_d"),
+            F.expr(f"CAST({RRF_SCALE} div ({int(k_rrf)} + rank) AS BIGINT)").alias(
+                "_c"
+            ),
+        )
+        for df in ranked_lists
+    ]
+    unioned = reduce(lambda a, b: a.unionByName(b), parts)
+    fused = unioned.groupBy("_q", "_d").agg(
+        F.sum("_c").cast("long").alias("rrf_micro")
+    )
+    w = Window.partitionBy("_q").orderBy(
+        F.col("rrf_micro").desc(), F.col("_d").asc()
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("fused_rank") <= int(out_k))
+        .select(
+            F.col("_q").alias(query_id_col),
+            "fused_rank",
+            F.col("_d").alias(id_col),
+            "rrf_micro",
+        )
+    )
+
+
+def rrf_fuse_sql(
+    list_sqls: list[str],
+    k_rrf: int = 60,
+    out_k: int = 5,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB mirror of :func:`rrf_fuse`: each ``list_sqls`` entry must
+    yield (query_id_col, id_col, rank)."""
+    unions = "\n      UNION ALL ".join(
+        f"SELECT {query_id_col} AS q, {id_col} AS d, "
+        f"{RRF_SCALE} // ({int(k_rrf)} + rank) AS c FROM ({s})"
+        for s in list_sqls
+    )
+    return f"""
+    WITH contribs AS (
+      {unions}
+    ),
+    fused AS (
+      SELECT q, d, CAST(sum(c) AS BIGINT) AS rrf_micro
+      FROM contribs GROUP BY q, d
+    )
+    SELECT q AS {query_id_col},
+           CAST(row_number() OVER (
+               PARTITION BY q ORDER BY rrf_micro DESC, d ASC
+           ) AS BIGINT) AS fused_rank,
+           d AS {id_col}, rrf_micro
+    FROM fused QUALIFY fused_rank <= {int(out_k)}
+    """
