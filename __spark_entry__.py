@@ -2229,6 +2229,25 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([text_list, vec_list], out_k=HYBRID_K)
 
 
+TRUST_SEED_MOD = 100  # doc_id % 100 == 0 -> trusted seed (1% of the corpus)
+
+
+def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank (seed-personalized PageRank, Gyöngyi et al. VLDB'04):
+    teleport mass flows only to the 1% trusted-seed set; pages
+    unreachable from any seed settle at exactly 0 — the web-spam
+    demotion signal beside uniform pagerank.  Same lazy-chained
+    integer-exact loop; oracle = unrolled CTEs of the identical rule."""
+    from ssb_sgis_spark.operators.linkgraph import link_edges, pagerank_seeded
+
+    docs = docs_df(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    seeds = docs.filter(F.col("doc_id") % TRUST_SEED_MOD == 0)
+    return pagerank_seeded(
+        docs, link_edges(docs, n=n), seeds, n_iter=PAGERANK_ITERS
+    )
+
+
 def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vertex triangle counts over the law citation graph (the
     clustering / link-farm density signal): simple-graph dedup, DEGREE-
@@ -2971,6 +2990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles": q_triangles,
         "hybrid_search": q_hybrid_search,
         "hex_dbscan": q_hex_dbscan,
+        "trustrank": q_trustrank,
         # --- (b) engine code touched by the round-5 lake fixes ---
         "lake_merge": q_lake_merge,
         "lake_optimize": q_lake_optimize,
@@ -3348,7 +3368,10 @@ def oracle_sql() -> dict[str, str]:
     )
     from ssb_sgis_spark.operators.linkgraph import link_edges_sql, pagerank_sql
     from ssb_sgis_spark.operators.linkgraph import label_propagation_sql as _lpa_sql
-    from ssb_sgis_spark.operators.linkgraph import triangle_counts_sql
+    from ssb_sgis_spark.operators.linkgraph import (
+        pagerank_seeded_sql,
+        triangle_counts_sql,
+    )
     from ssb_sgis_spark.operators.sessions import (
         cohort_retention_sql,
         session_stats_sql,
@@ -3956,6 +3979,12 @@ def oracle_sql() -> dict[str, str]:
                 + ")",
             ],
             out_k=HYBRID_K,
+        ),
+        "trustrank": pagerank_seeded_sql(
+            "documents",
+            f"doc_id % {TRUST_SEED_MOD} = 0",
+            n="(SELECT count(*) FROM documents)",
+            n_iter=PAGERANK_ITERS,
         ),
         "pagerank": pagerank_sql(
             "documents",

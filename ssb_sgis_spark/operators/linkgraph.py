@@ -48,6 +48,8 @@ __all__ = [
     "hits_sql",
     "triangle_counts",
     "triangle_counts_sql",
+    "pagerank_seeded",
+    "pagerank_seeded_sql",
 ]
 
 # closed-form edge constants (Lehmer/Park-Miller multipliers — chosen
@@ -590,3 +592,96 @@ def triangle_counts_sql(rel: str, id_col: str = "doc_id", n: int | str = 0) -> s
            CAST(coalesce(per_v.t, 0) AS BIGINT) AS triangles
     FROM {rel} r LEFT JOIN per_v ON r.{id_col} = per_v.v
     """
+
+
+def pagerank_seeded(
+    nodes: DataFrame,
+    edges: DataFrame,
+    seeds: DataFrame,
+    id_col: str = "doc_id",
+    n_iter: int = 5,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """TrustRank / personalized PageRank: teleport mass flows ONLY to the
+    seed set (Gyöngyi-Garcia-Molina-Pedersen VLDB'04 — the web-spam
+    demotion / crawl-seed-expansion primitive beside the uniform
+    :func:`pagerank`).  ``seeds`` is a one-column frame of trusted ids;
+    per round ``r' = (seed ? TELEPORT : 0) + (85 · Σ r div outdeg) div
+    100`` with ranks seeded at ``R0`` on seeds and 0 elsewhere — all
+    64-bit integer micro-units, so the rounds mirror into unrolled
+    DuckDB CTEs bit-for-bit.  Pages unreachable from any seed settle at
+    EXACTLY 0 (the spam signal).  Same lazy-chained loop and shuffle
+    shape as :func:`pagerank`; the seed flag rides the checkpointed
+    vertex table, adding nothing to the per-round shuffles."""
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    edges_d = edges.join(deg, "src").localCheckpoint(eager=True)
+    verts = (
+        nodes.select(F.col(id_col).alias("v"))
+        .join(
+            seeds.selectExpr(f"{seeds.columns[0]} as v").withColumn(
+                "_s", F.lit(1)
+            ),
+            "v",
+            "left",
+        )
+        .select("v", F.coalesce("_s", F.lit(0)).cast("long").alias("is_seed"))
+        .localCheckpoint(eager=True)
+    )
+    ranks = verts.select(
+        "v", (F.col("is_seed") * F.lit(R0_MICRO)).cast("long").alias("r")
+    )
+    for i in range(n_iter):
+        contrib = (
+            edges_d.join(ranks, edges_d["src"] == ranks["v"])
+            .select("dst", F.expr("r div outdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_c"))
+        )
+        ranks = (
+            verts.join(contrib, verts["v"] == contrib["dst"], "left")
+            .select(
+                "v",
+                F.expr(
+                    f"CAST(is_seed * {TELEPORT_MICRO}"
+                    " + (85 * coalesce(in_c, 0)) div 100 AS BIGINT)"
+                ).alias("r"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select(F.col("v").alias(id_col), F.col("r").alias("trust_micro"))
+
+
+def pagerank_seeded_sql(
+    rel: str,
+    seed_pred: str,
+    id_col: str = "doc_id",
+    n: int | str = 0,
+    n_iter: int = 5,
+) -> str:
+    """DuckDB mirror of :func:`pagerank_seeded` over the law edge graph:
+    ``seed_pred`` is a SQL boolean over ``{rel}`` rows selecting the
+    trusted set (e.g. ``"doc_id % 100 = 0"``)."""
+    ctes = [
+        f"e AS ({link_edges_sql(rel, id_col, n)})",
+        "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY src)",
+        "ed AS (SELECT e.src, e.dst, deg.outdeg FROM e JOIN deg USING (src))",
+        f"verts AS (SELECT {id_col} AS v, CASE WHEN {seed_pred} THEN 1 ELSE 0 END AS is_seed FROM {rel})",
+        f"r0 AS (SELECT v, CAST(is_seed * {R0_MICRO} AS BIGINT) AS r FROM verts)",
+    ]
+    prev = "r0"
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"c{i} AS (SELECT ed.dst, CAST(sum(r.r // ed.outdeg) AS BIGINT) AS in_c "
+            f"FROM ed JOIN {prev} r ON ed.src = r.v GROUP BY ed.dst)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT verts.v, CAST(verts.is_seed * {TELEPORT_MICRO}"
+            f" + (85 * coalesce(c{i}.in_c, 0)) // 100 AS BIGINT) AS r"
+            f" FROM verts LEFT JOIN c{i} ON verts.v = c{i}.dst)"
+        )
+        prev = f"r{i}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT v AS {id_col}, r AS trust_micro FROM {prev}"
+    )
