@@ -2229,6 +2229,25 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([text_list, vec_list], out_k=HYBRID_K)
 
 
+WEIGHTED_K = 50  # weighted sample size per source
+
+
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted exactly-K-per-source sampling WITHOUT replacement
+    (Efraimidis-Spirakis A-ES keys over deterministic md5 uniforms,
+    inclusion probability ∝ n_chars) — the "sample N docs per source ∝
+    token mass" recipe step, reproducible across runs/engines because
+    the randomness is a hash.  Salted two-stage top-K bounds hot
+    sources; the only float is one ln per row of the same double in
+    both engines and the key never reaches the output."""
+    from ssb_sgis_spark.operators.sampling import sample_weighted
+
+    docs = docs_df(spark, sf_dir).select("doc_id", "source", "n_chars")
+    return sample_weighted(
+        docs, "source", WEIGHTED_K, "n_chars", "doc_id", SAMPLE_SEED
+    ).select("source", "doc_id", "n_chars")
+
+
 TRUST_SEED_MOD = 100  # doc_id % 100 == 0 -> trusted seed (1% of the corpus)
 
 
@@ -2991,6 +3010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search": q_hybrid_search,
         "hex_dbscan": q_hex_dbscan,
         "trustrank": q_trustrank,
+        "sample_weighted": q_sample_weighted,
         # --- (b) engine code touched by the round-5 lake fixes ---
         "lake_merge": q_lake_merge,
         "lake_optimize": q_lake_optimize,
@@ -3381,6 +3401,7 @@ def oracle_sql() -> dict[str, str]:
         mix_corpora_pred_sql,
         sample_fraction_pred_sql,
         sample_stratified_sql,
+        sample_weighted_sql,
     )
     from ssb_sgis_spark.functions.url import domain_sql
     from ssb_sgis_spark.functions.text import pmi_collocations_sql
@@ -3880,6 +3901,15 @@ def oracle_sql() -> dict[str, str]:
         "sample_frac": (
             "SELECT doc_id FROM documents WHERE "
             + sample_fraction_pred_sql("doc_id", SAMPLE_FRACTION, SAMPLE_SEED)
+        ),
+        "sample_weighted": sample_weighted_sql(
+            "documents",
+            "source",
+            WEIGHTED_K,
+            "n_chars",
+            "doc_id",
+            SAMPLE_SEED,
+            select="source, doc_id, n_chars",
         ),
         "sample_strat": sample_stratified_sql(
             f"(WITH pages AS ({pages}) SELECT uid, {domain_sql()} AS domain FROM pages)",

@@ -35,6 +35,11 @@ __all__ = [
     "sample_fraction_pred_sql",
     "sample_stratified",
     "sample_stratified_sql",
+    "sample_weighted",
+    "sample_weighted_sql",
+    "weighted_key_col",
+    "weighted_key_sql",
+    "temperature_fractions",
 ]
 
 _HEX_SPACE = 16**8  # the md5 prefix is 8 hex chars → uniform over [0, 16^8)
@@ -202,3 +207,105 @@ def temperature_fractions(
         want = target_total * masses[s] / z
         out[s] = min(1.0, want / n) if n else 0.0
     return out
+
+
+# --------------------------------------------------- weighted exactly-k
+_U_DENOM = "4294967297.0"  # 2^32 + 1: u = (hex_int + 1) / (2^32 + 1) in (0, 1)
+
+
+def _aes_key_tail_sql(hex_int_expr: str, weight_expr: str) -> str:
+    """The Efraimidis–Spirakis key ``ln(u) / w`` as SQL text — ONE
+    numeric tail shared verbatim by both engines (identical literals and
+    operation order); only the hex→int front end differs per engine."""
+    return (
+        f"ln(({hex_int_expr} + 1.0) / {_U_DENOM})"
+        f" / CAST({weight_expr} AS DOUBLE)"
+    )
+
+
+def weighted_key_col(tie_id: str, weight_col: str, seed: str = "0") -> Column:
+    """Spark Column for the A-ES key (conv() hex→int front end)."""
+    h = (
+        f"substring(md5(concat(CAST({tie_id} AS STRING), ':{seed}')), 1, 8)"
+    )
+    return F.expr(
+        _aes_key_tail_sql(f"CAST(conv({h}, 16, 10) AS DOUBLE)", weight_col)
+    )
+
+
+def weighted_key_sql(tie_id: str, weight_expr: str, seed: str = "0") -> str:
+    """DuckDB mirror of :func:`weighted_key_col` ('0x' cast front end)."""
+    h = f"substr(md5(concat(CAST({tie_id} AS VARCHAR), ':{seed}')), 1, 8)"
+    return _aes_key_tail_sql(
+        f"CAST(CAST(('0x' || {h}) AS UBIGINT) AS DOUBLE)", weight_expr
+    )
+
+
+def sample_weighted(
+    df: DataFrame,
+    strata_col: str,
+    k: int,
+    weight_col: str,
+    tie_id: str,
+    seed: str = "0",
+    nsalts: int = 32,
+) -> DataFrame:
+    """Exactly ``min(k, |stratum|)`` rows per stratum WITHOUT
+    replacement, inclusion probability ∝ ``weight_col`` — the
+    Efraimidis–Spirakis A-ES scheme (IPL 2006) with DETERMINISTIC
+    uniforms: ``u = (md5_32(tie_id:seed) + 1) / (2^32 + 1)``, key
+    ``ln(u) / w``, keep the per-stratum top-k keys (largest = closest
+    to 0).  The quality- or length-proportional corpus draw every
+    "sample 10k docs ∝ token count" recipe step needs, reproducible
+    across runs and engines because the randomness is a hash, not an
+    RNG.
+
+    Rows with ``weight_col <= 0`` are EXCLUDED (zero mass; keeps the
+    key finite).  Scale shape: map-only key computation + the salted
+    two-stage top-k window (a hot stratum is bounded to k·nsalts rows
+    before the exact window) — nothing row-sized shuffles twice.
+
+    Cross-engine note: the only float is one ``ln`` per row of the same
+    double in both engines; keys of distinct (u, w) pairs are far
+    beyond ulp distance, so the ordering (and therefore the SELECTED
+    SET — the operator's output never exposes the key) is stable.
+    """
+    kc = "__aes_key"
+    if kc in df.columns:
+        raise ValueError(f"input frame already has a column named {kc!r}")
+    out = per_key_topk(
+        df.filter(F.col(weight_col) > 0).withColumn(
+            kc, weighted_key_col(tie_id, weight_col, seed)
+        ),
+        key=strata_col,
+        order_by=[F.desc(kc), F.col(tie_id)],
+        k=k,
+        tie_id=tie_id,
+        nsalts=nsalts,
+    )
+    return out.drop(kc)
+
+
+def sample_weighted_sql(
+    rel: str,
+    strata_expr: str,
+    k: int,
+    weight_expr: str,
+    tie_id: str = "doc_id",
+    seed: str = "0",
+    select: str = "*",
+) -> str:
+    """DuckDB mirror: global window formulation the salted two-stage
+    plan must equal exactly."""
+    key = weighted_key_sql(tie_id, weight_expr, seed)
+    return f"""
+    SELECT {select} FROM (
+        SELECT *,
+               row_number() OVER (
+                   PARTITION BY {strata_expr}
+                   ORDER BY ({key}) DESC, {tie_id}
+               ) AS __rn
+        FROM {rel}
+        WHERE {weight_expr} > 0
+    ) WHERE __rn <= {k}
+    """
