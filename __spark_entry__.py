@@ -2248,6 +2248,24 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("source", "doc_id", "n_chars")
 
 
+WALK_STEPS = 4
+
+
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform random walks (the node2vec/DeepWalk corpus
+    generator): one 4-hop walk per document over the law citation
+    graph, the step choice a HASH of (node, step, walk_id) — both
+    engines replay the identical corpus, walks stop at dead ends.  Per
+    step: one equi-join of the walk positions against the checkpointed
+    rank-indexed edge list, lazily chained.  Oracle: unrolled step CTEs
+    of the identical ranked-edge/hash-index rule."""
+    from ssb_sgis_spark.operators.linkgraph import link_edges, random_walks
+
+    docs = docs_df(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    return random_walks(docs, link_edges(docs, n=n), n_steps=WALK_STEPS)
+
+
 TRUST_SEED_MOD = 100  # doc_id % 100 == 0 -> trusted seed (1% of the corpus)
 
 
@@ -3011,6 +3029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hex_dbscan": q_hex_dbscan,
         "trustrank": q_trustrank,
         "sample_weighted": q_sample_weighted,
+        "random_walks": q_random_walks,
         # --- (b) engine code touched by the round-5 lake fixes ---
         "lake_merge": q_lake_merge,
         "lake_optimize": q_lake_optimize,
@@ -3390,6 +3409,7 @@ def oracle_sql() -> dict[str, str]:
     from ssb_sgis_spark.operators.linkgraph import label_propagation_sql as _lpa_sql
     from ssb_sgis_spark.operators.linkgraph import (
         pagerank_seeded_sql,
+        random_walks_sql,
         triangle_counts_sql,
     )
     from ssb_sgis_spark.operators.sessions import (
@@ -4009,6 +4029,11 @@ def oracle_sql() -> dict[str, str]:
                 + ")",
             ],
             out_k=HYBRID_K,
+        ),
+        "random_walks": random_walks_sql(
+            "documents",
+            n="(SELECT count(*) FROM documents)",
+            n_steps=WALK_STEPS,
         ),
         "trustrank": pagerank_seeded_sql(
             "documents",

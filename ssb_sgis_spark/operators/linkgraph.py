@@ -33,7 +33,7 @@ Scale shape (10^12-edge graph):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -50,6 +50,8 @@ __all__ = [
     "triangle_counts_sql",
     "pagerank_seeded",
     "pagerank_seeded_sql",
+    "random_walks",
+    "random_walks_sql",
 ]
 
 # closed-form edge constants (Lehmer/Park-Miller multipliers — chosen
@@ -685,3 +687,108 @@ def pagerank_seeded_sql(
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT v AS {id_col}, r AS trust_micro FROM {prev}"
     )
+
+
+# walk-step mixing constants (same public Lehmer family as _A/_B; the mix
+# only needs to be well-spread mod small out-degrees, not cryptographic)
+_W1 = 48271
+_W2 = 16807
+_W3 = 69621
+
+
+def random_walks(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    n_steps: int = 4,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Deterministic uniform random walks — the node2vec/DeepWalk corpus
+    generator: one walk per row of ``nodes``, ``n_steps`` hops, output
+    ``(walk_id, step, node)`` with ``walk_id`` the start node and
+    ``step`` 0..n_steps.  "Random" is a HASH, not an RNG: at step t a
+    walk standing on u takes the out-edge with deterministic index
+    ``(u·W1 + t·W2 + walk_id·W3) % outdeg(u)`` among u's out-edges
+    ranked by destination id — so both engines (and any two runs)
+    produce the identical corpus, the property every reproducible
+    embedding pipeline needs.  Walks STOP at dead ends (no out-edges):
+    later steps simply emit no row.
+
+    Works against ANY (src, dst) edge table (the rank index is built
+    with one window over src), not just the closed-form law graph.
+
+    Scale shape: the ranked edge list is built once and checkpointed
+    (rank window = one shuffle on src); each step is ONE equi-join of
+    the |walks|-sized position set against it on src (+ the rank
+    filter), lazily chained like :func:`pagerank` — ``2·n_steps``
+    narrow shuffles total, positions never exceed one row per walk.
+    """
+    w = Window.partitionBy("src").orderBy("dst")
+    edges_r = (
+        edges.select("src", "dst")
+        .withColumn("erank", F.row_number().over(w).cast("long"))
+        .withColumn("outdeg", F.count("*").over(Window.partitionBy("src")).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    pos = nodes.select(
+        F.col(id_col).alias("walk_id"),
+        F.lit(0).cast("long").alias("step"),
+        F.col(id_col).alias("node"),
+    )
+    out = pos
+    for t in range(1, n_steps + 1):
+        stepped = (
+            pos.join(edges_r, pos["node"] == edges_r["src"])
+            .filter(
+                F.col("erank")
+                == 1
+                + F.pmod(
+                    F.col("node") * _W1
+                    + F.lit(t) * _W2
+                    + F.col("walk_id") * _W3,
+                    F.col("outdeg"),
+                )
+            )
+            .select(
+                "walk_id", F.lit(t).cast("long").alias("step"), F.col("dst").alias("node")
+            )
+        )
+        if t % checkpoint_every == 0 and t < n_steps:
+            stepped = stepped.localCheckpoint(eager=True)
+        out = out.unionByName(stepped)
+        pos = stepped
+    return out
+
+
+def random_walks_sql(
+    rel: str,
+    id_col: str = "doc_id",
+    n: int | str = 0,
+    n_steps: int = 4,
+) -> str:
+    """DuckDB mirror of :func:`random_walks` over the law edge graph:
+    unrolled step CTEs of the identical ranked-edge/hash-index rule."""
+    ctes = [
+        f"e AS ({link_edges_sql(rel, id_col, n)})",
+        """er AS (
+          SELECT src, dst,
+                 CAST(row_number() OVER (PARTITION BY src ORDER BY dst) AS BIGINT) AS erank,
+                 CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS outdeg
+          FROM e
+        )""",
+        f"p0 AS (SELECT {id_col} AS walk_id, CAST(0 AS BIGINT) AS step, {id_col} AS node FROM {rel})",
+    ]
+    for t in range(1, n_steps + 1):
+        ctes.append(
+            f"""p{t} AS (
+              SELECT p.walk_id, CAST({t} AS BIGINT) AS step, er.dst AS node
+              FROM p{t - 1} p JOIN er ON er.src = p.node
+              WHERE er.erank = 1 + ((p.node * {_W1} + {t} * {_W2}
+                                     + p.walk_id * {_W3}) % er.outdeg
+                                    + er.outdeg) % er.outdeg
+            )"""
+        )
+    union = "\nUNION ALL ".join(
+        f"SELECT walk_id, step, node FROM p{t}" for t in range(n_steps + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + union
