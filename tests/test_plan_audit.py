@@ -96,8 +96,12 @@ def test_scan_prunes_columns(spark):
 _CROSS_BY_DESIGN = {
     "all_distances", "ann_topk", "ann_quant", "unigram_nll", "bigram_nll",
     "bm25", "quantiles", "pmi_top", "nll_buckets", "semdedup",
-    "dsir_select", "lisa_hotspots",
+    "dsir_select", "lisa_hotspots", "hybrid_search",
 }
+# hybrid_search composes bm25 (one-row corpus-stats scalar broadcast)
+# with the dense brute-force scorer (deliberate broadcast-queries x
+# corpus cross join); its per-shape guard is
+# test_hybrid_search_fusion_shape
 # lisa_hotspots' BNLJs are the one-row (N, S) deviation-scalar broadcast
 # of spatialstats._densz, printed once per branch of the density⋈lag
 # left join; counted in test_lisa_scalar_bnljs_only and the real join is
@@ -362,3 +366,52 @@ def test_lpa_round_no_sort_window(spark):
     labels = nodes.select("v", F.col("v").alias("lbl"))
     p = plan_of(lpa_round(und, nodes, labels))
     assert "Window" not in p, p
+
+
+def test_triangles_no_cartesian_or_nested_loop(spark):
+    # the wedge self-join and the closure join are both EQUI-joins;
+    # a refactor that loses the (b, c) pair key would surface here as
+    # a nested-loop containment probe
+    p = plan_of(entry.queries()["triangles"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_trustrank_no_cartesian_or_nested_loop(spark):
+    p = plan_of(entry.queries()["trustrank"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_random_walks_steps_are_equi_joins(spark):
+    p = plan_of(entry.queries()["random_walks"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_hex_dbscan_histogram_is_partial_agged(spark):
+    # pages must collapse map-side BEFORE the dense-cell machinery (the
+    # final hex_dbscan frame is checkpoint-rooted, so assert on the lazy
+    # histogram component the operator is built from), and nothing in
+    # the returned plan joins page-sized frames
+    from ssb_sgis_spark.hexcells import hex_density
+
+    hist = plan_of(
+        hex_density(entry.pages_df(spark, SF), entry.HEX_SIZE)
+    )
+    assert "partial_count" in hist
+    p = plan_of(entry.queries()["hex_dbscan"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_hybrid_search_fusion_shape(spark):
+    # BM25's query-side joins broadcast (tiny side); the only
+    # nested-loop joins allowed are the dense scorer's deliberate
+    # broadcast-queries x corpus cross join and bm25's one-row
+    # corpus-stats scalar broadcast (printed per plan branch)
+    p = plan_of(entry.queries()["hybrid_search"](spark, SF))
+    tree = p.split("\n\n")[0]
+    assert "BroadcastHashJoin" in p
+    assert tree.count("BroadcastNestedLoopJoin") <= 4, tree
+    assert "CartesianProduct" not in p
