@@ -2248,6 +2248,47 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("source", "doc_id", "n_chars")
 
 
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-QA scorecard: MRR and hit-rate of the three retrieval
+    systems (BM25 lexical, dense cosine, RRF hybrid) against the
+    aligned ground truth (query q's relevant doc IS doc q) — the eval
+    loop every retrieval stack ships with.  Reciprocal ranks in integer
+    micro-units, misses contribute 0, one combinable aggregate per
+    system; 3 output rows."""
+    from ssb_sgis_spark.operators.search import (
+        bm25_topk,
+        retrieval_scorecard,
+        rrf_fuse,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    docs = docs_df(spark, sf_dir)
+    qids = emb.filter(F.col("vec_id") % ANN_QUERY_MOD == 0)
+    vec_list = cosine_topk(
+        qids.select(F.col("vec_id").alias("qid"), "embedding"),
+        emb,
+        ANN_K,
+        corpus_id="vec_id",
+    ).select(
+        F.col("qid").alias("query_id"), F.col("vid").alias("doc_id"), "rank"
+    )
+    tq = qids.join(docs, qids["vec_id"] == docs["doc_id"]).select(
+        F.col("vec_id").alias("query_id"), F.col("text").alias("qtext")
+    )
+    text_list = bm25_topk(docs, tq, k=BM25_K).select(
+        "query_id", "doc_id", "rank"
+    )
+    fused = rrf_fuse([text_list, vec_list], out_k=HYBRID_K)
+    return retrieval_scorecard(
+        [
+            ("bm25", text_list, "rank"),
+            ("dense", vec_list, "rank"),
+            ("hybrid", fused, "fused_rank"),
+        ],
+        qids.select(F.col("vec_id").alias("query_id")),
+    )
+
+
 WALK_STEPS = 4
 
 
@@ -3030,6 +3071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trustrank": q_trustrank,
         "sample_weighted": q_sample_weighted,
         "random_walks": q_random_walks,
+        "retrieval_eval": q_retrieval_eval,
         # --- (b) engine code touched by the round-5 lake fixes ---
         "lake_merge": q_lake_merge,
         "lake_optimize": q_lake_optimize,
@@ -3396,7 +3438,32 @@ def oracle_sql() -> dict[str, str]:
         dedup_spans_sql,
         minhash_dup_groups_sql,
     )
-    from ssb_sgis_spark.operators.search import bm25_topk_sql, rrf_fuse_sql
+    from ssb_sgis_spark.operators.search import (
+        bm25_topk_sql,
+        retrieval_scorecard_sql,
+        rrf_fuse_sql,
+    )
+
+    # the two ranked-list SQLs the hybrid/eval entries share
+    _hybrid_bm25_sql = bm25_topk_sql(
+        "documents",
+        "(SELECT e.vec_id AS query_id, d.text AS qtext"
+        " FROM embeddings e JOIN documents d"
+        " ON d.doc_id = e.vec_id"
+        f" WHERE e.vec_id % {ANN_QUERY_MOD} = 0)",
+        k=BM25_K,
+    )
+    _hybrid_vec_sql = (
+        "SELECT qid AS query_id, vid AS doc_id, rank FROM ("
+        + cosine_topk_sql(
+            "(SELECT vec_id AS qid, embedding FROM embeddings"
+            f" WHERE vec_id % {ANN_QUERY_MOD} = 0)",
+            "embeddings",
+            ANN_K,
+            corpus_id="vec_id",
+        )
+        + ")"
+    )
     from ssb_sgis_spark.operators.stats import exact_quantiles_sql
     from ssb_sgis_spark.operators.pipeline import corpus_pipeline_sql
     from ssb_sgis_spark.operators.bpe import bpe_merges_sql
@@ -4009,26 +4076,22 @@ def oracle_sql() -> dict[str, str]:
             "documents", n="(SELECT count(*) FROM documents)"
         ),
         "hybrid_search": rrf_fuse_sql(
+            [_hybrid_bm25_sql, _hybrid_vec_sql], out_k=HYBRID_K
+        ),
+        "retrieval_eval": retrieval_scorecard_sql(
             [
-                bm25_topk_sql(
-                    "documents",
-                    "(SELECT e.vec_id AS query_id, d.text AS qtext"
-                    " FROM embeddings e JOIN documents d"
-                    " ON d.doc_id = e.vec_id"
-                    f" WHERE e.vec_id % {ANN_QUERY_MOD} = 0)",
-                    k=BM25_K,
+                ("bm25", _hybrid_bm25_sql, "rank"),
+                ("dense", _hybrid_vec_sql, "rank"),
+                (
+                    "hybrid",
+                    rrf_fuse_sql(
+                        [_hybrid_bm25_sql, _hybrid_vec_sql], out_k=HYBRID_K
+                    ),
+                    "fused_rank",
                 ),
-                "SELECT qid AS query_id, vid AS doc_id, rank FROM ("
-                + cosine_topk_sql(
-                    "(SELECT vec_id AS qid, embedding FROM embeddings"
-                    f" WHERE vec_id % {ANN_QUERY_MOD} = 0)",
-                    "embeddings",
-                    ANN_K,
-                    corpus_id="vec_id",
-                )
-                + ")",
             ],
-            out_k=HYBRID_K,
+            "SELECT vec_id AS query_id FROM embeddings"
+            f" WHERE vec_id % {ANN_QUERY_MOD} = 0",
         ),
         "random_walks": random_walks_sql(
             "documents",

@@ -387,3 +387,91 @@ def rrf_fuse_sql(
            d AS {id_col}, rrf_micro
     FROM fused QUALIFY fused_rank <= {int(out_k)}
     """
+
+
+# -------------------------------------------------------- retrieval eval
+MRR_SCALE = 1_000_000  # reciprocal ranks and MRR in integer micro-units
+
+
+def retrieval_scorecard(
+    systems: list[tuple[str, DataFrame, str]],
+    queries: DataFrame,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Retrieval-QA scorecard — MRR and hit-rate of several ranked-list
+    systems against a self-relevance ground truth (the relevant doc for
+    query q IS doc q — the alignment the synthetic query sets are built
+    on): one row per system, ``(system, n_queries, hits, mrr_micro)``.
+
+    ``systems`` is ``[(name, ranked_df, rank_col)]`` where ``ranked_df``
+    has (query_id_col, id_col, rank_col).  Reciprocal ranks live in
+    integer micro-units (``MRR_SCALE div rank``), the mean is one
+    integer division by the FULL query count (misses contribute 0), so
+    both engines agree bit-for-bit.
+
+    Scale shape: each system's list is |queries|·k rows; the relevant
+    hit per query is found by one equi-join on (query, doc) against the
+    query set, then everything collapses in one combinable aggregate.
+    """
+    q = queries.select(F.col(query_id_col).alias("_q"))
+    n_q = q.count()
+    parts = []
+    for name, df, rank_col in systems:
+        hit = df.filter(F.col(query_id_col) == F.col(id_col)).select(
+            F.col(query_id_col).alias("_q"),
+            F.col(rank_col).cast("long").alias("_rank"),
+        )
+        parts.append(
+            q.join(hit, "_q", "left").select(
+                F.lit(name).alias("system"),
+                F.coalesce(
+                    F.expr(f"CAST({MRR_SCALE} div _rank AS BIGINT)"), F.lit(0)
+                ).alias("_rr"),
+                F.when(F.col("_rank").isNotNull(), 1)
+                .otherwise(0)
+                .cast("long")
+                .alias("_hit"),
+            )
+        )
+    from functools import reduce
+
+    unioned = reduce(lambda a, b: a.unionByName(b), parts)
+    return unioned.groupBy("system").agg(
+        F.lit(int(n_q)).cast("long").alias("n_queries"),
+        F.sum("_hit").cast("long").alias("hits"),
+        F.expr(f"CAST(sum(_rr) div {int(n_q)} AS BIGINT)").alias("mrr_micro"),
+    )
+
+
+def retrieval_scorecard_sql(
+    systems: list[tuple[str, str, str]],
+    queries_sql: str,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB mirror: ``systems`` is ``[(name, list_sql, rank_col)]``;
+    ``queries_sql`` yields one ``{query_id_col}`` column."""
+    parts = []
+    for name, sql, rank_col in systems:
+        parts.append(f"""
+        SELECT '{name}' AS system,
+               coalesce(CAST({MRR_SCALE} // h._rank AS BIGINT), 0) AS _rr,
+               CASE WHEN h._rank IS NOT NULL THEN 1 ELSE 0 END AS _hit
+        FROM qset q LEFT JOIN (
+          SELECT {query_id_col} AS _q, CAST({rank_col} AS BIGINT) AS _rank
+          FROM ({sql}) WHERE {query_id_col} = {id_col}
+        ) h ON h._q = q._q""")
+    unions = "\n        UNION ALL ".join(parts)
+    return f"""
+    WITH qset AS (SELECT {query_id_col} AS _q FROM ({queries_sql})),
+    nq AS (SELECT count(*) AS n FROM qset),
+    u AS (
+      {unions}
+    )
+    SELECT system,
+           CAST((SELECT n FROM nq) AS BIGINT) AS n_queries,
+           CAST(sum(_hit) AS BIGINT) AS hits,
+           CAST(sum(_rr) // (SELECT n FROM nq) AS BIGINT) AS mrr_micro
+    FROM u GROUP BY system
+    """
