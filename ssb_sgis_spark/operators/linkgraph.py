@@ -154,6 +154,7 @@ def pagerank_weighted(
     id_col: str = "host",
     weight_col: str = "w",
     n_iter: int = 3,
+    checkpoint_every: int = 8,
 ) -> DataFrame:
     """Weighted integer PageRank over a CONTRACTED graph (e.g. the host
     graph from ``operators/links.host_edges``): edges carry a link
@@ -167,24 +168,24 @@ def pagerank_weighted(
     edges_d = edges.join(wdeg, "src").localCheckpoint(eager=True)
     verts = nodes.select(F.col(id_col).alias("v")).localCheckpoint(eager=True)
     ranks = verts.select("v", F.lit(R0_MICRO).cast("long").alias("r"))
-    for _ in range(n_iter):
+    for i in range(n_iter):
         contrib = (
             edges_d.join(ranks, edges_d["src"] == ranks["v"])
             .select("dst", F.expr(f"{weight_col} * (r div outw)").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("in_c"))
         )
-        ranks = (
-            verts.join(contrib, verts["v"] == contrib["dst"], "left")
-            .select(
-                "v",
-                F.expr(
-                    f"CAST({TELEPORT_MICRO} + (85 * coalesce(in_c, 0)) div 100"
-                    " AS BIGINT)"
-                ).alias("r"),
-            )
-            .localCheckpoint(eager=True)
+        ranks = verts.join(contrib, verts["v"] == contrib["dst"], "left").select(
+            "v",
+            F.expr(
+                f"CAST({TELEPORT_MICRO} + (85 * coalesce(in_c, 0)) div 100"
+                " AS BIGINT)"
+            ).alias("r"),
         )
+        # lazy round chaining (pagerank's loop hygiene); checkpoint only
+        # to bound plan depth on deep runs
+        if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(F.col("v").alias(id_col), F.col("r").alias("rank_micro"))
 
 
@@ -226,6 +227,7 @@ def hits(
     edges: DataFrame,
     id_col: str = "doc_id",
     n_iter: int = 3,
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Kleinberg's HITS (hubs & authorities) as exact integer fixed
     point: ``(id_col, hub_micro, auth_micro)`` after ``n_iter`` rounds.
@@ -238,28 +240,37 @@ def hits(
 
     Scale shape: identical to :func:`pagerank` — two map-side-combined
     shuffles per round over the CHECKPOINTED edge list, state is one row
-    per node; the max-norm is one scalar aggregate per round (a
-    driver-side collect of a single row, same discipline as
-    ``bpe_merges``' per-round argmax).  Precondition: the graph has at
-    least one edge (max-norm divides by the max mass).
+    per node; the max-norm scalar enters as a one-row broadcast (the
+    bm25 corpus-stats pattern), NOT a driver collect, so the whole
+    fixed-round run chains lazily into one Spark job (the collect-based
+    loop needed an eager checkpoint per HALF-round: 6 barriers per
+    3-iteration run); ``checkpoint_every`` bounds plan depth for deep
+    runs.  Precondition: the graph has at least one edge (enforced with
+    one cheap count on the checkpointed edge list — an empty graph
+    would otherwise NULL-divide silently).
     """
     deg_src = edges.localCheckpoint(eager=True)
+    if deg_src.limit(1).count() == 0:
+        raise ValueError("HITS requires a graph with at least one edge")
     verts = nodes.select(F.col(id_col).alias("v")).localCheckpoint(eager=True)
     hub = verts.select("v", F.lit(R0_MICRO).cast("long").alias("h"))
     auth = verts.select("v", F.lit(R0_MICRO).cast("long").alias("a"))
-    for _ in range(n_iter):
+    for i in range(n_iter):
         a_raw = (
             deg_src.join(hub, deg_src["src"] == hub["v"])
             .groupBy("dst")
             .agg(F.sum("h").alias("m"))
         )
-        auth = _max_norm(verts, a_raw, "dst", "a").localCheckpoint(eager=True)
+        auth = _max_norm(verts, a_raw, "dst", "a")
         h_raw = (
             deg_src.join(auth, deg_src["dst"] == auth["v"])
             .groupBy("src")
             .agg(F.sum("a").alias("m"))
         )
-        hub = _max_norm(verts, h_raw, "src", "h").localCheckpoint(eager=True)
+        hub = _max_norm(verts, h_raw, "src", "h")
+        if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
+            auth = auth.localCheckpoint(eager=True)
+            hub = hub.localCheckpoint(eager=True)
     return (
         hub.join(auth, "v")
         .select(
@@ -271,15 +282,19 @@ def hits(
 
 
 def _max_norm(verts: DataFrame, raw: DataFrame, key: str, out: str) -> DataFrame:
-    """(mass * 10^6) div max(mass), 0 for vertices with no mass."""
-    mx = raw.agg(F.max("m")).collect()[0][0]
-    if mx is None:
-        raise ValueError("HITS requires a graph with at least one edge")
-    return verts.join(raw, verts["v"] == raw[key], "left").select(
-        "v",
-        F.expr(f"CAST((coalesce(m, 0) * {R0_MICRO}) div {int(mx)} AS BIGINT)").alias(
-            out
-        ),
+    """(mass * 10^6) div max(mass), 0 for vertices with no mass — the
+    max enters as a LAZY one-row broadcast so the caller's rounds can
+    chain into a single job."""
+    mx = raw.agg(F.max("m").alias("_mx"))
+    return (
+        verts.join(raw, verts["v"] == raw[key], "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "v",
+            F.expr(
+                f"CAST((coalesce(m, 0) * {R0_MICRO}) div _mx AS BIGINT)"
+            ).alias(out),
+        )
     )
 
 

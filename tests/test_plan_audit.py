@@ -96,8 +96,13 @@ def test_scan_prunes_columns(spark):
 _CROSS_BY_DESIGN = {
     "all_distances", "ann_topk", "ann_quant", "unigram_nll", "bigram_nll",
     "bm25", "quantiles", "pmi_top", "nll_buckets", "semdedup",
-    "dsir_select", "lisa_hotspots", "hybrid_search",
+    "dsir_select", "lisa_hotspots", "hybrid_search", "retrieval_eval",
+    "hits",
 }
+# hits' BNLJs are the per-half-round one-row max-norm scalar broadcasts
+# (the round-5 lazy-chain conversion replaced its driver collects);
+# retrieval_eval composes hybrid_search's lists and inherits their
+# allowed scalar/dense-cross broadcasts
 # hybrid_search composes bm25 (one-row corpus-stats scalar broadcast)
 # with the dense brute-force scorer (deliberate broadcast-queries x
 # corpus cross join); its per-shape guard is
@@ -132,7 +137,7 @@ _CROSS_BY_DESIGN = {
 # pip_join above; stream_dedup's plan is a streaming micro-batch, out of
 # scope for a batch-plan sweep.
 _EAGER_QUERIES = {
-    "tiled_pip", "stream_dedup", "stream_hex", "pagerank", "bpe_merges",
+    "tiled_pip", "stream_dedup", "stream_hex", "bpe_merges",
     "host_rank", "warc_roundtrip",
 }
 # host_rank iterates pagerank_weighted with eager per-round checkpoints
@@ -146,9 +151,9 @@ _EAGER_QUERIES = {
 # stream_hex drives a streaming query at construction (complete-mode
 # memory sink) like stream_dedup; its rollup is a streaming micro-batch
 # plan, out of scope for the batch sweep
-# pagerank also executes at construction (count + eager per-round
-# localCheckpoints) and returns a checkpoint scan; its per-round joins
-# are pinned by test_pagerank_round_plan below
+# pagerank chains its rounds lazily since round 5 (construction still
+# runs the cheap vertex count + edge checkpoint) and is swept above;
+# its per-round joins are additionally pinned by test_pagerank_round_plan
 
 
 def test_no_query_regresses_to_nested_loop(spark):
