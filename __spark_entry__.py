@@ -2813,6 +2813,55 @@ def q_stream_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+STREAM_TOPK_K = 5
+
+
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters: the pages stream (2 file batches,
+    availableNow) through the SAME domain-extraction codegen expression
+    as the batch path into watermarked hourly per-domain count state
+    (who floods the crawl this hour); the top-K rank projection runs on
+    the drained sink — a rank window is not a streaming operator, so
+    stateful counts in-stream + rank-at-read is the standard pattern.
+    Counts are order-free: stream == batch == SQL mirror exactly."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql.window import Window
+
+    from ssb_sgis_spark.streaming.ingest import (
+        domain_counts_windowed,
+        read_pages_stream,
+        run_to_sink,
+    )
+
+    pages = pages_df(spark, sf_dir, with_payload=True).select(
+        "uid", "url", "warc_ts"
+    )
+    work = tempfile.mkdtemp(prefix="stream_topk_")
+    src, ckpt = f"{work}/in", f"{work}/ckpt"
+    pages.filter(F.col("uid") % 2 == 0).coalesce(8).write.mode(
+        "overwrite"
+    ).parquet(src)
+    pages.filter(F.col("uid") % 2 == 1).coalesce(8).write.mode("append").parquet(
+        src
+    )
+    stream = read_pages_stream(
+        spark, src, pages.schema, max_files_per_trigger=8
+    )
+    name = f"stream_topk_{uuid.uuid4().hex[:8]}"
+    q = run_to_sink(domain_counts_windowed(stream), ckpt, query_name=name)
+    q.awaitTermination(300)
+    w = Window.partitionBy("win_start_s").orderBy(
+        F.col("n").desc(), F.col("domain").asc()
+    )
+    return (
+        spark.table(name)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= STREAM_TOPK_K)
+    )
+
+
 def q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate GROUPS — the canonical dedup output:
     exact cosine pairs (blocked all-pairs) fed through the distributed
@@ -3072,6 +3121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_weighted": q_sample_weighted,
         "random_walks": q_random_walks,
         "retrieval_eval": q_retrieval_eval,
+        "stream_topk": q_stream_topk,
         # --- (b) engine code touched by the round-5 lake fixes ---
         "lake_merge": q_lake_merge,
         "lake_optimize": q_lake_optimize,
@@ -4232,6 +4282,26 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup": f"""
             SELECT DISTINCT md5(text) AS content_hash
             FROM ({docs_with_dups_sql()})
+        """,
+        "stream_topk": f"""
+            WITH pages AS ({pages}),
+            wins AS (
+              SELECT (CAST(epoch(TIMESTAMP '2024-01-01 00:00:00'
+                                 + uid * INTERVAL '1 second') AS BIGINT)
+                      // 3600) * 3600 AS win_start_s,
+                     {domain_sql()} AS domain
+              FROM pages
+            ),
+            counts AS (
+              SELECT win_start_s, domain, count(*) AS n
+              FROM wins GROUP BY 1, 2
+            )
+            SELECT win_start_s, domain, n,
+                   CAST(row_number() OVER (
+                       PARTITION BY win_start_s
+                       ORDER BY n DESC, domain ASC
+                   ) AS BIGINT) AS rank
+            FROM counts QUALIFY rank <= {STREAM_TOPK_K}
         """,
         "stream_hex": f"""
             WITH pages AS ({pages}),

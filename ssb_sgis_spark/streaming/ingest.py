@@ -105,3 +105,39 @@ def run_to_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def domain_counts_windowed(
+    stream: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked windowed per-DOMAIN page counts — the heavy-hitter
+    state behind streaming top-k (who is flooding the crawl this hour):
+    the domain extraction is the same codegen expression as the batch
+    path (`functions/url.domain_col`), the count state is native
+    watermark-evicted streaming aggregation (memory follows active
+    windows × domains, and registered domains are a bounded set by
+    construction of the crawl frontier — for an adversarial unbounded
+    key space, cap with the CMS sketch first, `streaming/sketch.py`).
+
+    The top-k PROJECTION over these counts is applied on the drained
+    sink (a rank window is not a streaming-supported operator; the
+    standard pattern is stateful counts in-stream + rank-at-read)."""
+    from ..functions.url import domain_col
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), window).alias("w"),
+            domain_col(F.col(url_col)).alias("domain"),
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").cast("long").alias("win_start_s"),
+            "domain",
+            "n",
+        )
+    )

@@ -137,9 +137,10 @@ _CROSS_BY_DESIGN = {
 # pip_join above; stream_dedup's plan is a streaming micro-batch, out of
 # scope for a batch-plan sweep.
 _EAGER_QUERIES = {
-    "tiled_pip", "stream_dedup", "stream_hex", "bpe_merges",
+    "tiled_pip", "stream_dedup", "stream_hex", "stream_topk", "bpe_merges",
     "host_rank", "warc_roundtrip",
 }
+# stream_topk drives a streaming query at construction like stream_hex
 # host_rank iterates pagerank_weighted with eager per-round checkpoints
 # (pagerank's pattern); its pre-loop shapes (JVM regex extract, map-side
 # combined host contraction) are asserted in test_host_rank_contraction
