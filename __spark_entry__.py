@@ -2813,6 +2813,43 @@ def q_stream_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+SCD2_TS = 1000
+SCD2_ATTRS = ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+
+
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension-history merge (Kimball rule): the customer
+    dimension starts fully open at t=0; the update batch at t=1000
+    carries a changed balance for custkey%3==0, a byte-identical no-op
+    feed row for %3==1 (must NOT create a version), nothing for %3==2,
+    and brand-new keys (custkey+1000000 for %100==0).  One equi-join of
+    the update batch against the open slice decides close/keep/insert;
+    closed history passes through join-free.  Oracle: the identical
+    full-outer + null-safe-change rule in pure SQL."""
+    from ssb_sgis_spark.operators.scd import scd2_apply
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    dim = cust.select(
+        "c_custkey",
+        *SCD2_ATTRS,
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+    )
+    changed = cust.filter(F.col("c_custkey") % 3 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + F.lit(50.0)
+    )
+    noop = cust.filter(F.col("c_custkey") % 3 == 1)
+    inserts = cust.filter(F.col("c_custkey") % 100 == 0).withColumn(
+        "c_custkey", F.col("c_custkey") + F.lit(1_000_000)
+    )
+    updates = (
+        changed.unionByName(noop).unionByName(inserts).select(
+            "c_custkey", *SCD2_ATTRS
+        )
+    )
+    return scd2_apply(dim, updates, "c_custkey", SCD2_ATTRS, SCD2_TS)
+
+
 STREAM_TOPK_K = 5
 
 
@@ -3122,6 +3159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks": q_random_walks,
         "retrieval_eval": q_retrieval_eval,
         "stream_topk": q_stream_topk,
+        "scd2": q_scd2,
         # --- (b) engine code touched by the round-5 lake fixes ---
         "lake_merge": q_lake_merge,
         "lake_optimize": q_lake_optimize,
@@ -3493,6 +3531,7 @@ def oracle_sql() -> dict[str, str]:
         retrieval_scorecard_sql,
         rrf_fuse_sql,
     )
+    from ssb_sgis_spark.operators.scd import scd2_apply_sql
 
     # the two ranked-list SQLs the hybrid/eval entries share
     _hybrid_bm25_sql = bm25_topk_sql(
@@ -4283,6 +4322,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT md5(text) AS content_hash
             FROM ({docs_with_dups_sql()})
         """,
+        "scd2": scd2_apply_sql(
+            "SELECT c_custkey, "
+            + ", ".join(SCD2_ATTRS)
+            + ", CAST(0 AS BIGINT) AS valid_from,"
+            " CAST(NULL AS BIGINT) AS valid_to FROM customer",
+            "SELECT c_custkey, "
+            + ", ".join(
+                a if a != "c_acctbal" else "c_acctbal + 50.0 AS c_acctbal"
+                for a in SCD2_ATTRS
+            )
+            + " FROM customer WHERE c_custkey % 3 = 0"
+            " UNION ALL SELECT c_custkey, "
+            + ", ".join(SCD2_ATTRS)
+            + " FROM customer WHERE c_custkey % 3 = 1"
+            " UNION ALL SELECT c_custkey + 1000000 AS c_custkey, "
+            + ", ".join(SCD2_ATTRS)
+            + " FROM customer WHERE c_custkey % 100 = 0",
+            "c_custkey",
+            SCD2_ATTRS,
+            SCD2_TS,
+        ),
         "stream_topk": f"""
             WITH pages AS ({pages}),
             wins AS (
