@@ -1612,6 +1612,42 @@ def q_lake_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return head.select("doc_id", F.md5("text").alias("h"))
 
 
+def q_lake_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel CDC (the Iceberg changelog-scan surface): commit the
+    documents base snapshot, MERGE the lake_merge update/insert batch,
+    then diff snapshot-0 -> HEAD through the real manifest layer — each
+    side collapses to (key, digest) map-side, one full-outer equi-join,
+    unchanged rows dropped.  Oracle: the closed-form change law (every
+    13th doc re-keyed = added, every 7th = changed) with no lake
+    machinery at all."""
+    import tempfile
+
+    from ssb_sgis_spark.sources.snapshots import (
+        merge_snapshot_table,
+        snapshot_diff,
+        write_snapshot_table,
+    )
+
+    t = tempfile.mkdtemp(prefix="lake_diff_") + "/docs"
+    base = (
+        docs_df(spark, sf_dir)
+        .select("doc_id", "text")
+        .repartitionByRange(8, "doc_id")
+        .sortWithinPartitions("doc_id")
+    )
+    s0 = write_snapshot_table(base, t)
+    docs = docs_df(spark, sf_dir)
+    updates = docs.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" v2")).alias("text")
+    )
+    inserts = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        F.concat(F.lit("new "), F.col("text")).alias("text"),
+    )
+    s1 = merge_snapshot_table(spark, t, updates.unionByName(inserts), "doc_id")
+    return snapshot_diff(spark, t, s0, s1, "doc_id")
+
+
 def q_stream_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once streaming ingest into the lake, content-checked end
     to end: documents are re-laid as a 3-file backlog, drained by a real
@@ -3160,6 +3196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_eval": q_retrieval_eval,
         "stream_topk": q_stream_topk,
         "scd2": q_scd2,
+        "lake_diff": q_lake_diff,
         # --- (b) engine code touched by the round-5 lake fixes ---
         "lake_merge": q_lake_merge,
         "lake_optimize": q_lake_optimize,
@@ -4321,6 +4358,13 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup": f"""
             SELECT DISTINCT md5(text) AS content_hash
             FROM ({docs_with_dups_sql()})
+        """,
+        "lake_diff": """
+            SELECT doc_id + 10000000 AS doc_id, 'added' AS change
+            FROM documents WHERE doc_id % 13 = 0
+            UNION ALL
+            SELECT doc_id, 'changed' AS change
+            FROM documents WHERE doc_id % 7 = 0
         """,
         "scd2": scd2_apply_sql(
             "SELECT c_custkey, "

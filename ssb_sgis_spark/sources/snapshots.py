@@ -708,3 +708,30 @@ def file_column_ranges(
                         }
                     )
     return out
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    path: str,
+    from_snapshot: int,
+    to_snapshot: int,
+    key: str,
+    content_cols: tuple[str, ...] = ("text",),
+) -> DataFrame:
+    """Time-travel CDC between two committed snapshots — "what changed
+    between the March cut and today": ``(key, change)`` with change in
+    {'added', 'removed', 'changed'}, unchanged rows dropped (the
+    overwhelmingly common case, so the output is the small side).
+
+    Composes the time-travel reader with the crawl-delta diff
+    (``operators/domains.crawl_delta``): each side collapses map-side
+    to (key, null-safe md5 digest) before ONE full-outer equi-join on
+    the key — payloads never shuffle; on a key-clustered table both
+    sides arrive co-partitioned.  This is the Iceberg changelog-scan
+    surface expressed over the engine's own manifest layer.
+    """
+    from ..operators.domains import crawl_delta
+
+    old = read_snapshot_table(spark, path, snapshot_id=from_snapshot)
+    new = read_snapshot_table(spark, path, snapshot_id=to_snapshot)
+    return crawl_delta(old, new, key_col=key, content_cols=content_cols)
