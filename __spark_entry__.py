@@ -343,6 +343,41 @@ def _hll_oracle_independent(rel: str, value_sql: str) -> str:
     """
 
 
+def _hll_grouped_oracle_independent(
+    rel: str, value_sql: str, group_sql: str, group_name: str
+) -> str:
+    """Grouped variant of :func:`_hll_oracle_independent`: one register
+    set per ``group_sql`` value, same disjoint numeric rank derivation."""
+
+    def h2i(lo_pos: int) -> str:
+        return (
+            "CAST(list_sum(list_transform(generate_series(1, 12), i -> "
+            f"(strpos('0123456789abcdef', substr(tail, {lo_pos - 1} + i, 1)) - 1)"
+            " * power(16.0, 12 - i))) AS BIGINT)"
+        )
+
+    return f"""
+        WITH h AS (
+          SELECT {group_sql} AS {group_name},
+                 substr(md5({value_sql}), 1, 3) AS bucket,
+                 substr(md5({value_sql}), 4, 24) AS tail
+          FROM {rel}
+        ),
+        num AS (
+          SELECT {group_name}, bucket, {h2i(1)} AS hi, {h2i(13)} AS lo FROM h
+        ),
+        ranks AS (
+          SELECT {group_name}, bucket,
+                 CASE WHEN hi > 0 THEN 49 - length(bin(hi))
+                      WHEN lo > 0 THEN 97 - length(bin(lo))
+                      ELSE 97 END AS rank
+          FROM num
+        )
+        SELECT {group_name}, bucket, CAST(max(rank) AS BIGINT) AS max_rank
+        FROM ranks GROUP BY {group_name}, bucket
+    """
+
+
 def _cms_oracle_independent(rel: str, value_sql: str, weight_sql: str) -> str:
     """INDEPENDENT count-min oracle (round-5 de-circularization):
     hand-written seeds-table cross join + concat, no text from
@@ -2120,6 +2155,32 @@ def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_sketch(docs_with_dups_df(spark, sf_dir), "text")
 
 
+DAY_US = 86_400_000_000
+
+
+def q_hll_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED HLL — daily-active-users registers: per epoch-day (the
+    tz-free NTZ micros law shared with sessions/retention), one
+    independent distinct-user_id register set.  The DAU/distinct-per-key
+    rollup every analytics stack ships: one combinable shuffle of at
+    most days × 4096 register rows, and per-day sketches from different
+    snapshots merge by groupBy(day, bucket).max without re-reading raw
+    events.  Oracle: the INDEPENDENT numeric rank derivation (positional
+    hex-digit arithmetic + bin() length), grouped by the same day law."""
+    from ssb_sgis_spark.operators.sketch import hll_sketch
+
+    ev = events_df(spark, sf_dir).select(
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+            f" ts) div {DAY_US}"
+        )
+        .cast("long")
+        .alias("day"),
+        F.col("user_id").cast("string").alias("uid_s"),
+    )
+    return hll_sketch(ev, "uid_s", group_cols=["day"])
+
+
 def q_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 PMI collocations: bigram/unigram masses in one event
     space (marginals summed FROM the bigram table, no second explode),
@@ -3197,6 +3258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_topk": q_stream_topk,
         "scd2": q_scd2,
         "lake_diff": q_lake_diff,
+        "hll_daily": q_hll_daily,
         # --- (b) engine code touched by the round-5 lake fixes ---
         "lake_merge": q_lake_merge,
         "lake_optimize": q_lake_optimize,
@@ -4280,6 +4342,12 @@ def oracle_sql() -> dict[str, str]:
             k=BM25_K,
         ),
         "quantiles": exact_quantiles_sql("documents", "n_chars"),
+        "hll_daily": _hll_grouped_oracle_independent(
+            "events",
+            "CAST(user_id AS VARCHAR)",
+            f"CAST(epoch(ts) AS BIGINT) // {DAY_US // 1_000_000}",
+            "day",
+        ),
         "distinct_sketch": _hll_oracle_independent(
             f"({docs_with_dups_sql()})", "text"
         ),

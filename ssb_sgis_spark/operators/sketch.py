@@ -55,15 +55,29 @@ def hll_register_exprs(value_sql: str, bucket_hex: int = DEFAULT_BUCKET_HEX):
 
 
 def hll_sketch(
-    df: DataFrame, value_col: str, bucket_hex: int = DEFAULT_BUCKET_HEX
+    df: DataFrame,
+    value_col: str,
+    bucket_hex: int = DEFAULT_BUCKET_HEX,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(bucket, max_rank) register rows for distinct-``value_col``
-    counting — non-empty registers only, all from the shared SQL
-    expressions, one map-side-combined groupBy."""
+    """(group_cols..., bucket, max_rank) register rows for distinct-
+    ``value_col`` counting — non-empty registers only, all from the
+    shared SQL expressions, one map-side-combined groupBy.
+
+    ``group_cols`` makes this the GROUPED sketch (the DAU/distinct-
+    per-key rollup): one independent register set per group, still one
+    combinable shuffle of at most ``groups × 16^bucket_hex`` register
+    rows; sketches for the same group from different partitions /
+    snapshots merge by ``groupBy(group, bucket).max`` exactly like the
+    global sketch, which is the whole point — distinct counts roll up
+    WITHOUT re-reading raw data."""
     bucket, rank = hll_register_exprs(value_col, bucket_hex)
+    gcols = [F.col(g) for g in (group_cols or [])]
     return (
-        df.select(F.expr(bucket).alias("bucket"), F.expr(rank).alias("rank"))
-        .groupBy("bucket")
+        df.select(
+            *gcols, F.expr(bucket).alias("bucket"), F.expr(rank).alias("rank")
+        )
+        .groupBy(*(group_cols or []), "bucket")
         .agg(F.max("rank").cast("long").alias("max_rank"))
     )
 

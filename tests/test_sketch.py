@@ -103,3 +103,47 @@ def test_cms_merge_by_sum_equals_union_sketch(spark):
     )
     want = sorted(map(tuple, cms_sketch(d1.unionAll(d2), "k").collect()))
     assert sorted(map(tuple, merged.collect())) == want
+
+
+def test_grouped_hll_equals_per_group_global(spark):
+    # the grouped sketch must be EXACTLY the global sketch applied to
+    # each group's slice — no cross-group register bleed
+    from pyspark.sql import functions as F
+
+    from ssb_sgis_spark.operators.sketch import hll_sketch
+
+    df = spark.range(3000).select(
+        (F.col("id") % 3).alias("g"), F.col("id").cast("string").alias("v")
+    )
+    grouped = {
+        (r.g, r.bucket): r.max_rank
+        for r in hll_sketch(df, "v", group_cols=["g"]).collect()
+    }
+    for g in (0, 1, 2):
+        solo = {
+            (g, r.bucket): r.max_rank
+            for r in hll_sketch(df.filter(F.col("g") == g), "v").collect()
+        }
+        assert {k: v for k, v in grouped.items() if k[0] == g} == solo
+
+
+def test_grouped_hll_sketches_merge_by_max(spark):
+    # per-group sketches built from two disjoint snapshots merge by
+    # groupBy(g, bucket).max into exactly the full-data sketch
+    from pyspark.sql import functions as F
+
+    from ssb_sgis_spark.operators.sketch import hll_sketch
+
+    df = spark.range(2000).select(
+        (F.col("id") % 2).alias("g"), F.col("id").cast("string").alias("v")
+    )
+    full = hll_sketch(df, "v", group_cols=["g"])
+    a = hll_sketch(df.filter(F.col("id") < 1000), "v", group_cols=["g"])
+    b = hll_sketch(df.filter(F.col("id") >= 1000), "v", group_cols=["g"])
+    merged = (
+        a.unionByName(b)
+        .groupBy("g", "bucket")
+        .agg(F.max("max_rank").cast("long").alias("max_rank"))
+    )
+    key = lambda rows: {(r.g, r.bucket): r.max_rank for r in rows}
+    assert key(merged.collect()) == key(full.collect())
