@@ -2155,6 +2155,32 @@ def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_sketch(docs_with_dups_df(spark, sf_dir), "text")
 
 
+EDIT_K = 2
+EDIT_KEY_LEN = 24
+
+
+def q_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity join (PassJoin segment filtering): all
+    pairs within Levenshtein 2 on the 24-char text prefix over a
+    twin-preserving third of the dup-injected corpus ((doc_id % 1e6) %
+    3 == 0 keeps every original WITH its +1e6/+2e6 dup twins) — the
+    fuzzy-join primitive the set-based dedup family cannot express.
+    Index = exact segments, probe = ±k-shifted substrings, one
+    equi-join on (segment, content), exact levenshtein verify on
+    candidates only.  Oracle: INDEPENDENT brute cross join + native
+    levenshtein with no segment scheme, so the filter's COMPLETENESS is
+    value-checked every round."""
+    from ssb_sgis_spark.operators.editjoin import edit_distance_pairs
+
+    docs = docs_with_dups_df(spark, sf_dir).filter(
+        (F.col("doc_id") % 1_000_000) % 3 == 0
+    )
+    return edit_distance_pairs(
+        docs, "doc_id", "text", k=EDIT_K, key_len=EDIT_KEY_LEN,
+        bucket_cap=None,
+    )
+
+
 DAY_US = 86_400_000_000
 
 
@@ -3259,6 +3285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2": q_scd2,
         "lake_diff": q_lake_diff,
         "hll_daily": q_hll_daily,
+        "edit_pairs": q_edit_pairs,
         # --- (b) engine code touched by the round-5 lake fixes ---
         "lake_merge": q_lake_merge,
         "lake_optimize": q_lake_optimize,
@@ -3631,6 +3658,7 @@ def oracle_sql() -> dict[str, str]:
         rrf_fuse_sql,
     )
     from ssb_sgis_spark.operators.scd import scd2_apply_sql
+    from ssb_sgis_spark.operators.editjoin import edit_distance_pairs_sql
 
     # the two ranked-list SQLs the hybrid/eval entries share
     _hybrid_bm25_sql = bm25_topk_sql(
@@ -4342,6 +4370,14 @@ def oracle_sql() -> dict[str, str]:
             k=BM25_K,
         ),
         "quantiles": exact_quantiles_sql("documents", "n_chars"),
+        "edit_pairs": edit_distance_pairs_sql(
+            f"(SELECT * FROM ({docs_with_dups_sql()})"
+            " WHERE (doc_id % 1000000) % 3 = 0)",
+            "doc_id",
+            "text",
+            k=EDIT_K,
+            key_len=EDIT_KEY_LEN,
+        ),
         "hll_daily": _hll_grouped_oracle_independent(
             "events",
             "CAST(user_id AS VARCHAR)",
