@@ -2155,6 +2155,45 @@ def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_sketch(docs_with_dups_df(spark, sf_dir), "text")
 
 
+IV_N = 2000  # campaign windows (fixed workload size at any sf)
+IV_CHUNK_US = 3_600_000_000  # 1 h bucket ≈ median interval length
+_EPOCH_2024_S = 1_704_067_200  # epoch seconds of 2024-01-01 (events base)
+
+
+def q_interval_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Campaign attribution — the RANGE-JOIN scale shape: every event
+    attributed to every overlapping campaign window (2,000 deterministic
+    variable-length windows over the events month), per-campaign event
+    count + integer-cent value mass.  A naive t BETWEEN s AND e join has
+    no equi-key and plans a nested loop; `operators/intervaljoin` makes
+    the equi-key by exploding intervals to 1-hour buckets and hashing on
+    the bucket (plan-guard asserts no BNLJ).  Oracle: DuckDB's native
+    inequality join — an INDEPENDENT range-join algorithm (IEJoin)."""
+    from ssb_sgis_spark.operators.intervaljoin import interval_join
+
+    ev = events_df(spark, sf_dir).select(
+        "event_id",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+            " ts)"
+        ).alias("t_us"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    base = F.lit(_EPOCH_2024_S) + F.col("id") * 1200 + (F.col("id") * F.col("id")) % 997
+    iv = spark.range(IV_N).select(
+        F.col("id").alias("iid"),
+        (base * 1_000_000).cast("long").alias("s_us"),
+        ((base + 600 + (F.col("id") % 7) * 1800) * 1_000_000)
+        .cast("long")
+        .alias("e_us"),
+    )
+    j = interval_join(ev, iv, "t_us", "s_us", "e_us", IV_CHUNK_US)
+    return j.groupBy("iid").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )
+
+
 EDIT_K = 2
 EDIT_KEY_LEN = 24
 
@@ -3286,6 +3325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lake_diff": q_lake_diff,
         "hll_daily": q_hll_daily,
         "edit_pairs": q_edit_pairs,
+        "interval_attr": q_interval_attr,
         # --- (b) engine code touched by the round-5 lake fixes ---
         "lake_merge": q_lake_merge,
         "lake_optimize": q_lake_optimize,
@@ -4370,6 +4410,28 @@ def oracle_sql() -> dict[str, str]:
             k=BM25_K,
         ),
         "quantiles": exact_quantiles_sql("documents", "n_chars"),
+        "interval_attr": f"""
+            WITH iv AS (
+              SELECT i AS iid,
+                     ({_EPOCH_2024_S} + i * 1200 + (i * i) % 997)
+                         * 1000000 AS s_us,
+                     ({_EPOCH_2024_S} + i * 1200 + (i * i) % 997
+                      + 600 + (i % 7) * 1800) * 1000000 AS e_us
+              FROM range({IV_N}) r(i)
+            ),
+            ev AS (
+              SELECT event_id,
+                     date_diff('microsecond',
+                               TIMESTAMP '1970-01-01 00:00:00', ts) AS t_us,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+              FROM events
+            )
+            SELECT iv.iid,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(ev.cents) AS BIGINT) AS sum_cents
+            FROM iv JOIN ev ON ev.t_us >= iv.s_us AND ev.t_us < iv.e_us
+            GROUP BY iv.iid
+        """,
         "edit_pairs": edit_distance_pairs_sql(
             f"(SELECT * FROM ({docs_with_dups_sql()})"
             " WHERE (doc_id % 1000000) % 3 = 0)",
